@@ -1,0 +1,292 @@
+"""Forest construction: distributed filter builds as mergeable aggregations.
+
+The reference builds ONE filter per key slice; its only "merge" is owning
+several filters side by side (SURVEY.md §1.1 — no post-build inserts or
+filter-merge exists in the API). The cluster-scale unit is therefore a
+**forest**: one immutable filter row per key-range shard. "Merge" = union of
+shard rows; membership = route each probe key to its shard's filter by the
+same top-bits rule used to shard the build. This keeps every shard build
+small enough for one task (~17 B/key scratch, /root/reference/README.md:52)
+and makes the aggregation embarrassingly mergeable and resumable.
+
+Plan shape (one shuffle):
+
+    scan → xxhash64 key (codegen) → repartition(shard) →
+    applyInPandas(build_kernel) → forest rows (→ parquet sink)
+
+Duplicates collapse inside the kernel (np.unique); optionally pre-dedup with
+dropDuplicates when the duplicate ratio is high enough that shuffle bytes
+dominate (text keys at 10^12-turn scale — partial agg dedups map-side).
+
+Checkpoint/resume: builds are deterministic (fixed per-shard seed schedule →
+/root/reference/binaryfusefilter_test.go:355-394 analog), so a resumed build
+produces byte-identical shards; ``build_forest_resumable`` appends missing
+shards only, discovered by anti-joining the sink.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import time
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sparkfuse.hashing import to_u64, xxh64_u64
+from sparkfuse.keys import dedup_keys, shard_column
+from sparkfuse.kernels import (
+    FuseFilter,
+    XorFilter,
+    build_fuse,
+    build_xor,
+    fuse_contains,
+    xor_contains,
+)
+from sparkfuse.serialize import (
+    load_fuse_bytes,
+    load_xor_bytes,
+    save_fuse_bytes,
+    save_xor_bytes,
+)
+
+FOREST_SCHEMA = StructType(
+    [
+        StructField("shard", LongType(), False),
+        StructField("kind", StringType(), False),      # 'fuse' | 'xor'
+        StructField("width", IntegerType(), False),    # 8 | 16 | 32
+        StructField("arity", IntegerType(), False),    # 3 | 4 (xor: 3)
+        StructField("shard_bits", IntegerType(), False),
+        StructField("route", StringType(), False),     # 'xxh64' | 'raw' 
+        StructField("seed", LongType(), False),        # u64 bit-cast
+        StructField("nkeys", LongType(), False),       # deduped keys in shard
+        StructField("iterations", IntegerType(), False),
+        StructField("build_seconds", DoubleType(), False),
+        StructField("bits_per_entry", DoubleType(), False),
+        StructField("payload", BinaryType(), False),   # serialized filter
+        StructField("content_sha256", StringType(), False),
+    ]
+)
+
+# Default shard sizing: ~2M keys/shard keeps fuse scratch ≈ 36 MB/task and
+# the per-shard filter ≈ 2.2 MB (fuse8) — SURVEY.md §4 memory model.
+DEFAULT_TARGET_KEYS_PER_SHARD = 2_000_000
+
+
+@dataclass
+class ForestSpec:
+    kind: str = "fuse"     # 'fuse' or 'xor'
+    width: int = 8
+    arity: int = 3
+    shard_bits: int = 0
+    route: str = "xxh64"
+
+
+def plan_shard_bits(n_keys: int, target_keys_per_shard: int = DEFAULT_TARGET_KEYS_PER_SHARD) -> int:
+    """Choose shard_bits so shards hold ~target keys. 10^9 keys → 9 bits
+    (512 shards); 0 bits = single shard for small inputs."""
+    if n_keys <= target_keys_per_shard:
+        return 0
+    return max(1, math.ceil(math.log2(n_keys / target_keys_per_shard)))
+
+
+def _build_one(keys_u64: np.ndarray, spec: ForestSpec):
+    t0 = time.perf_counter()
+    if spec.kind == "fuse":
+        filt, iterations = build_fuse(keys_u64, width=spec.width, arity=spec.arity)
+        payload = save_fuse_bytes(filt)
+    elif spec.kind == "xor":
+        filt, iterations = build_xor(keys_u64, width=spec.width)
+        payload = save_xor_bytes(filt)
+    else:
+        raise ValueError(f"unknown filter kind {spec.kind!r}")
+    dt = time.perf_counter() - t0
+    return filt, payload, iterations, dt
+
+
+def _kernel_factory(spec: ForestSpec):
+    """Per-shard applyInPandas kernel: pdf(key[, shard]) → one forest row."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = to_u64(pdf["key"].to_numpy())
+        shard = int(pdf["shard"].iloc[0]) if "shard" in pdf else 0
+        nkeys = len(np.unique(keys))
+        filt, payload, iterations, dt = _build_one(keys, spec)
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "kind": [spec.kind],
+                "width": [spec.width],
+                "arity": [spec.arity],
+                "shard_bits": [spec.shard_bits],
+                "route": [spec.route],
+                "seed": [np.uint64(filt.seed).astype(np.int64)],
+                "nkeys": [nkeys],
+                "iterations": [iterations],
+                "build_seconds": [dt],
+                "bits_per_entry": [filt.fingerprints.nbytes * 8 / max(nkeys, 1)],
+                "payload": [payload],
+                "content_sha256": [hashlib.sha256(payload).hexdigest()],
+            }
+        )
+
+    return kernel
+
+
+def build_forest(
+    keys_df: DataFrame,
+    kind: str = "fuse",
+    width: int = 8,
+    arity: int = 3,
+    shard_bits: int | None = None,
+    target_keys_per_shard: int = DEFAULT_TARGET_KEYS_PER_SHARD,
+    pre_dedup: bool = False,
+    key_name: str = "key",
+    route: str = "xxh64",
+) -> DataFrame:
+    """Build a filter forest over ``keys_df[key_name]`` (int64 carrier).
+
+    Returns a FOREST_SCHEMA DataFrame, one row per shard. Lazy — nothing runs
+    until the forest is written/collected.
+
+    shard_bits: None → planned from approx_count_distinct (single extra pass,
+    no shuffle). pre_dedup: run dropDuplicates before the shard shuffle —
+    worth it when the duplicate ratio is high (shrinks shuffle bytes), skipped
+    by default because the kernel dedups anyway and one shuffle beats two.
+    """
+    keys_df = keys_df.select(F.col(key_name).alias("key"))
+    if shard_bits is None:
+        n_est = keys_df.agg(F.approx_count_distinct("key").alias("n")).first()["n"]
+        shard_bits = plan_shard_bits(n_est, target_keys_per_shard)
+    if pre_dedup:
+        keys_df = dedup_keys(keys_df)
+    spec = ForestSpec(kind=kind, width=width, arity=arity, shard_bits=shard_bits,
+                      route=route)
+    sharded = keys_df.withColumn("shard", shard_column("key", shard_bits, route))
+    return sharded.groupBy("shard").applyInPandas(_kernel_factory(spec), FOREST_SCHEMA)
+
+
+def write_forest(forest_df: DataFrame, path: str, mode: str = "append") -> None:
+    """Persist forest rows to the parquet sink (the cluster-native Save;
+    per-shard appends are the checkpoint unit, SURVEY.md §3.1 stage 9).
+    The content_sha256 column is the integrity check the reference README
+    recommends callers add (/root/reference/README.md:62)."""
+    forest_df.write.mode(mode).parquet(path)
+
+
+def build_forest_resumable(
+    keys_df: DataFrame,
+    path: str,
+    spark: SparkSession,
+    **build_kwargs,
+) -> DataFrame:
+    """Build only the shards missing from ``path`` and append them.
+
+    Because builds are deterministic, resume-after-kill yields a forest
+    byte-identical to a fresh full build (tested in
+    tests/test_forest_spark.py::test_resume_equals_fresh).
+    Requires explicit ``shard_bits`` in build_kwargs so the shard layout is
+    stable across runs.
+    """
+    if "shard_bits" not in build_kwargs:
+        raise ValueError("resumable builds require explicit shard_bits")
+    full = build_forest(keys_df, **build_kwargs)
+    try:
+        done = spark.read.parquet(path).select("shard").dropDuplicates()
+    except Exception:
+        write_forest(full, path)
+        return spark.read.parquet(path)
+    missing = full.join(done, on="shard", how="left_anti")
+    write_forest(missing, path)
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# driver-side forest handle + probe routing
+# ---------------------------------------------------------------------------
+
+class Forest:
+    """Immutable collected forest: dict shard → filter, broadcast to probes.
+
+    The reference filter is "immutable, concurrent … build once, use many
+    times" (/root/reference/README.md:50) — the broadcast variable is the
+    cluster analog. A 10^9-key fuse8 forest is ~1.3 GB; at that point route
+    probes with a map-side join against the forest table instead of one
+    monolithic broadcast (SURVEY.md §4); at the sandbox scales the broadcast
+    path is the right plan.
+    """
+
+    def __init__(self, rows):
+        if not rows:
+            raise ValueError("empty forest")
+        self.filters = {}
+        kinds = set()
+        bits = set()
+        for r in rows:
+            kinds.add((r["kind"], r["width"], r["arity"], r["route"]))
+            bits.add(r["shard_bits"])
+            if r["kind"] == "fuse":
+                filt = load_fuse_bytes(bytes(r["payload"]), width=r["width"], arity=r["arity"])
+            else:
+                filt = load_xor_bytes(bytes(r["payload"]))
+            self.filters[int(r["shard"])] = filt
+        if len(kinds) != 1 or len(bits) != 1:
+            raise ValueError(f"inhomogeneous forest: kinds={kinds} shard_bits={bits}")
+        (self.kind, self.width, self.arity, self.route), = kinds
+        (self.shard_bits,) = bits
+        self.nkeys = sum(r["nkeys"] for r in rows)
+        self.size_in_bytes = sum(len(r["payload"]) for r in rows)
+
+    @classmethod
+    def from_df(cls, forest_df: DataFrame) -> "Forest":
+        return cls([r.asDict() for r in forest_df.collect()])
+
+    def contains_np(self, keys_i64: np.ndarray) -> np.ndarray:
+        """Vectorized routed probe over an int64-carrier key array."""
+        keys = to_u64(np.asarray(keys_i64))
+        out = np.zeros(len(keys), dtype=bool)
+        if self.shard_bits <= 0:
+            filt = self.filters.get(0)
+            if filt is None:
+                return out
+            return _probe_one(filt, keys)
+        routed = xxh64_u64(keys) if self.route == "xxh64" else keys
+        shards = routed >> np.uint64(64 - self.shard_bits)
+        # group probe batch by shard; vectorized per present shard
+        order = np.argsort(shards, kind="stable")
+        sorted_shards = shards[order]
+        bounds = np.searchsorted(
+            sorted_shards, np.unique(sorted_shards), side="left"
+        ).tolist() + [len(keys)]
+        uniq = np.unique(sorted_shards)
+        for i, s in enumerate(uniq):
+            filt = self.filters.get(int(s))
+            if filt is None:
+                continue
+            idx = order[bounds[i]:bounds[i + 1]]
+            out[idx] = _probe_one(filt, keys[idx])
+        return out
+
+    def bits_per_entry(self) -> float:
+        return self.size_in_bytes * 8 / max(self.nkeys, 1)
+
+
+def _probe_one(filt, keys_u64: np.ndarray) -> np.ndarray:
+    if isinstance(filt, FuseFilter):
+        return fuse_contains(filt, keys_u64)
+    if isinstance(filt, XorFilter):
+        return xor_contains(filt, keys_u64)
+    raise TypeError(type(filt))

@@ -138,6 +138,33 @@ def mulhi64_u32(hashes: np.ndarray, m: int) -> np.ndarray:
     )
 
 
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def xxh64_u64(values: np.ndarray, seed: int = 42) -> np.ndarray:
+    """XXH64 of a single 8-byte (long) input — matches Spark's built-in
+    ``F.xxhash64(longCol)`` (default seed 42), so shard routing computed
+    JVM-side during the build equals this numpy version at probe time.
+    Public algorithm (Yann Collet's xxHash spec), vectorized for uint64.
+    """
+    v = values.astype(np.uint64, copy=False)
+    k1 = v * np.uint64(_XXH_P2)
+    k1 = rotl64(k1, 31)
+    k1 *= np.uint64(_XXH_P1)
+    acc = np.uint64((seed + _XXH_P5 + 8) & MASK64) ^ k1
+    acc = rotl64(acc, 27) * np.uint64(_XXH_P1) + np.uint64(_XXH_P4)
+    acc ^= acc >> np.uint64(33)
+    acc *= np.uint64(_XXH_P2)
+    acc ^= acc >> np.uint64(29)
+    acc *= np.uint64(_XXH_P3)
+    acc ^= acc >> np.uint64(32)
+    return acc
+
+
 def to_u64(a: np.ndarray) -> np.ndarray:
     """Bit-cast an int64 carrier column (Arrow/Spark LongType) to uint64."""
     return np.ascontiguousarray(a).view(np.uint64) if a.dtype == np.int64 else a.astype(np.uint64)

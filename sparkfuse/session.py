@@ -1,0 +1,45 @@
+"""SparkSession helper with scale-appropriate defaults.
+
+Designed for a multi-executor cluster (spark-submit --py-files sparkfuse.zip);
+in this sandbox it runs local[N] with the same configs. AQE is on so skewed
+shuffles re-plan at runtime; Arrow is on so every pandas UDF crosses the
+JVM/Python boundary in columnar batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sparkfuse",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    # Make the sparkfuse package importable inside Spark's python workers
+    # regardless of the driver's cwd — the local-mode analog of
+    # ``spark-submit --py-files sparkfuse.zip`` (workers inherit the env the
+    # JVM is launched with, so this must happen before getOrCreate()).
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_dir not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_dir}{os.pathsep}{existing}" if existing else repo_dir
+        )
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARKFUSE_DRIVER_MEM", "8g"))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .getOrCreate()
+    )

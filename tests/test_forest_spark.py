@@ -1,0 +1,210 @@
+"""Distributed forest build/probe/resume tests (SURVEY.md §5 distributed layers)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfuse.forest import Forest, build_forest, build_forest_resumable, write_forest
+from sparkfuse.keys import dedup_keys, dedup_keys_salted, extract_keys
+from sparkfuse.probe import (
+    approx_contains,
+    exact_anti_join,
+    exact_member_semi_join,
+    verify_sample,
+)
+from sparkfuse.synth import synth_transcripts
+
+
+def _keys_df(spark, n, seed=1):
+    return spark.range(n).select(
+        F.xxhash64(F.col("id") + F.lit(seed)).alias("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end build + probe
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind,width", [("fuse", 8), ("fuse", 16), ("xor", 8)])
+def test_forest_zero_false_negatives(spark, kind, width):
+    keys = _keys_df(spark, 20_000)
+    forest = Forest.from_df(build_forest(keys, kind=kind, width=width, shard_bits=0))
+    arr = np.array([r["key"] for r in keys.collect()], dtype=np.int64)
+    assert forest.contains_np(arr).all()
+
+
+def test_sharded_forest_routing(spark):
+    keys = _keys_df(spark, 50_000)
+    forest = Forest.from_df(build_forest(keys, kind="fuse", width=8, shard_bits=4))
+    assert len(forest.filters) == 16  # all 16 shards materialized
+    arr = np.array([r["key"] for r in keys.collect()], dtype=np.int64)
+    assert forest.contains_np(arr).all()
+    # non-members mostly rejected
+    other = np.arange(10**6, 10**6 + 20_000, dtype=np.int64)
+    fpp = forest.contains_np(other).mean()
+    assert fpp < 0.01
+
+
+def test_sharding_even_with_sequential_keys(spark):
+    # raw sequential keys would all land in shard 0; xxh64 routing spreads them
+    keys = spark.range(40_000).select(F.col("id").alias("key"))
+    forest = Forest.from_df(build_forest(keys, shard_bits=3))
+    assert len(forest.filters) == 8
+    counts = [f.fingerprints.nbytes for f in forest.filters.values()]
+    assert max(counts) < 2 * min(counts)  # roughly even shards
+    arr = np.arange(40_000, dtype=np.int64)
+    assert forest.contains_np(arr).all()
+
+
+def test_probe_udf_column(spark):
+    keys = _keys_df(spark, 5_000)
+    forest = Forest.from_df(build_forest(keys, shard_bits=1))
+    flagged = approx_contains(keys, "key", forest, spark)
+    assert flagged.filter(~F.col("maybe_member")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# exact modes vs plain SQL joins (oracle contract backbone)
+# ---------------------------------------------------------------------------
+
+def test_exact_semi_join_matches_plain_join(spark, sf_dir):
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    forest = Forest.from_df(
+        build_forest(orders.select(F.col("o_custkey").alias("key")), shard_bits=0)
+    )
+    got = exact_member_semi_join(
+        customer, "c_custkey", orders, "o_custkey", forest, spark
+    )
+    want = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).dropDuplicates(),
+        "c_custkey",
+        "left_semi",
+    )
+    assert sorted(r["c_custkey"] for r in got.collect()) == sorted(
+        r["c_custkey"] for r in want.collect()
+    )
+
+
+def test_exact_anti_join_matches_plain_join(spark, sf_dir):
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    forest = Forest.from_df(
+        build_forest(orders.select(F.col("o_custkey").alias("key")), shard_bits=0)
+    )
+    got = exact_anti_join(customer, "c_custkey", orders, "o_custkey", forest, spark)
+    want = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).dropDuplicates(),
+        "c_custkey",
+        "left_anti",
+    )
+    assert sorted(r["c_custkey"] for r in got.collect()) == sorted(
+        r["c_custkey"] for r in want.collect()
+    )
+
+
+def test_verify_sample_zero_false_negatives(spark, sf_dir):
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    forest = Forest.from_df(
+        build_forest(orders.select(F.col("o_custkey").alias("key")), shard_bits=0)
+    )
+    stats = verify_sample(
+        customer, "c_custkey", orders, "o_custkey", forest, spark, fraction=1.0
+    )
+    assert stats["false_negatives"] == 0
+
+
+# ---------------------------------------------------------------------------
+# determinism, mergeability, resume
+# ---------------------------------------------------------------------------
+
+def test_forest_build_deterministic(spark):
+    keys = _keys_df(spark, 30_000)
+    a = {r["shard"]: r["content_sha256"] for r in build_forest(keys, shard_bits=3).collect()}
+    b = {r["shard"]: r["content_sha256"] for r in build_forest(keys, shard_bits=3).collect()}
+    assert a == b
+
+
+def test_resume_equals_fresh(spark, tmp_path):
+    keys = _keys_df(spark, 30_000)
+    fresh = {
+        r["shard"]: r["content_sha256"]
+        for r in build_forest(keys, shard_bits=3).collect()
+    }
+    # simulate a killed job: persist only shards 0-3, then resume
+    partial_path = str(tmp_path / "forest")
+    partial = build_forest(keys, shard_bits=3).filter(F.col("shard") < 4)
+    write_forest(partial, partial_path)
+    resumed_df = build_forest_resumable(keys, partial_path, spark, shard_bits=3)
+    resumed = {r["shard"]: r["content_sha256"] for r in resumed_df.collect()}
+    assert resumed == fresh  # byte-identical via deterministic rebuilds
+
+
+def test_forest_merge_is_union(spark):
+    # the mergeable-aggregation property: a forest over disjoint shard ranges
+    # merges by row union — probing the union behaves like one build
+    keys = _keys_df(spark, 20_000)
+    full = build_forest(keys, shard_bits=2)
+    half1 = full.filter(F.col("shard") < 2)
+    half2 = full.filter(F.col("shard") >= 2)
+    merged = Forest.from_df(half1.unionByName(half2))
+    arr = np.array([r["key"] for r in keys.collect()], dtype=np.int64)
+    assert merged.contains_np(arr).all()
+
+
+def test_forest_lineage_metrics(spark):
+    rows = build_forest(_keys_df(spark, 10_000), shard_bits=1).collect()
+    for r in rows:
+        assert r["iterations"] >= 1
+        assert r["build_seconds"] > 0
+        assert r["nkeys"] > 0
+        assert 8.0 < r["bits_per_entry"] < 13.0
+        import hashlib
+
+        assert hashlib.sha256(bytes(r["payload"])).hexdigest() == r["content_sha256"]
+
+
+# ---------------------------------------------------------------------------
+# transcripts flow (north_star shape): text keys, dedup, skew
+# ---------------------------------------------------------------------------
+
+def test_transcript_membership_flow(spark):
+    tr = synth_transcripts(spark, 6_000).cache()
+    keys = extract_keys(tr, "text")
+    forest = Forest.from_df(build_forest(keys, shard_bits=2, pre_dedup=True))
+    flagged = approx_contains(extract_keys(tr, "text"), "key", forest, spark)
+    assert flagged.filter(~F.col("maybe_member")).count() == 0  # zero FN
+    # absent texts overwhelmingly rejected
+    absent = tr.select(
+        F.xxhash64(F.concat(F.col("text"), F.lit("-absent"))).alias("key")
+    )
+    fp = approx_contains(absent, "key", forest, spark)
+    frac = fp.filter(F.col("maybe_member")).count() / 6_000
+    assert frac < 0.02
+    tr.unpersist()
+
+
+def test_salted_dedup_equals_plain(spark):
+    tr = synth_transcripts(spark, 4_000)
+    keys = extract_keys(tr, "text")
+    plain = sorted(r["key"] for r in dedup_keys(keys).collect())
+    salted = sorted(r["key"] for r in dedup_keys_salted(keys).collect())
+    assert plain == salted
+
+
+def test_synth_transcripts_deterministic_and_skewed(spark):
+    a = synth_transcripts(spark, 3_000)
+    b = synth_transcripts(spark, 3_000)
+    ha = a.agg(F.expr("bit_xor(xxhash64(conv_id, text, role))")).first()[0]
+    hb = b.agg(F.expr("bit_xor(xxhash64(conv_id, text, role))")).first()[0]
+    assert ha == hb
+    top = (
+        a.groupBy("conv_id").count().orderBy(F.desc("count")).first()
+    )
+    assert top["count"] > 3_000 * 0.05  # hot conversation exists (skew fixture)
+    # stable turn ordering invariant: contiguous turn_idx per conv
+    chk = a.groupBy("conv_id").agg(
+        F.count("*").alias("n"), F.max("turn_idx").alias("mx")
+    )
+    assert chk.filter(F.col("mx") != F.col("n") - 1).count() == 0
