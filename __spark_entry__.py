@@ -165,6 +165,80 @@ def q_forest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forest_df.agg(F.sum("nkeys").alias("nkeys"))
 
 
+def q_tok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (training-pipeline text analysis), pure codegen."""
+    from sparkfuse.textops import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer quality features for document filtering."""
+    from sparkfuse.textops import quality_stats
+
+    return quality_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stopword-vote language heuristic."""
+    from sparkfuse.textops import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-group dedup: canonical event per distinct props payload
+    (shuffles 8-byte hashes, not bodies)."""
+    from sparkfuse.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "events"), "event_id", "props").select(
+        F.col("event_id")
+    )
+
+
+def q_ngram_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-duplicate pairs: shingle inverted-index join + integer
+    Jaccard >= 1/2 (the oracle is brute-force all-pairs)."""
+    from sparkfuse.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors 0..9 (broadcast
+    crossJoin + window; deterministic rounding/tiebreak)."""
+    from sparkfuse.similarity import knn_topk
+
+    return knn_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", list(range(10)), k=5
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup candidates via banded minhash-LSH (scale path;
+    recall pytest-verified against q_ngram_near_dups — no SQL oracle)."""
+    from sparkfuse.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash document fingerprints (numpy kernel; rows-only check)."""
+    from sparkfuse.textops import simhash64
+
+    return simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via sign-LSH + exact rerank (rows-only;
+    recall pytest-verified against q_knn_topk)."""
+    from sparkfuse.similarity import ann_lsh_topk
+
+    return ann_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", list(range(10)), k=5
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuse8_members": q_fuse8_members,
     "fuse16_members": q_fuse16_members,
@@ -176,6 +250,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_members": q_bloom_members,
     "dedup_exact": q_dedup_exact,
     "forest_stats": q_forest_stats,
+    "tok_stats": q_tok_stats,
+    "quality_stats": q_quality_stats,
+    "lang_id": q_lang_id,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "ngram_near_dups": q_ngram_near_dups,
+    "knn_topk": q_knn_topk,
+    "minhash_lsh_candidates": q_minhash_lsh,
+    "simhash_fingerprints": q_simhash,
+    "ann_lsh_topk": q_ann_topk,
 }
 
 
@@ -225,4 +308,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "forest_stats": "SELECT COUNT(DISTINCT o_custkey) AS nkeys FROM orders",
+        "tok_stats": (
+            "SELECT doc_id, "
+            "len(string_split_regex(trim(text), '\\s+')) AS n_tokens, "
+            "length(text) AS n_chars_text FROM documents"
+        ),
+        "quality_stats": (
+            "SELECT doc_id, len(ts) AS n_tokens, "
+            "len(list_distinct(ts)) AS n_uniq_tokens, "
+            "list_max(list_transform(ts, t -> length(t))) AS max_token_len, "
+            "len(list_intersect(list_distinct(ts), "
+            "['the','a','and','of','to','is','in','that'])) AS n_stopword_kinds, "
+            "length(text) AS n_chars_text FROM "
+            "(SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ts "
+            "FROM documents)"
+        ),
+        "lang_id": _lang_id_oracle(),
+        "dedup_fingerprint": (
+            "SELECT MIN(event_id) AS event_id FROM events GROUP BY props"
+        ),
+        "ngram_near_dups": _ngram_oracle(),
+        "knn_topk": _knn_oracle(),
+        # minhash_lsh_candidates / simhash_fingerprints / ann_lsh_topk are
+        # intentionally absent: approximate operators whose hashes are not
+        # SQL-expressible; the driver records rows-only checks, and pytest
+        # verifies them against the exact twins above
+        # (tests/test_pipeline_ops.py).
     }
+
+
+def _lang_id_oracle() -> str:
+    from sparkfuse.textops import lang_id_oracle_sql
+
+    return lang_id_oracle_sql("documents", "doc_id", "text")
+
+
+def _ngram_oracle() -> str:
+    from sparkfuse.dedup import ngram_jaccard_pairs_oracle_sql
+
+    return ngram_jaccard_pairs_oracle_sql("documents", "doc_id", "text")
+
+
+def _knn_oracle() -> str:
+    from sparkfuse.similarity import knn_topk_oracle_sql
+
+    return knn_topk_oracle_sql("embeddings", "vec_id", "embedding", list(range(10)), k=5)

@@ -1,0 +1,187 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale ladder (each step trades exactness for shuffle volume):
+
+  1. ``exact_dedup``            — fingerprint group-by (partial+final agg).
+  2. ``ngram_jaccard_pairs``    — EXACT near-dup pairs: inverted-index join
+     on word n-gram shingles (candidates = pairs sharing >= 1 shingle — a
+     superset of every pair with Jaccard > 0) then exact integer-arithmetic
+     Jaccard verification. SQL-expressible => DuckDB-oracle-checkable.
+  3. ``minhash_lsh_candidates`` — approximate scale path: k minhash
+     signatures computed JVM-side (explode + min-agg), banded into LSH
+     buckets, candidate pairs from bucket joins. Recall vs the exact op is
+     pytest-verified; no SQL oracle (minhash needs a shared hash function
+     SQL lacks).
+  4. simhash near-dup          — see sparkfuse.textops.simhash64 + hamming64.
+
+Jaccard thresholding is integer-exact: J(a,b) >= p/q  <=>  q*|I| >= p*|U|,
+so the Spark result and the SQL oracle agree bit-for-bit (no float boundary).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkfuse.textops import tokens_col
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical id per distinct text (min id), via hash fingerprint group-by.
+
+    Grouping on the 64-bit fingerprint instead of the full text means the
+    shuffle carries 8 bytes + id per row instead of the document body —
+    the difference between shuffling 100 TB and shuffling 1.6 TB.
+    """
+    return (
+        df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def shingles_col(text_col: str, k: int = 3):
+    """Distinct word k-gram shingles, built JVM-side: slide a window over the
+    token array with transform + slice + concat_ws."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+    return F.array_distinct(gram)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: Fraction = Fraction(1, 2),
+    df_cutoff: int | None = None,
+) -> DataFrame:
+    """EXACT near-duplicate pairs (id_a < id_b) with shingle-set Jaccard >=
+    threshold.
+
+    Plan: shingle arrays (codegen) → explode → self-join on shingle (the
+    inverted index; this is where AQE's skew handling matters for hot
+    shingles) → distinct candidate pairs → join back both shingle arrays →
+    integer-exact Jaccard test. ``df_cutoff`` drops shingles appearing in
+    more than that many docs before the join — the standard stop-shingle
+    pruning for web-scale corpora; pairs sharing ONLY ultra-common shingles
+    can be missed, so it is off by default (exactness first, opt-in at
+    scale).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), shingles_col(text_col, k).alias("_sh")
+    ).cache()
+    inv = sh.select("_id", F.explode("_sh").alias("_g"))
+    if df_cutoff is not None:
+        freq = inv.groupBy("_g").agg(F.count("*").alias("_df"))
+        inv = (
+            inv.join(freq.filter(F.col("_df") <= df_cutoff), "_g", "left_semi")
+        )
+    a = inv.select(F.col("_id").alias("id_a"), "_g")
+    b = inv.select(F.col("_id").alias("id_b"), "_g")
+    cand = (
+        a.join(b, "_g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    pairs = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    p, q = threshold.numerator, threshold.denominator
+    return (
+        pairs.filter(inter * q >= union * p)
+        .select("id_a", "id_b")
+    )
+
+
+def ngram_jaccard_pairs_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: Fraction = Fraction(1, 2),
+) -> str:
+    """DuckDB twin of ngram_jaccard_pairs (brute-force all-pairs — the oracle
+    can afford O(n^2) at sf0.01)."""
+    p, q = threshold.numerator, threshold.denominator
+    gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS _id, string_split_regex(trim({text_col}), '\\s+') AS ts
+  FROM {table}
+),
+sh AS (
+  SELECT _id,
+         list_distinct([{gram} for i in range(1, len(ts) - {k - 2})]) AS gs
+  FROM toks
+)
+SELECT a._id AS id_a, b._id AS id_b
+FROM sh a JOIN sh b ON a._id < b._id
+WHERE len(list_intersect(a.gs, b.gs)) * {q}
+      >= (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) * {p}
+  AND len(list_intersect(a.gs, b.gs)) > 0
+"""
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, k: int = 3
+) -> DataFrame:
+    """k-gram minhash signatures, entirely JVM-side: explode shingles, hash
+    each with ``xxhash64(shingle, i)`` per permutation i, take min per doc.
+    One explode + one grouped aggregation (partial+final) — no Python.
+    """
+    inv = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, k)).alias("_g")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("_g"), F.lit(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return inv.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded minhash-LSH (the 100-TB path:
+    candidates ~ O(near-dups), not O(n^2)). rows = bands/num_hashes per band;
+    two docs collide iff some band of their signatures is identical.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    buckets = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("h"))
+                            for b in range(bands)])).alias("bk"),
+    ).select(id_col, "bk.b", "bk.h")
+    a = buckets.select(F.col(id_col).alias("id_a"), "b", "h")
+    bb = buckets.select(F.col(id_col).alias("id_b"), "b", "h")
+    return (
+        a.join(bb, ["b", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )

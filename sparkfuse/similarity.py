@@ -1,0 +1,195 @@
+"""Embedding similarity search over an ``array<float>`` column.
+
+Ladder:
+  cosine_pairs / knn_topk — exact brute force, cosine computed JVM-side
+    (zip_with + aggregate fold, inside codegen; cast to double so the DuckDB
+    oracle's arithmetic matches).
+  ann_lsh_topk — the scale path: random-hyperplane (sign) LSH buckets the
+    vectors, candidates re-ranked exactly within buckets. Recall is
+    pytest-verified against the brute-force op; no SQL oracle (bucketing
+    hashes are engine-internal).
+
+At 100 TB the brute-force crossJoin is the *rerank* primitive, never the
+candidate generator: LSH (or an IVF coarse quantizer over kmeans centroids)
+bounds candidates per query, and the rerank join broadcasts the query set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def with_norm(df: DataFrame, vec_col: str, out: str = "_norm") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.withColumn(out, F.sqrt(_dot(v, v)))
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    return _dot(_as_double(a), _as_double(b)) / (norm_a * norm_b)
+
+
+def cosine_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Exact all-pairs with cosine >= threshold (id_a < id_b). The rerank
+    primitive; O(n^2) — bound n upstream (bucket/broadcast) at scale."""
+    base = with_norm(df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v")
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def knn_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (excluding self).
+
+    Deterministic ranking: (round(cos, 6) DESC, neighbor id ASC) — rounding
+    makes the order (and therefore the result SET) identical across engines
+    despite last-ulp float differences. Query side is broadcast: the join is
+    a map-side crossJoin of |queries| x n, not a shuffle.
+    """
+    base = with_norm(df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v")
+    queries = base.filter(F.col("_id").isin(list(query_ids))).select(
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("_vq"),
+        F.col("_norm").alias("_nq"),
+    )
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(base)
+        .filter(F.col("_id") != F.col("query_id"))
+        .withColumn(
+            "score",
+            F.round(cosine(F.col("_vq"), F.col("_v"), F.col("_nq"), F.col("_norm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col("_id").alias("neighbor_id"), "score")
+    )
+
+
+def knn_topk_oracle_sql(table: str, id_col: str, vec_col: str, query_ids, k: int = 5) -> str:
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS _id, {vec_col}::DOUBLE[] AS _v,
+         sqrt(list_inner_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[])) AS _n
+  FROM {table}
+),
+scored AS (
+  SELECT q._id AS query_id, b._id AS neighbor_id,
+         round(list_inner_product(q._v, b._v) / (q._n * b._n), 6) AS score
+  FROM base q JOIN base b ON b._id != q._id
+  WHERE q._id IN ({ids})
+)
+SELECT query_id, neighbor_id, score FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) <= {k}
+"""
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH (random hyperplanes) bucketing + exact
+    rerank inside buckets. n_tables independent hash tables union their
+    candidates (recall knob). The hyperplanes are generated from a fixed
+    seed on the driver and broadcast via closure — deterministic.
+
+    Parameter note: P(bucket collision) = (1 - acos(cos)/pi)^n_planes per
+    table; defaults (4 planes x 8 tables) target the ~0.5-cosine neighbor
+    regime (~0.83 recall). For tightly-clustered embeddings raise n_planes
+    to shrink candidate sets.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float64)
+
+    def bucket_kernel(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf["_v"].to_numpy())
+            out = {"_id": pdf["_id"].to_numpy()}
+            for t in range(n_tables):
+                signs = (vecs @ planes[t].T) > 0  # (n, planes)
+                codes = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+                out[f"bk{t}"] = codes.astype(np.int64)
+            yield pd.DataFrame(out)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("_id", LongType(), True)]
+        + [StructField(f"bk{t}", LongType(), True) for t in range(n_tables)]
+    )
+    base = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+    buckets = base.mapInPandas(bucket_kernel, schema)
+    melted = buckets.select(
+        "_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"bk{t}").alias("h"))
+                      for t in range(n_tables)])
+        ).alias("bk"),
+    ).select("_id", "bk.t", "bk.h")
+    qb = melted.filter(F.col("_id").isin(list(query_ids))).select(
+        F.col("_id").alias("query_id"), "t", "h"
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(melted, ["t", "h"])
+        .filter(F.col("_id") != F.col("query_id"))
+        .select("query_id", "_id")
+        .dropDuplicates()
+    )
+    vec = with_norm(base, "_v")
+    qv = vec.select(F.col("_id").alias("query_id"), F.col("_v").alias("_vq"), F.col("_norm").alias("_nq"))
+    cv = vec.select(F.col("_id"), F.col("_v"), F.col("_norm"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "_id")
+        .withColumn(
+            "score",
+            F.round(cosine(F.col("_vq"), F.col("_v"), F.col("_nq"), F.col("_norm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col("_id").alias("neighbor_id"), "score")
+    )

@@ -1,0 +1,216 @@
+"""Training-pipeline operators: text analysis, dedup ladder, similarity,
+multimodal plumbing (SURVEY.md §2.5 extensions)."""
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfuse.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_oracle_sql,
+)
+from sparkfuse.multimodal import (
+    FEATURE_DIM,
+    decode_image,
+    extract_features,
+    frame_sample_plan,
+    media_repartition_by_bytes,
+    synth_media,
+)
+from sparkfuse.similarity import ann_lsh_topk, cosine_pairs, knn_topk, knn_topk_oracle_sql
+from sparkfuse.textops import (
+    fingerprint,
+    hamming64,
+    lang_id,
+    lang_id_oracle_sql,
+    quality_stats,
+    simhash64,
+    token_stats,
+)
+
+SF01 = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in ["documents", "embeddings", "events"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF01}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF01}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# text ops
+# ---------------------------------------------------------------------------
+
+def test_token_stats_matches_python(spark, docs):
+    got = {r["doc_id"]: (r["n_tokens"], r["n_chars_text"])
+           for r in token_stats(docs, "doc_id", "text").collect()}
+    for r in docs.limit(50).collect():
+        toks = r["text"].strip().split()
+        assert got[r["doc_id"]] == (len(toks), len(r["text"]))
+
+
+def test_quality_stats_fields(spark, docs):
+    rows = quality_stats(docs, "doc_id", "text").collect()
+    for r in rows[:50]:
+        assert r["n_uniq_tokens"] <= r["n_tokens"]
+        assert r["max_token_len"] >= 1
+
+
+def test_lang_id_matches_oracle(spark, docs, ddb):
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs, "doc_id", "text").collect()}
+    want = dict(ddb.execute(lang_id_oracle_sql("documents", "doc_id", "text")).fetchall())
+    assert got == want
+
+
+def test_fingerprint_dedup_events(spark, ddb):
+    events = spark.read.parquet(f"{SF01}/events.parquet")
+    got = sorted(r["event_id"] for r in exact_dedup(events, "event_id", "props").collect())
+    want = sorted(
+        r[0] for r in ddb.execute(
+            "SELECT MIN(event_id) FROM events GROUP BY props"
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) == 100  # known dup structure
+
+
+def test_simhash_properties(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy cat near the river bank"),
+        (2, "completely different content about spark shuffles and parquet files"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sims = {r["doc_id"]: r["simhash"] for r in simhash64(df, "doc_id", "text").collect()}
+    assert sims[0] == sims[3]  # identical text -> identical simhash
+    mask = (1 << 64) - 1
+    d_near = bin((sims[0] ^ sims[1]) & mask).count("1")
+    d_far = bin((sims[0] ^ sims[2]) & mask).count("1")
+    assert d_near < d_far
+    assert d_near <= 12
+    # hamming64 JVM expression agrees
+    j = df.select(F.lit(sims[0]).alias("a"), F.lit(sims[1]).alias("b")).select(
+        hamming64(F.col("a"), F.col("b")).alias("d")
+    ).first()["d"]
+    assert j == d_near
+
+
+# ---------------------------------------------------------------------------
+# dedup ladder
+# ---------------------------------------------------------------------------
+
+def test_ngram_jaccard_pairs_matches_oracle(spark, docs, ddb):
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    )
+    want = sorted(
+        (a, b)
+        for a, b in ddb.execute(
+            ngram_jaccard_pairs_oracle_sql("documents", "doc_id", "text")
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) >= 10  # planted near-dups exist (non-degenerate)
+
+
+def test_minhash_lsh_recall(spark, docs):
+    exact = set(
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    )
+    cand = set(
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    )
+    assert exact, "fixture should contain near-dups"
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, recall
+    # candidate set stays small (the point of LSH)
+    n_docs = docs.count()
+    assert len(cand) < n_docs * n_docs / 20
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def test_knn_topk_matches_oracle(spark, ddb):
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    qids = list(range(10))
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["score"])
+        for r in knn_topk(emb, "vec_id", "embedding", qids, k=5).collect()
+    )
+    want = sorted(
+        ddb.execute(
+            knn_topk_oracle_sql("embeddings", "vec_id", "embedding", qids, k=5)
+        ).fetchall()
+    )
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, s1), (_, _, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-6
+
+
+def test_cosine_pairs_nonempty_and_symmetric_free(spark):
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    pairs = cosine_pairs(emb, "vec_id", "embedding", threshold=0.4).collect()
+    assert len(pairs) > 0
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_ann_lsh_recall(spark):
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    qids = list(range(20))
+    exact = {}
+    for r in knn_topk(emb, "vec_id", "embedding", qids, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ann_lsh_topk(emb, "vec_id", "embedding", qids, k=5).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_media_schema_and_features(spark):
+    media = synth_media(spark, 30, payload_bytes=2048)
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r["feature"]) == FEATURE_DIM for r in feats)
+    # deterministic across runs
+    feats2 = extract_features(synth_media(spark, 30, payload_bytes=2048)).collect()
+    a = {r["media_id"]: r["feature"] for r in feats}
+    b = {r["media_id"]: r["feature"] for r in feats2}
+    assert a == b
+
+
+def test_media_decode_is_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_frame_sample_plan(spark):
+    media = synth_media(spark, 30)
+    frames = frame_sample_plan(media, every_ms=250).collect()
+    videos = media.filter(F.col("kind") == "video").count()
+    assert len(frames) == videos * 4  # duration 1000ms, every 250ms -> 0,250,500,750
+    assert media_repartition_by_bytes(media, target_mb=1).rdd.getNumPartitions() >= 1
