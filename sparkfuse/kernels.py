@@ -173,17 +173,21 @@ def _peel_and_assign(hashes: np.ndarray, slots_fn, capacity: int, dtype):
         return np.zeros(capacity, dtype=dtype)
     slots = slots_fn(hashes)  # (arity, n)
     arity = slots.shape[0]
-    count = np.zeros(capacity, dtype=np.int32)
+    # one-pass histogram beats ufunc.at scatter for the counts
+    count = np.bincount(slots.reshape(-1), minlength=capacity).astype(np.int32)
     hxor = np.zeros(capacity, dtype=np.uint64)
     for lane in range(arity):
-        np.add.at(count, slots[lane], 1)
         np.bitwise_xor.at(hxor, slots[lane], hashes)
 
     stack_hash = np.empty(n, dtype=np.uint64)
     stack_slot = np.empty(n, dtype=np.int64)
-    frontiers: list[tuple[int, int]] = []
+    frontiers: list[tuple[int, int, np.ndarray]] = []  # (start, end, slot cache)
     stacked = 0
 
+    # Peel rounds number O(hundreds) with a long small-frontier tail, so the
+    # candidate set is tracked incrementally: after a round's removals, only
+    # slots touched by those removals can have become singletons — a full
+    # count==1 rescan per round would cost rounds x capacity.
     cand = np.nonzero(count == 1)[0]
     while cand.size:
         h = hxor[cand]
@@ -193,21 +197,21 @@ def _peel_and_assign(hashes: np.ndarray, slots_fn, capacity: int, dtype):
         m = len(uh)
         stack_hash[stacked:stacked + m] = uh
         stack_slot[stacked:stacked + m] = sl
-        frontiers.append((stacked, stacked + m))
         stacked += m
         g = slots_fn(uh)
+        frontiers.append((stacked - m, stacked, g))
         for lane in range(arity):
             np.add.at(count, g[lane], -1)
             np.bitwise_xor.at(hxor, g[lane], uh)
-        cand = np.nonzero(count == 1)[0]
+        touched = g.reshape(-1)
+        cand = np.unique(touched[count[touched] == 1])
 
     if stacked != n:
         return None
 
     fp = np.zeros(capacity, dtype=dtype)
-    for start, end in reversed(frontiers):
+    for start, end, g in reversed(frontiers):
         h = stack_hash[start:end]
-        g = slots_fn(h)
         acc = fingerprint64(h).astype(dtype)
         for lane in range(arity):
             acc = acc ^ fp[g[lane]]
