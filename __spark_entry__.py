@@ -239,6 +239,33 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog count-distinct over events.user_id (north_rule
+    sketch family; rows-only check — pytest asserts the 1.04/sqrt(m) bound)."""
+    from sparkfuse.sketches import build_hll
+
+    events = _t(spark, sf_dir, "events")
+    hll = build_hll(events.select(F.col("user_id").alias("key")))
+    return spark.createDataFrame(
+        [(int(round(hll.estimate())), hll.params.m)], "estimate long, m long"
+    )
+
+
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Count-Min point estimates for users 0..9 (rows-only check;
+    pytest asserts the eps*N overcount bound and never-undercount)."""
+    from sparkfuse.sketches import build_cms
+
+    events = _t(spark, sf_dir, "events")
+    cms = build_cms(events.select(F.col("user_id").alias("key")))
+    import numpy as np
+
+    est = cms.query(np.arange(10, dtype=np.uint64))
+    return spark.createDataFrame(
+        [(i, int(est[i])) for i in range(10)], "user_id long, est_events long"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuse8_members": q_fuse8_members,
     "fuse16_members": q_fuse16_members,
@@ -259,6 +286,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_candidates": q_minhash_lsh,
     "simhash_fingerprints": q_simhash,
     "ann_lsh_topk": q_ann_topk,
+    "hll_distinct_users": q_hll_distinct_users,
+    "cms_user_counts": q_cms_user_counts,
 }
 
 

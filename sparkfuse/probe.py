@@ -43,7 +43,13 @@ def approx_contains_udf(forest: Forest, spark=None):
         def probe(keys: pd.Series) -> pd.Series:
             return pd.Series(forest.contains_np(keys.to_numpy()))
 
-    return probe
+    # The probe IS deterministic, but marking it so lets Catalyst's
+    # InferFiltersFromConstraints copy the predicate through the
+    # exact-confirm equi-join onto the BUILD side — a wasted full Arrow pass
+    # over the true key set (every member passes by the zero-FN invariant).
+    # asNondeterministic() pins the filter to the probe side where it was
+    # written. (Verified via .explain: see PLANS.md.)
+    return probe.asNondeterministic()
 
 
 def approx_contains(

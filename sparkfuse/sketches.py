@@ -1,0 +1,237 @@
+"""Bonus mergeable sketches (north_rule family: HLL, count-min).
+
+The xor/fuse forest is a *static* membership structure (no merge of two
+filters exists in the reference — SURVEY.md §1.1); these sketches are the
+contrast case the north_rule names: true mergeable aggregation states with
+associative, commutative merge (HLL: register-wise max; CMS: cell-wise add),
+so they compose as partial-aggregate → tree-merge with no keyed shuffle at
+all — the same plan shape as the Bloom baseline (sparkfuse.bloom).
+
+Both are from scratch on numpy over Arrow batches; published error bounds:
+  HLL  : relative std error 1.04 / sqrt(m) on count-distinct
+  CMS  : point overcount <= eps * N with prob 1 - delta,
+         eps = e / width, delta = e^-depth
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+from sparkfuse.hashing import murmur64, to_u64
+
+_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("bucket", IntegerType(), False),
+        StructField("state", BinaryType(), False),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (dense, numpy registers)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class HllParams:
+    p: int = 14  # 2^14 = 16384 registers, ~0.8% std error
+
+    @property
+    def m(self) -> int:
+        return 1 << self.p
+
+
+class HyperLogLog:
+    """Dense HLL over u64 keys. Merge = elementwise register max."""
+
+    def __init__(self, params: HllParams = HllParams(), registers: np.ndarray | None = None):
+        self.params = params
+        self.registers = (
+            registers if registers is not None else np.zeros(params.m, dtype=np.uint8)
+        )
+
+    def add(self, keys: np.ndarray) -> None:
+        h = murmur64(to_u64(np.asarray(keys)))
+        p = self.params.p
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)  # remaining 64-p bits at the top
+        # rank = leading zeros of `rest` + 1, capped at 64-p+1 (rest==0)
+        lz = np.full(len(h), 64 - p, dtype=np.uint8)
+        nz = rest != 0
+        # count leading zeros via float64 exponent trick is lossy; use
+        # bit-length: lz = 64 - bit_length(rest)
+        bl = np.zeros(len(h), dtype=np.uint8)
+        r = rest[nz]
+        # bit_length via log2 is unsafe at 2^53; do it in halves
+        hi = (r >> np.uint64(32)).astype(np.uint32)
+        lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        bl_hi = np.where(hi != 0, 32 + _bit_length32(hi), _bit_length32(lo))
+        bl[nz] = bl_hi.astype(np.uint8)
+        lz[nz] = (64 - bl[nz]).astype(np.uint8)
+        rank = (lz + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.params == other.params
+        return HyperLogLog(self.params, np.maximum(self.registers, other.registers))
+
+    def estimate(self) -> float:
+        m = self.params.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * math.log(m / zeros)  # linear counting for small n
+        return float(e)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, params: HllParams, data: bytes) -> "HyperLogLog":
+        return cls(params, np.frombuffer(data, dtype=np.uint8).copy())
+
+    @property
+    def relative_std_error(self) -> float:
+        return 1.04 / math.sqrt(self.params.m)
+
+
+def _bit_length32(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint32 (exact: float64 holds 32-bit ints)."""
+    out = np.zeros(len(x), dtype=np.int64)
+    nz = x != 0
+    out[nz] = np.floor(np.log2(x[nz].astype(np.float64))).astype(np.int64) + 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CmsParams:
+    depth: int = 5
+    width: int = 1 << 16
+    seed: int = 0xC0FFEE
+
+    @property
+    def eps(self) -> float:
+        return math.e / self.width
+
+    @property
+    def delta(self) -> float:
+        return math.exp(-self.depth)
+
+
+class CountMin:
+    """Count-min sketch over u64 keys. Merge = elementwise add."""
+
+    def __init__(self, params: CmsParams = CmsParams(), table: np.ndarray | None = None):
+        self.params = params
+        self.table = (
+            table
+            if table is not None
+            else np.zeros((params.depth, params.width), dtype=np.int64)
+        )
+
+    def _cols(self, keys: np.ndarray) -> np.ndarray:
+        p = self.params
+        h = murmur64(to_u64(np.asarray(keys)) + np.uint64(p.seed))
+        out = np.empty((p.depth, len(h)), dtype=np.int64)
+        cur = h
+        for d in range(p.depth):
+            out[d] = (cur % np.uint64(p.width)).astype(np.int64)
+            cur = murmur64(cur ^ np.uint64(d + 1))
+        return out
+
+    def add(self, keys: np.ndarray, counts: np.ndarray | None = None) -> None:
+        cols = self._cols(keys)
+        w = np.ones(cols.shape[1], dtype=np.int64) if counts is None else np.asarray(counts, dtype=np.int64)
+        for d in range(self.params.depth):
+            np.add.at(self.table[d], cols[d], w)
+
+    def query(self, keys: np.ndarray) -> np.ndarray:
+        cols = self._cols(keys)
+        est = self.table[0][cols[0]]
+        for d in range(1, self.params.depth):
+            est = np.minimum(est, self.table[d][cols[d]])
+        return est
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        assert self.params == other.params
+        return CountMin(self.params, self.table + other.table)
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, params: CmsParams, data: bytes) -> "CountMin":
+        t = np.frombuffer(data, dtype=np.int64).reshape(params.depth, params.width)
+        return cls(params, t.copy())
+
+
+# ---------------------------------------------------------------------------
+# distributed builds (partial per batch -> tree merge), Bloom-style
+# ---------------------------------------------------------------------------
+
+def _tree_build(keys_df: DataFrame, key_name: str, make, add, merge, to_bytes, from_bytes, fanout: int = 16):
+    keys_df = keys_df.select(F.col(key_name).alias("key"))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state = make()
+        saw = False
+        for pdf in batches:
+            if len(pdf):
+                saw = True
+                add(state, pdf["key"].to_numpy())
+        if saw:
+            b = to_bytes(state)
+            yield pd.DataFrame({"bucket": [hash(b) % fanout], "state": [b]})
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = make()
+        for b in pdf["state"]:
+            acc = merge(acc, from_bytes(bytes(b)))
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])], "state": [to_bytes(acc)]})
+
+    reduced = (
+        keys_df.mapInPandas(partials, _PARTIAL_SCHEMA)
+        .groupBy("bucket")
+        .applyInPandas(reduce_group, _PARTIAL_SCHEMA)
+    )
+    final = make()
+    for row in reduced.collect():
+        final = merge(final, from_bytes(bytes(row["state"])))
+    return final
+
+
+def build_hll(keys_df: DataFrame, key_name: str = "key", params: HllParams = HllParams()) -> HyperLogLog:
+    return _tree_build(
+        keys_df,
+        key_name,
+        make=lambda: HyperLogLog(params),
+        add=lambda s, k: s.add(k),
+        merge=lambda a, b: a.merge(b),
+        to_bytes=lambda s: s.to_bytes(),
+        from_bytes=lambda b: HyperLogLog.from_bytes(params, b),
+    )
+
+
+def build_cms(keys_df: DataFrame, key_name: str = "key", params: CmsParams = CmsParams()) -> CountMin:
+    return _tree_build(
+        keys_df,
+        key_name,
+        make=lambda: CountMin(params),
+        add=lambda s, k: s.add(k),
+        merge=lambda a, b: a.merge(b),
+        to_bytes=lambda s: s.to_bytes(),
+        from_bytes=lambda b: CountMin.from_bytes(params, b),
+    )

@@ -1,0 +1,136 @@
+"""Incremental forest maintenance with Structured Streaming.
+
+The reference has no streaming concepts — a filter is immutable and cannot
+absorb inserts (/root/reference/README.md:50, SURVEY.md §1.1). The natural
+streaming extension of the forest model is therefore **epoch append**: each
+micro-batch builds filters over ITS OWN new keys and appends them as new
+forest rows tagged with the batch epoch; nothing is ever rewritten. A key is
+"in the stream so far" iff any epoch's filter for its shard says so — the
+same union-of-immutable-filters merge rule the batch forest uses, so batch
+and streaming forests share one probe path (``Forest`` ORs all filters that
+share a shard).
+
+Cost model at scale: probing k epochs costs k gathers; compaction = read the
+deduped keys of many epochs, rebuild one filter, atomically replace (the
+determinism of builds makes replacement verifiable by content hash). Run
+``compact_forest`` on a cadence that bounds epoch count.
+
+Plan shape per micro-batch (foreachBatch):
+
+    micro-batch df → xxhash64 keys (codegen) → groupBy(shard)
+    → applyInPandas(build kernel) → append to forest parquet sink
+
+foreachBatch (not a custom streaming sink) is the idiomatic choice: the
+build is a batch aggregation per epoch, and the parquet append is atomic per
+task with exactly-once via the streaming checkpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkfuse.forest import Forest, build_forest, write_forest
+
+
+def forest_append_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    path: str,
+    key_cols: list[str],
+    **build_kwargs,
+) -> None:
+    """foreachBatch body: build this epoch's shard filters and append them.
+
+    The epoch id is recorded by reusing the ``shard`` column's high bits:
+    shard' = epoch * 2^shard_bits + shard, so rows stay unique per
+    (epoch, shard) and the plain parquet sink needs no upsert.
+    """
+    shard_bits = build_kwargs.get("shard_bits", 0)
+    keys = batch_df.select(F.xxhash64(*key_cols).alias("key"))
+    if keys.isEmpty():
+        return
+    forest_df = build_forest(keys, **build_kwargs)
+    tagged = forest_df.withColumn(
+        "shard",
+        (F.lit(int(epoch_id)) * (1 << shard_bits) + F.col("shard")).cast("long"),
+    )
+    write_forest(tagged, path, mode="append")
+
+
+def stream_forest(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    trigger_available_now: bool = True,
+    **build_kwargs,
+):
+    """Wire a streaming DataFrame into epoch-appended forest maintenance.
+
+    Returns the StreamingQuery. Exactly-once: the streaming checkpoint
+    replays a failed epoch, and the deterministic build writes identical
+    rows, so a replayed append is a harmless duplicate (same content hash;
+    readers drop exact dups)."""
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        forest_append_batch(df, epoch_id, path, key_cols, **build_kwargs)
+
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+class EpochForest:
+    """Probe handle over an epoch-appended forest: a key may be present in
+    ANY epoch, so contains = OR over the epoch filters of the key's shard."""
+
+    def __init__(self, rows, shard_bits: int):
+        import numpy as np
+
+        self.shard_bits = shard_bits
+        self.epochs: dict[int, Forest] = {}
+        by_epoch: dict[int, list] = {}
+        mod = 1 << shard_bits
+        for r in rows:
+            d = r.asDict() if hasattr(r, "asDict") else dict(r)
+            epoch = d["shard"] >> shard_bits
+            d = dict(d)
+            d["shard"] = d["shard"] % mod
+            by_epoch.setdefault(epoch, []).append(d)
+        for epoch, rs in by_epoch.items():
+            self.epochs[epoch] = Forest(rs)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, shard_bits: int) -> "EpochForest":
+        return cls(spark.read.parquet(path).collect(), shard_bits)
+
+    def contains_np(self, keys_i64):
+        import numpy as np
+
+        out = np.zeros(len(keys_i64), dtype=bool)
+        for forest in self.epochs.values():
+            out |= forest.contains_np(keys_i64)
+        return out
+
+    @property
+    def n_epochs(self) -> int:
+        return len(self.epochs)
+
+
+def compact_forest(
+    spark: SparkSession,
+    keys_df: DataFrame,
+    path: str,
+    compacted_path: str,
+    **build_kwargs,
+) -> DataFrame:
+    """Rebuild one filter-set over the full (deduped) key set and write it to
+    ``compacted_path`` — the epoch-bounding maintenance step. Deterministic,
+    so re-running compaction is idempotent (identical content hashes)."""
+    forest_df = build_forest(keys_df, **build_kwargs)
+    write_forest(forest_df, compacted_path, mode="overwrite")
+    return spark.read.parquet(compacted_path)

@@ -1,0 +1,116 @@
+"""HLL / Count-Min: error bounds, merge associativity, distributed == local."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sparkfuse.sketches import (
+    CmsParams,
+    CountMin,
+    HllParams,
+    HyperLogLog,
+    build_cms,
+    build_hll,
+)
+
+
+def rand_keys(n, seed):
+    return np.random.default_rng(seed).integers(0, 2**63, n, dtype=np.int64).view(np.uint64)
+
+
+def test_hll_accuracy_within_bound():
+    for n in (10_000, 1_000_000):
+        keys = rand_keys(n, n)
+        h = HyperLogLog()
+        h.add(keys)
+        est = h.estimate()
+        rel = abs(est - n) / n
+        assert rel < 4 * h.relative_std_error, (n, est, rel)
+
+
+def test_hll_merge_associative_and_equivalent():
+    a, b, c = (rand_keys(50_000, s) for s in (1, 2, 3))
+    ha, hb, hc = HyperLogLog(), HyperLogLog(), HyperLogLog()
+    ha.add(a), hb.add(b), hc.add(c)
+    left = ha.merge(hb).merge(hc)
+    right = ha.merge(hb.merge(hc))
+    assert np.array_equal(left.registers, right.registers)
+    whole = HyperLogLog()
+    whole.add(np.concatenate([a, b, c]))
+    assert np.array_equal(left.registers, whole.registers)
+
+
+def test_hll_small_range_linear_counting():
+    keys = rand_keys(100, 9)
+    h = HyperLogLog()
+    h.add(keys)
+    assert abs(h.estimate() - 100) <= 3
+
+
+def test_cms_point_queries_within_bound():
+    # zipf-ish: key i appears ~ n/(i+1) times
+    reps = (200_000 / (np.arange(200) + 1)).astype(np.int64)
+    keys = np.repeat(np.arange(200, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15), reps)
+    cms = CountMin()
+    cms.add(keys)
+    q = np.arange(200, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    est = cms.query(q)
+    n_total = int(reps.sum())
+    assert (est >= reps).all()  # never undercounts
+    assert (est - reps <= CmsParams().eps * n_total * 3).all()
+    # top-1 is essentially exact
+    assert est[0] == reps[0]
+
+
+def test_cms_merge_equivalent():
+    a, b = rand_keys(30_000, 4), rand_keys(30_000, 5)
+    ca, cb = CountMin(), CountMin()
+    ca.add(a), cb.add(b)
+    merged = ca.merge(cb)
+    whole = CountMin()
+    whole.add(np.concatenate([a, b]))
+    assert np.array_equal(merged.table, whole.table)
+
+
+def test_distributed_hll_equals_local(spark):
+    n = 100_000
+    df = spark.range(n).select(F.xxhash64("id").alias("key")).repartition(8)
+    dist = build_hll(df)
+    local = HyperLogLog()
+    local.add(np.array([r["key"] for r in df.collect()], dtype=np.int64))
+    assert np.array_equal(dist.registers, local.registers)
+    assert abs(dist.estimate() - n) / n < 0.05
+
+
+def test_distributed_cms_equals_local(spark):
+    df = spark.range(50_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("key")
+    ).repartition(8)
+    dist = build_cms(df)
+    local = CountMin()
+    local.add(np.array([r["key"] for r in df.collect()], dtype=np.int64))
+    assert np.array_equal(dist.table, local.table)
+
+
+def test_entry_hll_cms_against_exact(spark):
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.01"
+    est = m.queries()["hll_distinct_users"](spark, sf).first()["estimate"]
+    exact = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert abs(est - exact) / exact < 0.05  # linear-counting regime, near-exact
+
+    cms_rows = {r["user_id"]: r["est_events"]
+                for r in m.queries()["cms_user_counts"](spark, sf).collect()}
+    truth = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(truth.values())
+    for uid, est_n in cms_rows.items():
+        t = truth.get(uid, 0)
+        assert est_n >= t
+        assert est_n - t <= CmsParams().eps * n_total * 3
