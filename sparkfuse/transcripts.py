@@ -1,0 +1,133 @@
+"""Product-level transcript pipelines (BASELINE.json north_star surface).
+
+Input shape (input_hint): a table of multi-turn conversation / agent
+transcripts — (conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp) — Iceberg or parquet (sparkfuse.sources).
+
+Key specs (SURVEY.md §1.3): a filter is built over a *key spec*, a named
+projection of the transcript into u64 keys:
+
+  conv      — xxhash64(conv_id)          : conversation membership
+  text      — xxhash64(text)             : deduped-text membership
+  turn      — xxhash64(conv_id, turn_idx): exact-turn membership
+  turn_text — xxhash64(conv_id, turn_idx, text): per-turn text-equality
+              (the per-row invariant vs the reference: per-turn text
+              equality under stable turn ordering)
+
+``probe_turns`` realizes the north_star's query contract: membership as a
+broadcast-filter prescreen returning PER-TURN hits, exact-confirmed by
+semi-join, with ``audit`` wiring the anti-join ground-truth sample check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkfuse.forest import Forest, build_forest
+from sparkfuse.keys import dedup_keys
+from sparkfuse.probe import approx_contains_udf, verify_sample
+
+KEY_SPECS: dict[str, list[str]] = {
+    "conv": ["conv_id"],
+    "text": ["text"],
+    "turn": ["conv_id", "turn_idx"],
+    "turn_text": ["conv_id", "turn_idx", "text"],
+}
+
+
+def transcript_key(spec: str) -> Column:
+    try:
+        cols = KEY_SPECS[spec]
+    except KeyError:
+        raise ValueError(f"unknown key spec {spec!r}; one of {sorted(KEY_SPECS)}")
+    return F.xxhash64(*cols)
+
+
+def build_transcript_filter(
+    transcripts: DataFrame,
+    spec: str = "text",
+    kind: str = "fuse",
+    width: int = 8,
+    shard_bits: int | None = None,
+    pre_dedup: bool = True,
+) -> Forest:
+    """Build a membership forest over a transcript key spec.
+
+    pre_dedup defaults ON here (unlike raw build_forest): transcript text is
+    duplicate-heavy (boilerplate turns), so shrinking the shard shuffle via
+    map-side dedup wins; the partial aggregate also absorbs hot-conv_id skew
+    (PLANS.md §3).
+    """
+    keys = transcripts.select(transcript_key(spec).alias("key"))
+    if pre_dedup:
+        keys = dedup_keys(keys)
+    return Forest.from_df(
+        build_forest(
+            keys, kind=kind, width=width, shard_bits=shard_bits, pre_dedup=False
+        )
+    )
+
+
+def probe_turns(
+    transcripts: DataFrame,
+    forest: Forest,
+    spec: str,
+    build_side: DataFrame | None = None,
+    spark=None,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-turn membership hits: every transcript row whose key-spec value is
+    in the filter, with the full turn payload attached.
+
+    exact=True (requires build_side, the transcript table the filter was
+    built from): prescreen survivors are confirmed against the true key set
+    via broadcast semi-join — exact results, oracle-checkable. exact=False:
+    approximate hits only (zero FN, <=fpp extra rows) — no second table
+    scan, the mode for cheap pre-filtering before an expensive join.
+    """
+    key = transcript_key(spec)
+    pre = transcripts.filter(approx_contains_udf(forest, spark)(key))
+    if not exact:
+        return pre
+    if build_side is None:
+        raise ValueError("exact=True needs build_side for the confirm join")
+    truth = build_side.select(transcript_key(spec).alias("_k")).dropDuplicates()
+    return (
+        pre.withColumn("_k", key)
+        .join(truth, "_k", "left_semi")
+        .drop("_k")
+    )
+
+
+def audit_filter(
+    transcripts: DataFrame,
+    forest: Forest,
+    spec: str,
+    build_side: DataFrame,
+    spark=None,
+    fraction: float = 0.05,
+) -> dict:
+    """North_star's 'verified against exact anti-join ground truth on a
+    sample': returns {n, false_negatives (must be 0), false_positives, fpp}."""
+    key = transcript_key(spec)
+    probe_df = transcripts.select(key.alias("key"))
+    build_df = build_side.select(key.alias("key"))
+    return verify_sample(
+        probe_df, "key", build_df, "key", forest, spark, fraction=fraction
+    )
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation rollup (stable-turn-ordering invariant surface):
+    n_turns, distinct roles, first/last ts, and a conversation content hash
+    that is ORDER-INDEPENDENT-safe: bit_xor over per-turn hashes keyed by
+    (conv_id, turn_idx, text), so any per-turn text change or reorder of
+    turn_idx assignment changes it."""
+    return transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.countDistinct("role").alias("n_roles"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").alias("content_hash"),
+    )

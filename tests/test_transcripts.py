@@ -1,0 +1,107 @@
+"""Transcript product API + spark-submit job smoke (north_star surface)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfuse.synth import synth_transcripts
+from sparkfuse.transcripts import (
+    audit_filter,
+    build_transcript_filter,
+    conversation_stats,
+    probe_turns,
+)
+
+
+@pytest.fixture(scope="module")
+def tr(spark):
+    df = synth_transcripts(spark, 5_000).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_text_filter_per_turn_hits_exact(spark, tr):
+    forest = build_transcript_filter(tr, spec="text", shard_bits=2)
+    # probe the SAME table: every turn is a hit, payload intact
+    hits = probe_turns(tr, forest, "text", build_side=tr, spark=spark)
+    assert hits.count() == tr.count()
+    assert set(hits.columns) == set(tr.columns)
+    # probe disjoint texts: approximate mode keeps <= fpp extras
+    other = tr.withColumn("text", F.concat(F.col("text"), F.lit("-nope")))
+    approx = probe_turns(other, forest, "text", spark=spark, exact=False)
+    assert approx.count() / tr.count() < 0.02
+    # and exact mode removes them all
+    exact = probe_turns(other, forest, "text", build_side=tr, spark=spark)
+    assert exact.count() == 0
+
+
+def test_conv_filter_membership(spark, tr):
+    half = tr.filter(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+    forest = build_transcript_filter(half, spec="conv", shard_bits=1)
+    hits = probe_turns(tr, forest, "conv", build_side=half, spark=spark)
+    want = tr.join(half.select("conv_id").dropDuplicates(), "conv_id", "left_semi")
+    assert hits.count() == want.count()
+
+
+def test_audit_zero_false_negatives(spark, tr):
+    forest = build_transcript_filter(tr, spec="turn_text", shard_bits=2)
+    stats = audit_filter(tr, forest, "turn_text", tr, spark, fraction=1.0)
+    assert stats["false_negatives"] == 0
+
+
+def test_conversation_stats_invariant(spark, tr):
+    stats = conversation_stats(tr)
+    row = stats.orderBy(F.desc("n_turns")).first()
+    assert row["n_turns"] >= 1 and row["n_roles"] >= 1
+    # content hash reacts to any per-turn text change
+    changed = tr.withColumn(
+        "text",
+        F.when(F.col("turn_idx") == 0, F.concat(F.col("text"), F.lit("!"))).otherwise(
+            F.col("text")
+        ),
+    )
+    a = {r["conv_id"]: r["content_hash"] for r in stats.collect()}
+    b = {r["conv_id"]: r["content_hash"] for r in conversation_stats(changed).collect()}
+    assert all(a[c] != b[c] for c in a)
+
+
+def test_spark_submit_job_and_resume(spark, tr, tmp_path):
+    """Run the real spark-submit entry point (north_rule run mode), then
+    re-run with --resume: idempotent completion, identical forest."""
+    src = str(tmp_path / "transcripts")
+    tr.write.parquet(src)
+    out = str(tmp_path / "forest")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark_submit = os.path.join(
+        os.path.dirname(os.path.dirname(sys.executable)), "bin", "spark-submit"
+    )
+    if not os.path.exists(spark_submit):
+        import shutil
+
+        spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not found"
+    cmd = [
+        spark_submit,
+        "--master", "local[4]",
+        "--py-files", f"{repo}/sparkfuse",
+        f"{repo}/jobs/build_forest_job.py",
+        "--input", src, "--output", out,
+        "--spec", "text", "--shard-bits", "2", "--resume",
+    ]
+    env = dict(os.environ, PYTHONPATH=repo)
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    line = [l for l in r1.stdout.splitlines() if l.startswith("{")][-1]
+    report = json.loads(line)
+    assert report["n_shards"] == 4
+    # resume run: nothing to rebuild, forest unchanged
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 4  # no duplicate shards appended
