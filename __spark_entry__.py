@@ -266,6 +266,19 @@ def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantiles of o_totalprice (rows-only check;
+    pytest asserts rank error < 1% vs exact)."""
+    from sparkfuse.tdigest import build_tdigest
+
+    orders = _t(spark, sf_dir, "orders")
+    td = build_tdigest(orders.select(F.col("o_totalprice").alias("value")))
+    qs = [0.1, 0.5, 0.9, 0.99]
+    return spark.createDataFrame(
+        [(q, float(td.quantile(q))) for q in qs], "q double, est double"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuse8_members": q_fuse8_members,
     "fuse16_members": q_fuse16_members,
@@ -288,6 +301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_topk,
     "hll_distinct_users": q_hll_distinct_users,
     "cms_user_counts": q_cms_user_counts,
+    "tdigest_price_quantiles": q_tdigest_price_quantiles,
 }
 
 

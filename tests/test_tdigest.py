@@ -1,0 +1,95 @@
+"""t-digest: rank-error bounds, tail accuracy, merge equivalence, distributed."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sparkfuse.tdigest import TDigest, TDigestParams, build_tdigest
+
+
+def rank_error(td, values, q):
+    # with ties, any point estimate covers the CDF interval
+    # [(values < est), (values <= est)]; error is distance of q to it
+    est = td.quantile(q)
+    lo = (values < est).mean()
+    hi = (values <= est).mean()
+    return max(0.0, q - hi, lo - q)
+
+
+def test_accuracy_normal_and_skewed():
+    rng = np.random.default_rng(0)
+    for values in (rng.standard_normal(200_000),
+                   rng.lognormal(0, 2, 200_000),
+                   np.repeat([1.0, 2.0, 5.0], 50_000)):
+        td = TDigest()
+        td.add(values)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            assert rank_error(td, values, q) < 0.01, q
+        # tails are tighter than the middle
+        assert rank_error(td, values, 0.999) < 0.002
+
+
+def test_exact_extremes():
+    v = np.random.default_rng(1).uniform(-5, 5, 50_000)
+    td = TDigest()
+    td.add(v)
+    assert td.quantile(0.0) == v.min()
+    assert td.quantile(1.0) == v.max()
+
+
+def test_merge_accuracy_and_weight_conservation():
+    rng = np.random.default_rng(2)
+    parts = [rng.standard_normal(60_000) + i for i in range(4)]
+    digests = []
+    for p in parts:
+        td = TDigest()
+        td.add(p)
+        digests.append(td)
+    merged = digests[0]
+    for d in digests[1:]:
+        merged = merged.merge(d)
+    allv = np.concatenate(parts)
+    assert merged.n == len(allv)
+    for q in (0.05, 0.5, 0.95):
+        assert rank_error(merged, allv, q) < 0.015, q
+
+
+def test_serialization_roundtrip():
+    td = TDigest()
+    td.add(np.arange(10_000, dtype=float))
+    g = TDigest.from_bytes(TDigestParams(), td.to_bytes())
+    assert g.quantile(0.5) == td.quantile(0.5)
+    assert g.n == td.n
+
+
+def test_compression_bounds_centroids():
+    td = TDigest(TDigestParams(delta=100))
+    td.add(np.random.default_rng(3).standard_normal(500_000))
+    assert len(td.means) < 2.5 * 100
+
+
+def test_distributed_tdigest(spark):
+    df = spark.range(200_000).select(
+        (F.randn(seed=42) * 10 + 100).alias("value")
+    ).repartition(8).cache()
+    td = build_tdigest(df, "value")
+    values = np.array([r["value"] for r in df.collect()])
+    assert td.n == len(values)
+    for q in (0.1, 0.5, 0.9):
+        assert rank_error(td, values, q) < 0.015, q
+    df.unpersist()
+
+
+def test_entry_tdigest_against_exact(spark):
+    import __spark_entry__ as m
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["q"]: r["est"] for r in
+            m.queries()["tdigest_price_quantiles"](spark, sf).collect()}
+    prices = np.array([
+        r["o_totalprice"]
+        for r in spark.read.parquet(f"{sf}/orders.parquet").collect()
+    ])
+    for q, est in rows.items():
+        lo = (prices < est).mean()
+        hi = (prices <= est).mean()
+        assert max(0.0, q - hi, lo - q) < 0.01, (q, est)
