@@ -279,6 +279,19 @@ def q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantiles of events.value (rows-only; pytest asserts
+    the O(1/k) rank-error bound vs exact)."""
+    from sparkfuse.kll import build_kll
+
+    events = _t(spark, sf_dir, "events")
+    s = build_kll(events.select(F.col("value")), "value")
+    qs = [0.1, 0.5, 0.9]
+    return spark.createDataFrame(
+        [(q, float(s.quantile(q))) for q in qs], "q double, est double"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuse8_members": q_fuse8_members,
     "fuse16_members": q_fuse16_members,
@@ -302,6 +315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct_users": q_hll_distinct_users,
     "cms_user_counts": q_cms_user_counts,
     "tdigest_price_quantiles": q_tdigest_price_quantiles,
+    "kll_event_values": q_kll_event_values,
 }
 
 

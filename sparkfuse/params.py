@@ -56,10 +56,15 @@ def calculate_segment_length(arity: int, size: int) -> int:
     if size == 0:
         return 4
     if arity == 3:
-        return 1 << int(math.floor(math.log(size) / math.log(3.33) + 2.25))
-    if arity == 4:
-        return 1 << int(math.floor(math.log(size) / math.log(2.91) - 0.5))
-    return 65536
+        exp = int(math.floor(math.log(size) / math.log(3.33) + 2.25))
+    elif arity == 4:
+        # the reference's 4-wise formula (binaryfusefilter.go:398) goes
+        # negative for size <= 2 (unreachable there, reachable here) —
+        # clamp to the size==0 default of 4
+        exp = int(math.floor(math.log(size) / math.log(2.91) - 0.5))
+    else:
+        return 65536
+    return 1 << max(exp, 2)
 
 
 def calculate_size_factor(arity: int, size: int) -> float:

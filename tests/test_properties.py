@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis) for the kernel layer — the fuzzing
+layer the reference's fixed-size test grid doesn't have."""
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sparkfuse.kernels import build_fuse, build_xor
+from sparkfuse.serialize import (
+    load_fuse_bytes,
+    load_xor_bytes,
+    save_fuse_bytes,
+    save_xor_bytes,
+)
+
+u64 = st.integers(min_value=0, max_value=2**64 - 1)
+key_lists = st.lists(u64, min_size=0, max_size=400)
+S = settings(max_examples=40, deadline=None,
+             suppress_health_check=[HealthCheck.too_slow])
+
+
+@given(keys=key_lists, width=st.sampled_from([8, 16, 32]),
+       arity=st.sampled_from([3, 4]))
+@S
+def test_fuse_never_false_negative(keys, width, arity):
+    f, iterations = build_fuse(keys, width=width, arity=arity)
+    assert iterations <= 1024
+    if keys:
+        assert f.contains(np.array(keys, dtype=np.uint64)).all()
+
+
+@given(keys=st.lists(u64, min_size=1, max_size=400),
+       width=st.sampled_from([8, 16]))
+@S
+def test_xor_never_false_negative(keys, width):
+    f, _ = build_xor(keys, width=width)
+    assert f.contains(np.array(keys, dtype=np.uint64)).all()
+
+
+@given(keys=key_lists)
+@S
+def test_fuse_serialization_total(keys):
+    f, _ = build_fuse(keys, width=16)
+    g = load_fuse_bytes(save_fuse_bytes(f), width=16)
+    assert np.array_equal(g.fingerprints, f.fingerprints)
+    if keys:
+        assert g.contains(np.array(keys, dtype=np.uint64)).all()
+
+
+@given(keys=st.lists(u64, min_size=1, max_size=300))
+@S
+def test_xor_serialization_total(keys):
+    f, _ = build_xor(keys, width=8)
+    g = load_xor_bytes(save_xor_bytes(f))
+    assert g.contains(np.array(keys, dtype=np.uint64)).all()
+
+
+@given(keys=key_lists)
+@S
+def test_fuse_determinism_property(keys):
+    a, ia = build_fuse(keys, width=8)
+    b, ib = build_fuse(keys, width=8)
+    assert ia == ib and a.seed == b.seed
+    assert np.array_equal(a.fingerprints, b.fingerprints)
+
+
+@given(keys=st.lists(u64, min_size=0, max_size=300),
+       extra=st.lists(u64, min_size=0, max_size=50))
+@S
+def test_fuse_duplicates_irrelevant(keys, extra):
+    """Building over keys+duplicates equals building over the unique set."""
+    dup = keys + keys[: len(keys) // 2] + extra + extra
+    a, _ = build_fuse(dup, width=8)
+    b, _ = build_fuse(list(set(dup)), width=8)
+    assert a.seed == b.seed
+    assert np.array_equal(a.fingerprints, b.fingerprints)
