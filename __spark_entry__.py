@@ -142,6 +142,8 @@ def q_bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     def maybe(keys):
         return pd.Series(bc.value.contains(keys.to_numpy()))
 
+    # keep the prescreen on the probe side only (see PLANS.md §2)
+    maybe = maybe.asNondeterministic()
     pre = customer.filter(maybe(F.col("c_custkey")))
     build_keys = orders.select(F.col("o_custkey").alias("c_custkey")).dropDuplicates()
     return pre.join(build_keys, "c_custkey", "left_semi").select("c_custkey")

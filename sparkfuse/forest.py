@@ -46,7 +46,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from sparkfuse.hashing import to_u64, xxh64_u64
+from sparkfuse.hashing import murmur64, rotl64, to_u64, xxh64_u64
 from sparkfuse.keys import dedup_keys, shard_column
 from sparkfuse.kernels import (
     FuseFilter,
@@ -254,30 +254,85 @@ class Forest:
     def from_df(cls, forest_df: DataFrame) -> "Forest":
         return cls([r.asDict() for r in forest_df.collect()])
 
+    def _packed(self):
+        """Lazily concatenate all shard fingerprint arrays into ONE array
+        plus per-shard parameter vectors, so a probe batch routes with pure
+        gathers — no per-shard loop, no argsort. Slot_global = offset[shard]
+        + slot_local; per-element layout params come from tiny gathers.
+        """
+        if getattr(self, "_pack_cache", None) is not None:
+            return self._pack_cache
+        space = 1 << max(self.shard_bits, 0)
+        offsets = np.full(space, -1, dtype=np.int64)
+        seeds = np.zeros(space, dtype=np.uint64)
+        p1 = np.zeros(space, dtype=np.uint64)  # fuse: scl   | xor: block_len
+        p2 = np.zeros(space, dtype=np.uint32)  # fuse: seg   | xor: unused
+        p3 = np.zeros(space, dtype=np.uint32)  # fuse: mask  | xor: unused
+        fps = []
+        pos = 0
+        for s, f in sorted(self.filters.items()):
+            offsets[s] = pos
+            seeds[s] = np.uint64(f.seed)
+            if self.kind == "fuse":
+                p1[s] = np.uint64(f.segment_count_length)
+                p2[s] = np.uint32(f.segment_length)
+                p3[s] = np.uint32(f.segment_length_mask)
+            else:
+                p1[s] = np.uint64(f.block_length)
+            fps.append(f.fingerprints)
+            pos += len(f.fingerprints)
+        self._pack_cache = (offsets, seeds, p1, p2, p3, np.concatenate(fps))
+        return self._pack_cache
+
     def contains_np(self, keys_i64: np.ndarray) -> np.ndarray:
-        """Vectorized routed probe over an int64-carrier key array."""
+        """Fully-vectorized routed probe over an int64-carrier key array."""
         keys = to_u64(np.asarray(keys_i64))
         out = np.zeros(len(keys), dtype=bool)
+        if len(keys) == 0:
+            return out
         if self.shard_bits <= 0:
             filt = self.filters.get(0)
             if filt is None:
                 return out
             return _probe_one(filt, keys)
+        offsets, seeds, p1, p2, p3, packed = self._packed()
         routed = xxh64_u64(keys) if self.route == "xxh64" else keys
-        shards = routed >> np.uint64(64 - self.shard_bits)
-        # group probe batch by shard; vectorized per present shard
-        order = np.argsort(shards, kind="stable")
-        sorted_shards = shards[order]
-        bounds = np.searchsorted(
-            sorted_shards, np.unique(sorted_shards), side="left"
-        ).tolist() + [len(keys)]
-        uniq = np.unique(sorted_shards)
-        for i, s in enumerate(uniq):
-            filt = self.filters.get(int(s))
-            if filt is None:
-                continue
-            idx = order[bounds[i]:bounds[i + 1]]
-            out[idx] = _probe_one(filt, keys[idx])
+        sh = (routed >> np.uint64(64 - self.shard_bits)).astype(np.int64)
+        off = offsets[sh]
+        valid = off >= 0
+        if not valid.any():
+            return out
+        k = keys[valid]
+        shv = sh[valid]
+        o = off[valid].astype(np.uint64)
+        h = murmur64(k + seeds[shv])  # mixsplit with per-element seed
+        f64 = h ^ (h >> np.uint64(32))
+        if self.kind == "fuse":
+            scl = p1[shv]
+            seg = p2[shv]
+            mask = p3[shv]
+            hi = h >> np.uint64(32)
+            lo = h & np.uint64(0xFFFFFFFF)
+            h0 = ((hi * scl) + ((lo * scl) >> np.uint64(32))) >> np.uint64(32)
+            shifts = (18, 0) if self.arity == 3 else (36, 18, 0)
+            h0_32 = h0.astype(np.uint32)
+            acc = f64.astype(packed.dtype) ^ packed[o + h0]
+            for lane, shf in enumerate(shifts, start=1):
+                sl = (h >> np.uint64(shf)).astype(np.uint32) & mask
+                loc = (h0_32 + np.uint32(lane) * seg) ^ sl
+                acc ^= packed[o + loc]
+            out[valid] = acc == 0
+        else:
+            blk = p1[shv]
+            r0 = ((h & np.uint64(0xFFFFFFFF)) * blk) >> np.uint64(32)
+            r1 = ((rotl64(h, 21) & np.uint64(0xFFFFFFFF)) * blk) >> np.uint64(32)
+            r2 = ((rotl64(h, 42) & np.uint64(0xFFFFFFFF)) * blk) >> np.uint64(32)
+            got = (
+                packed[o + r0]
+                ^ packed[o + blk + r1]
+                ^ packed[o + np.uint64(2) * blk + r2]
+            )
+            out[valid] = f64.astype(packed.dtype) == got
         return out
 
     def bits_per_entry(self) -> float:
