@@ -38,26 +38,6 @@ def _timed(fn):
     return time.perf_counter() - t0, out
 
 
-def build_and_probe(spark, sf_dir: str, shard_bits: int = 4):
-    """The scaling-benchmark job: hash 2 columns of lineitem to keys,
-    build a sharded fuse8 forest, then probe 10M keys through the
-    broadcast-filter column path. Returns (n_keys, build_sec, n_probes,
-    probe_sec)."""
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    keys = extract_keys(lineitem, "l_orderkey", "l_linenumber")
-    t_build, forest = _timed(
-        lambda: Forest.from_df(build_forest(keys, kind="fuse", width=8,
-                                            shard_bits=shard_bits))
-    )
-    n_probes = 10_000_000
-    probes = spark.range(n_probes).select(F.xxhash64("id").alias("key"))
-    probe_udf = approx_contains_udf(forest, spark)
-    t_probe, n_hits = _timed(
-        lambda: probes.filter(probe_udf(F.col("key"))).count()
-    )
-    return forest.nkeys, t_build, n_probes, t_probe, n_hits
-
-
 def main_bench():
     spark = get_spark("sparkfuse-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")

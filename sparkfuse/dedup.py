@@ -45,14 +45,18 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingles_col(text_col: str, k: int = 3):
     """Distinct word k-gram shingles, built JVM-side: slide a window over the
-    token array with transform + slice + concat_ws."""
+    token array with transform + slice + concat_ws.
+
+    Documents with fewer than k tokens have NO k-shingles (empty array) —
+    guarded explicitly because ``sequence(1, 0)`` in Spark steps DOWNWARD
+    (yielding [1, 0]) and ``slice(toks, 0, k)`` throws.
+    """
     toks = tokens_col(text_col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
-    gram = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
-    )
-    return F.array_distinct(gram)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    empty = F.array().cast("array<string>")
+    return F.when(n >= k, F.array_distinct(gram)).otherwise(empty)
 
 
 def ngram_jaccard_pairs(
@@ -75,9 +79,12 @@ def ngram_jaccard_pairs(
     can be missed, so it is off by default (exactness first, opt-in at
     scale).
     """
+    # no .cache(): the shingle projection is pure codegen over the scan, and
+    # pinning shingle arrays (larger than the text) in executor storage for
+    # the app lifetime is worse than recomputing them in each join branch
     sh = df.select(
         F.col(id_col).alias("_id"), shingles_col(text_col, k).alias("_sh")
-    ).cache()
+    )
     inv = sh.select("_id", F.explode("_sh").alias("_g"))
     if df_cutoff is not None:
         freq = inv.groupBy("_g").agg(F.count("*").alias("_df"))
@@ -99,8 +106,10 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = F.size("_sha") + F.size("_shb") - inter
     p, q = threshold.numerator, threshold.denominator
+    # inter > 0 is guaranteed by the inverted-index candidates, but kept as
+    # an explicit guard so 0/0 pairs (both shingle-less) can never match
     return (
-        pairs.filter(inter * q >= union * p)
+        pairs.filter((inter > 0) & (inter * q >= union * p))
         .select("id_a", "id_b")
     )
 

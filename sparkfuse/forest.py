@@ -95,12 +95,26 @@ class ForestSpec:
     route: str = "xxh64"
 
 
-def plan_shard_bits(n_keys: int, target_keys_per_shard: int = DEFAULT_TARGET_KEYS_PER_SHARD) -> int:
+def plan_shard_bits(
+    n_keys: int,
+    target_keys_per_shard: int = DEFAULT_TARGET_KEYS_PER_SHARD,
+    min_shards: int | None = None,
+) -> int:
     """Choose shard_bits so shards hold ~target keys. 10^9 keys → 9 bits
-    (512 shards); 0 bits = single shard for small inputs."""
-    if n_keys <= target_keys_per_shard:
-        return 0
-    return max(1, math.ceil(math.log2(n_keys / target_keys_per_shard)))
+    (512 shards); 0 bits = single shard for small inputs.
+
+    min_shards: floor on parallelism (e.g. executor-core count) so mid-size
+    inputs still fan out — applied only while shards stay ≥ ~64k keys, below
+    which per-task overhead beats the parallelism win.
+    """
+    bits = 0
+    if n_keys > target_keys_per_shard:
+        bits = max(1, math.ceil(math.log2(n_keys / target_keys_per_shard)))
+    if min_shards and min_shards > 1:
+        want = math.ceil(math.log2(min_shards))
+        while bits < want and n_keys >> (bits + 1) >= 65536:
+            bits += 1
+    return bits
 
 
 def _build_one(keys_u64: np.ndarray, spec: ForestSpec):
@@ -156,6 +170,7 @@ def build_forest(
     pre_dedup: bool = False,
     key_name: str = "key",
     route: str = "xxh64",
+    min_shards: int | None = None,
 ) -> DataFrame:
     """Build a filter forest over ``keys_df[key_name]`` (int64 carrier).
 
@@ -170,7 +185,7 @@ def build_forest(
     keys_df = keys_df.select(F.col(key_name).alias("key"))
     if shard_bits is None:
         n_est = keys_df.agg(F.approx_count_distinct("key").alias("n")).first()["n"]
-        shard_bits = plan_shard_bits(n_est, target_keys_per_shard)
+        shard_bits = plan_shard_bits(n_est, target_keys_per_shard, min_shards)
     if pre_dedup:
         keys_df = dedup_keys(keys_df)
     spec = ForestSpec(kind=kind, width=width, arity=arity, shard_bits=shard_bits,
@@ -200,16 +215,35 @@ def build_forest_resumable(
     tests/test_forest_spark.py::test_resume_equals_fresh).
     Requires explicit ``shard_bits`` in build_kwargs so the shard layout is
     stable across runs.
+
+    The done-shard anti-join is applied to the KEYS, below the build kernel —
+    filtering the kernel's *output* rows instead would re-run every shard's
+    construction and discard the results (Catalyst cannot push an anti-join
+    under a Python UDF).
     """
     if "shard_bits" not in build_kwargs:
         raise ValueError("resumable builds require explicit shard_bits")
-    full = build_forest(keys_df, **build_kwargs)
     try:
         done = spark.read.parquet(path).select("shard").dropDuplicates()
     except Exception:
-        write_forest(full, path)
+        write_forest(build_forest(keys_df, **build_kwargs), path)
         return spark.read.parquet(path)
-    missing = full.join(done, on="shard", how="left_anti")
+    kwargs = dict(build_kwargs)
+    shard_bits = kwargs.pop("shard_bits")
+    route = kwargs.pop("route", "xxh64")
+    key_name = kwargs.pop("key_name", "key")
+    kwargs.pop("target_keys_per_shard", None)
+    kwargs.pop("min_shards", None)
+    if kwargs.pop("pre_dedup", False):
+        keys_df = dedup_keys(keys_df, key_name)
+    sharded = keys_df.select(F.col(key_name).alias("key")).withColumn(
+        "shard", shard_column("key", shard_bits, route)
+    )
+    missing_keys = sharded.join(F.broadcast(done), on="shard", how="left_anti")
+    spec = ForestSpec(shard_bits=shard_bits, route=route, **kwargs)
+    missing = missing_keys.groupBy("shard").applyInPandas(
+        _kernel_factory(spec), FOREST_SCHEMA
+    )
     write_forest(missing, path)
     return spark.read.parquet(path)
 

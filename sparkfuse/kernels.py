@@ -223,7 +223,7 @@ def _peel_and_assign(hashes: np.ndarray, slots_fn, capacity: int, dtype):
 # public builds
 # ---------------------------------------------------------------------------
 
-def build_fuse(keys, width: int = 8, arity: int = 3) -> FuseFilter:
+def build_fuse(keys, width: int = 8, arity: int = 3) -> tuple[FuseFilter, int]:
     """Build a binary fuse filter over u64 keys (vectorized).
 
     Semantics mirrored from buildBinaryFuse
@@ -231,6 +231,9 @@ def build_fuse(keys, width: int = 8, arity: int = 3) -> FuseFilter:
     seed schedule from counter 1; segment-length halving/restore heuristic on
     retries for 4 < size < 1e6; duplicate tolerance; empty set succeeds
     (/root/reference/binaryfusefilter_test.go:113-119); MAX_ITERATIONS bound.
+
+    Returns ``(filter, iterations)`` — the iteration count feeds the
+    per-shard lineage column (C12).
     """
     dtype = _dtype_for_width(width)
     ukeys = np.unique(np.asarray(keys, dtype=np.uint64))
@@ -272,12 +275,12 @@ def build_fuse(keys, width: int = 8, arity: int = 3) -> FuseFilter:
     # unreachable
 
 
-def build_xor(keys, width: int = 8):
+def build_xor(keys, width: int = 8) -> tuple[XorFilter, int]:
     """Build an xor filter (vectorized), width 8 ("xor8") or 16 ("xor16").
 
     Mirrors Populate (/root/reference/xorfilter.go:109-280): errors on an
     empty set (:110-113), capacity 32+ceil(1.23n) floored to x3, retries on
-    a deterministic reseed schedule.
+    a deterministic reseed schedule. Returns ``(filter, iterations)``.
     """
     dtype = _dtype_for_width(width, allowed=(8, 16))
     ukeys = np.unique(np.asarray(keys, dtype=np.uint64))

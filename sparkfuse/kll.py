@@ -23,15 +23,12 @@ from __future__ import annotations
 import math
 import struct
 from dataclasses import dataclass
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkfuse.hashing import splitmix64_next
-from sparkfuse.sketches import _PARTIAL_SCHEMA
+from sparkfuse.sketches import _tree_build
 
 _C = 2.0 / 3.0
 
@@ -174,34 +171,16 @@ def build_kll(
     values_df: DataFrame, value_col: str = "value",
     params: KllParams = KllParams(), fanout: int = 16,
 ) -> KLL:
-    """Distributed mergeable KLL (partial per partition → tree merge)."""
+    """Distributed mergeable KLL (partial per partition → tree merge);
+    shares the sketch tree-merge plan in sketches._tree_build."""
     values_df = values_df.select(F.col(value_col).cast("double").alias("value"))
-
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        s = KLL(params)
-        saw = False
-        for pdf in batches:
-            if len(pdf):
-                saw = True
-                s.add(pdf["value"].to_numpy())
-        if saw:
-            b = s.to_bytes()
-            yield pd.DataFrame({"bucket": [hash(b) % fanout], "state": [b]})
-
-    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = KLL(params)
-        for b in pdf["state"]:
-            acc = acc.merge(KLL.from_bytes(params, bytes(b)))
-        return pd.DataFrame(
-            {"bucket": [int(pdf["bucket"].iloc[0])], "state": [acc.to_bytes()]}
-        )
-
-    reduced = (
-        values_df.mapInPandas(partials, _PARTIAL_SCHEMA)
-        .groupBy("bucket")
-        .applyInPandas(reduce_group, _PARTIAL_SCHEMA)
+    return _tree_build(
+        values_df,
+        "value",
+        make=lambda: KLL(params),
+        add=lambda s, v: s.add(v),
+        merge=lambda a, b: a.merge(b),
+        to_bytes=lambda s: s.to_bytes(),
+        from_bytes=lambda b: KLL.from_bytes(params, b),
+        fanout=fanout,
     )
-    final = KLL(params)
-    for row in reduced.collect():
-        final = final.merge(KLL.from_bytes(params, bytes(row["state"])))
-    return final

@@ -45,8 +45,14 @@ def forest_append_batch(
     The epoch id is recorded by reusing the ``shard`` column's high bits:
     shard' = epoch * 2^shard_bits + shard, so rows stay unique per
     (epoch, shard) and the plain parquet sink needs no upsert.
+
+    shard_bits must be EXPLICIT (like resumable builds): if build_forest were
+    left to plan it per micro-batch, the epoch tag arithmetic and the probe
+    routing would disagree across epochs and shard ids would collide.
     """
-    shard_bits = build_kwargs.get("shard_bits", 0)
+    shard_bits = build_kwargs.get("shard_bits")
+    if not isinstance(shard_bits, int):
+        raise ValueError("streaming forest appends require explicit shard_bits")
     keys = batch_df.select(F.xxhash64(*key_cols).alias("key"))
     if keys.isEmpty():
         return

@@ -208,3 +208,14 @@ def test_synth_transcripts_deterministic_and_skewed(spark):
         F.count("*").alias("n"), F.max("turn_idx").alias("mx")
     )
     assert chk.filter(F.col("mx") != F.col("n") - 1).count() == 0
+
+
+def test_plan_shard_bits():
+    from sparkfuse.forest import plan_shard_bits
+
+    assert plan_shard_bits(1_000) == 0
+    assert plan_shard_bits(10**9) == 9  # ~512 shards of ~2M
+    # parallelism floor kicks in only while shards stay >= 64k keys
+    assert plan_shard_bits(1_000_000, min_shards=32) == 3  # 8 shards of 125k
+    assert plan_shard_bits(10_000_000, min_shards=32) == 5
+    assert plan_shard_bits(100_000, min_shards=32) == 0

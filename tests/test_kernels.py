@@ -151,8 +151,10 @@ def test_duplicate_keys_issue30_corpus():
 def test_empty_set_semantics():
     # fuse succeeds on [] (/root/reference/binaryfusefilter_test.go:113-119);
     # xor errors (/root/reference/xorfilter.go:110-113)
-    f, _ = build_fuse([], width=8)
-    assert not f.contains(np.arange(100, dtype=np.uint64)).any() or True  # valid filter
+    f, _ = build_fuse([], width=16)
+    # an all-zero 16-bit filter accepts a key only when its fingerprint
+    # truncates to 0 (~1/65536) — effectively rejects everything
+    assert f.contains(np.arange(10_000, dtype=np.uint64)).mean() < 0.001
     with pytest.raises(ValueError):
         build_xor([], width=8)
 
