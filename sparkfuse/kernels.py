@@ -173,11 +173,13 @@ def _peel_and_assign(hashes: np.ndarray, slots_fn, capacity: int, dtype):
         return np.zeros(capacity, dtype=dtype)
     slots = slots_fn(hashes)  # (arity, n)
     arity = slots.shape[0]
-    # one-pass histogram beats ufunc.at scatter for the counts
-    count = np.bincount(slots.reshape(-1), minlength=capacity).astype(np.int32)
+    # one-pass histogram beats ufunc.at scatter for the counts; a single
+    # fused xor.at call beats one per lane (ufunc.at has ~0.1ms fixed cost,
+    # and the peel makes ~n/2k rounds of small calls — see PLANS.md)
+    flat = slots.reshape(-1)
+    count = np.bincount(flat, minlength=capacity).astype(np.int32)
     hxor = np.zeros(capacity, dtype=np.uint64)
-    for lane in range(arity):
-        np.bitwise_xor.at(hxor, slots[lane], hashes)
+    np.bitwise_xor.at(hxor, flat, np.tile(hashes, arity))
 
     stack_hash = np.empty(n, dtype=np.uint64)
     stack_slot = np.empty(n, dtype=np.int64)
@@ -200,10 +202,9 @@ def _peel_and_assign(hashes: np.ndarray, slots_fn, capacity: int, dtype):
         stacked += m
         g = slots_fn(uh)
         frontiers.append((stacked - m, stacked, g))
-        for lane in range(arity):
-            np.add.at(count, g[lane], -1)
-            np.bitwise_xor.at(hxor, g[lane], uh)
         touched = g.reshape(-1)
+        np.add.at(count, touched, -1)
+        np.bitwise_xor.at(hxor, touched, np.tile(uh, arity))
         cand = np.unique(touched[count[touched] == 1])
 
     if stacked != n:

