@@ -294,6 +294,17 @@ def q_kll_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via IVF (k-means coarse quantizer +
+    bucket-bounded exact rerank; rows-only, recall pytest-verified)."""
+    from sparkfuse.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        list(range(10)), k=5, n_centroids=8, n_probe=3,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuse8_members": q_fuse8_members,
     "fuse16_members": q_fuse16_members,
@@ -318,6 +329,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_user_counts": q_cms_user_counts,
     "tdigest_price_quantiles": q_tdigest_price_quantiles,
     "kll_event_values": q_kll_event_values,
+    "ivf_ann_topk": q_ivf_topk,
 }
 
 

@@ -117,6 +117,105 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_i
 """
 
 
+def kmeans_centroids(
+    df: DataFrame, id_col: str, vec_col: str,
+    n_centroids: int = 16, sample: int = 4096, iters: int = 10, seed: int = 11,
+) -> np.ndarray:
+    """Deterministic coarse quantizer for IVF: Lloyd's k-means on a driver
+    sample (first ``sample`` rows by id — deterministic, no RNG in the
+    sample). Returns (n_centroids, dim) float64."""
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(sample)
+        .collect()
+    )
+    x = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    centroids = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) search: a k-means coarse
+    quantizer buckets the vectors; each query scans only its ``n_probe``
+    nearest buckets, reranked exactly. The classic ANN scale path when the
+    embedding space is clustered (LSH needs no training; IVF adapts to the
+    data distribution). Recall pytest-verified against knn_topk.
+    """
+    centroids = kmeans_centroids(df, id_col, vec_col, n_centroids, seed=seed)
+
+    def assign_kernel(batches):
+        for pdf in batches:
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            d = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"].to_numpy(), "bucket": d.argmin(axis=1)}
+            )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("_id", LongType(), True), StructField("bucket", LongType(), True)]
+    )
+    base = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+    buckets = base.mapInPandas(assign_kernel, schema)
+
+    # query -> its n_probe nearest buckets (tiny; computed on the driver)
+    qrows = base.filter(F.col("_id").isin(list(query_ids))).collect()
+    probe_pairs = []
+    for r in qrows:
+        v = np.asarray(r["_v"], dtype=np.float64)
+        d = ((centroids - v) ** 2).sum(axis=1)
+        for b in np.argsort(d)[:n_probe]:
+            probe_pairs.append((int(r["_id"]), int(b)))
+    spark = df.sparkSession
+    qb = spark.createDataFrame(probe_pairs, "query_id long, bucket long")
+
+    cand = (
+        F.broadcast(qb)
+        .join(buckets, "bucket")
+        .filter(F.col("_id") != F.col("query_id"))
+        .select("query_id", "_id")
+        .dropDuplicates()
+    )
+    vec = with_norm(base, "_v")
+    qv = vec.select(F.col("_id").alias("query_id"), F.col("_v").alias("_vq"),
+                    F.col("_norm").alias("_nq"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(vec, "_id")
+        .withColumn(
+            "score",
+            F.round(cosine(F.col("_vq"), F.col("_v"), F.col("_nq"), F.col("_norm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col("_id").alias("neighbor_id"), "score")
+    )
+
+
 def ann_lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -27,8 +27,10 @@ task with exactly-once via the streaming checkpoint.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
 
 from sparkfuse.forest import Forest, build_forest, write_forest
 
@@ -125,6 +127,72 @@ class EpochForest:
     @property
     def n_epochs(self) -> int:
         return len(self.epochs)
+
+
+def streaming_first_seen(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    state_shards: int = 64,
+):
+    """Streaming EXACT dedup: emit each key's FIRST occurrence only, across
+    micro-batches, via a custom stateful operator (applyInPandasWithState).
+
+    The stream is grouped by a state shard (top bits of xxhash64(key), the
+    same routing rule as the forest) so state is spread over ``state_shards``
+    groups instead of one group per key — per-key grouping would make the
+    state store enormous and the shuffle per-batch O(distinct keys). Each
+    group's state is the set of seen 64-bit hashes (stored as binary);
+    within a batch the kernel also dedups batch-local repeats.
+
+    This is the streaming analog of ``dedup.exact_dedup`` and the stateful
+    complement to the epoch forest (approximate, immutable) — use this when
+    the pipeline needs exact first-occurrence semantics on a stream (e.g.
+    training-data ingestion dropping repeated documents).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [StructField("key", LongType(), False)]
+    )
+    state_schema = StructType([StructField("seen", BinaryType(), True)])
+
+    def dedup_fn(group_key, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            (seen_bytes,) = state.get
+            seen = np.frombuffer(seen_bytes, dtype=np.int64)
+        else:
+            seen = np.empty(0, dtype=np.int64)
+        fresh_parts = []
+        for pdf in pdfs:
+            keys = pdf["key"].to_numpy()
+            keys = pd.unique(keys)  # batch-local dedup, keeps first
+            mask = ~np.isin(keys, seen)
+            new = keys[mask]
+            if len(new):
+                fresh_parts.append(new)
+                seen = np.concatenate([seen, new])
+        state.update((seen.astype(np.int64).tobytes(),))
+        if fresh_parts:
+            yield pd.DataFrame({"key": np.concatenate(fresh_parts)})
+
+    keyed = stream_df.select(F.xxhash64(*key_cols).alias("key")).withColumn(
+        "_shard",
+        F.shiftrightunsigned(F.xxhash64("key"), 64 - max(1, state_shards.bit_length() - 1)),
+    )
+    return keyed.groupBy("_shard").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
 
 
 def compact_forest(

@@ -214,3 +214,23 @@ def test_frame_sample_plan(spark):
     videos = media.filter(F.col("kind") == "video").count()
     assert len(frames) == videos * 4  # duration 1000ms, every 250ms -> 0,250,500,750
     assert media_repartition_by_bytes(media, target_mb=1).rdd.getNumPartitions() >= 1
+
+
+def test_ivf_recall(spark):
+    from sparkfuse.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    qids = list(range(20))
+    exact = {}
+    for r in knn_topk(emb, "vec_id", "embedding", qids, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in ivf_topk(emb, "vec_id", "embedding", qids, k=5,
+                      n_centroids=8, n_probe=3).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    # and candidates were actually bounded (not a full scan)
+    n = emb.count()
+    total_cands = sum(len(v) for v in approx.values())
+    assert total_cands <= len(qids) * 5

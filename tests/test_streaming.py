@@ -76,3 +76,41 @@ def test_compaction_equals_batch_build(spark, tmp_path):
     a = {r["shard"]: r["content_sha256"] for r in compacted.collect()}
     b = {r["shard"]: r["content_sha256"] for r in again.collect()}
     assert a == b
+
+
+def test_streaming_first_seen_exact_dedup(spark, tmp_path):
+    import pandas as pd
+
+    from sparkfuse.streaming import streaming_first_seen
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    # batch 1: keys 0..999 with dups; batch 2: 500..1499 (overlap 500)
+    pd.DataFrame({"k": list(range(1000)) + list(range(0, 1000, 2))}).to_parquet(
+        src / "a.parquet"
+    )
+    pd.DataFrame({"k": range(500, 1500)}).to_parquet(src / "b.parquet")
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    deduped = streaming_first_seen(stream, ["k"], state_shards=8)
+    out = tmp_path / "out"
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r["key"] for r in spark.read.parquet(str(out)).collect())
+    want = sorted(
+        r[0]
+        for r in spark.range(1500)
+        .select(F.xxhash64("id").alias("key"))
+        .collect()
+    )
+    assert got == want  # every distinct key exactly once, across batches
