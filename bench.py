@@ -44,19 +44,26 @@ def main_bench():
     queries: dict[str, float] = {}
     extra: dict[str, float] = {}
 
+    # warm-up: fork python workers + JIT the plan shapes once, so the first
+    # timed query measures the operator, not session cold-start
+    warm = spark.range(100_000).select(F.xxhash64("id").alias("key"))
+    Forest.from_df(build_forest(warm, shard_bits=1))
+
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     keys = extract_keys(lineitem, "l_orderkey", "l_linenumber").cache()
     n_keys = keys.count()
 
     t, forest = _timed(
-        lambda: Forest.from_df(build_forest(keys, kind="fuse", width=8, shard_bits=4))
+        lambda: Forest.from_df(
+            build_forest(keys, kind="fuse", width=8, min_shards=CPUS)
+        )
     )
     queries["forest_build_fuse8"] = t
     extra["build_keys_per_sec_fuse8"] = n_keys / t
     extra["bits_per_entry_fuse8"] = forest.bits_per_entry()
 
     t, xforest = _timed(
-        lambda: Forest.from_df(build_forest(keys, kind="xor", width=8, shard_bits=4))
+        lambda: Forest.from_df(build_forest(keys, kind="xor", width=8, min_shards=CPUS))
     )
     queries["forest_build_xor8"] = t
     extra["build_keys_per_sec_xor8"] = n_keys / t

@@ -45,10 +45,11 @@ def tokens_col(text: str | Column) -> Column:
 
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = tokens_col(text_col)
+    # cast to long: cross-engine oracles (DuckDB len/length return BIGINT)
     return df.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.length(F.col(text_col)).alias("n_chars_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_text"),
     )
 
 
@@ -60,11 +61,11 @@ def quality_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stop_en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
     return df.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
-        F.size(uniq).alias("n_uniq_tokens"),
-        F.array_max(F.transform(toks, F.length)).alias("max_token_len"),
-        F.size(F.array_intersect(uniq, stop_en)).alias("n_stopword_kinds"),
-        F.length(F.col(text_col)).alias("n_chars_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(uniq).cast("long").alias("n_uniq_tokens"),
+        F.array_max(F.transform(toks, F.length)).cast("long").alias("max_token_len"),
+        F.size(F.array_intersect(uniq, stop_en)).cast("long").alias("n_stopword_kinds"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_text"),
     )
 
 

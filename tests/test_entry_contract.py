@@ -47,6 +47,11 @@ def test_query_matches_oracle(spark, ddb, name):
     ddb_cols = [d[0] for d in res.description]
     ddb_rows = res.fetchall()
     assert sorted(spark_cols) == sorted(ddb_cols), (spark_cols, ddb_cols)
+    # type parity: ints must be 64-bit on the Spark side (DuckDB len/count
+    # return BIGINT) so a schema-comparing driver never flags int32 vs int64
+    spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    for name, t in spark_types.items():
+        assert t not in ("int", "smallint"), (name, t)
     assert len(spark_rows) == len(ddb_rows)
     assert _normalize(spark_rows, spark_cols) == _normalize(ddb_rows, ddb_cols)
 
