@@ -147,15 +147,17 @@ def main_scaling():
         t_build = []
         t_probe = []
         forest = None
-        shard_secs = None
+        best_shard_secs = None
         for _ in range(repeats):
             def run():
-                rows = [r.asDict() for r in build_forest(keys, shard_bits=6).collect()]
-                return rows
+                return [r.asDict() for r in build_forest(keys, shard_bits=6).collect()]
             tb, rows = _timed(run)
+            # keep the lineage of the FASTEST repeat so the per-shard
+            # contention evidence and build_sec describe the same run
+            if not t_build or tb < min(t_build):
+                best_shard_secs = [r["build_seconds"] for r in rows]
+                forest = Forest(rows)
             t_build.append(tb)
-            shard_secs = [r["build_seconds"] for r in rows]
-            forest = Forest(rows)
         probe_udf = approx_contains_udf(forest, spark)
         for _ in range(repeats):
             tp, _ = _timed(
@@ -174,8 +176,8 @@ def main_scaling():
             # independent tasks, so constant per-shard time across levels is
             # the cluster-extrapolation evidence (4N executors => 4x shards
             # in flight at the same per-shard time)
-            "mean_shard_kernel_sec": sum(shard_secs) / len(shard_secs),
-            "kernel_cpu_utilization": sum(shard_secs) / (tb * cores),
+            "mean_shard_kernel_sec": sum(best_shard_secs) / len(best_shard_secs),
+            "kernel_cpu_utilization": sum(best_shard_secs) / (tb * cores),
         }
         spark.stop()
     eff_build = results[32]["build_keys_per_sec"] / (4 * results[8]["build_keys_per_sec"])

@@ -288,6 +288,14 @@ class Forest:
     def from_df(cls, forest_df: DataFrame) -> "Forest":
         return cls([r.asDict() for r in forest_df.collect()])
 
+    def __getstate__(self):
+        # the packed-probe cache duplicates every fingerprint array; drop it
+        # from pickling so a driver-side probe before broadcast doesn't
+        # double the broadcast payload (it lazily rebuilds on the executor)
+        state = dict(self.__dict__)
+        state.pop("_pack_cache", None)
+        return state
+
     def _packed(self):
         """Lazily concatenate all shard fingerprint arrays into ONE array
         plus per-shard parameter vectors, so a probe batch routes with pure

@@ -85,8 +85,10 @@ class KLL:
         self.n += len(v)
         self.min = min(self.min, float(v.min()))
         self.max = max(self.max, float(v.max()))
-        # feed level 0 in capacity-sized chunks to bound memory
-        chunk = max(self._capacity(0), 1)
+        # feed level 0 in k-sized chunks: memory stays O(k), and unlike
+        # _capacity(0) (which decays to 2 on a deep sketch) the per-add
+        # Python-loop count stays ~len(v)/k
+        chunk = max(self.params.k, 2)
         for start in range(0, len(v), chunk):
             self.levels[0] = np.concatenate([self.levels[0], v[start:start + chunk]])
             self._compact()

@@ -44,6 +44,33 @@ def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     return _dot(_as_double(a), _as_double(b)) / (norm_a * norm_b)
 
 
+def _rerank(cand: DataFrame, base: DataFrame, k: int) -> DataFrame:
+    """Exact cosine rerank of (query_id, _id) candidate pairs against the
+    vector table, with the deterministic cross-engine ranking contract:
+    (round(cos, 6) DESC, neighbor id ASC). Shared by knn/LSH/IVF so the
+    contract lives in exactly one place."""
+    vec = with_norm(base, "_v")
+    qv = vec.select(
+        F.col("_id").alias("query_id"),
+        F.col("_v").alias("_vq"),
+        F.col("_norm").alias("_nq"),
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(vec, "_id")
+        .withColumn(
+            "score",
+            F.round(cosine(F.col("_vq"), F.col("_v"), F.col("_nq"), F.col("_norm")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col("_id").alias("neighbor_id"), "score")
+    )
+
+
 def cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
@@ -143,22 +170,18 @@ def kmeans_centroids(
     return centroids
 
 
-def ivf_topk(
+def ivf_candidates(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     query_ids,
-    k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 11,
 ) -> DataFrame:
-    """Approximate top-k via IVF (inverted-file) search: a k-means coarse
-    quantizer buckets the vectors; each query scans only its ``n_probe``
-    nearest buckets, reranked exactly. The classic ANN scale path when the
-    embedding space is clustered (LSH needs no training; IVF adapts to the
-    data distribution). Recall pytest-verified against knn_topk.
-    """
+    """(query_id, _id) candidate pairs from the IVF coarse quantizer: each
+    query scans only its n_probe nearest k-means buckets. Exposed separately
+    so candidate-set size (the whole point of IVF) is testable."""
     centroids = kmeans_centroids(df, id_col, vec_col, n_centroids, seed=seed)
 
     def assign_kernel(batches):
@@ -190,30 +213,34 @@ def ivf_topk(
     spark = df.sparkSession
     qb = spark.createDataFrame(probe_pairs, "query_id long, bucket long")
 
-    cand = (
+    return (
         F.broadcast(qb)
         .join(buckets, "bucket")
         .filter(F.col("_id") != F.col("query_id"))
         .select("query_id", "_id")
         .dropDuplicates()
     )
-    vec = with_norm(base, "_v")
-    qv = vec.select(F.col("_id").alias("query_id"), F.col("_v").alias("_vq"),
-                    F.col("_norm").alias("_nq"))
-    scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(vec, "_id")
-        .withColumn(
-            "score",
-            F.round(cosine(F.col("_vq"), F.col("_v"), F.col("_nq"), F.col("_norm")), 6),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", F.col("_id").alias("neighbor_id"), "score")
-    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) search: a k-means coarse
+    quantizer buckets the vectors; each query scans only its ``n_probe``
+    nearest buckets, reranked exactly. The classic ANN scale path when the
+    embedding space is clustered (LSH needs no training; IVF adapts to the
+    data distribution). Recall pytest-verified against knn_topk.
+    """
+    cand = ivf_candidates(df, id_col, vec_col, query_ids, n_centroids, n_probe, seed)
+    base = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+    return _rerank(cand, base, k)
 
 
 def ann_lsh_topk(
@@ -275,20 +302,4 @@ def ann_lsh_topk(
         .select("query_id", "_id")
         .dropDuplicates()
     )
-    vec = with_norm(base, "_v")
-    qv = vec.select(F.col("_id").alias("query_id"), F.col("_v").alias("_vq"), F.col("_norm").alias("_nq"))
-    cv = vec.select(F.col("_id"), F.col("_v"), F.col("_norm"))
-    scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "_id")
-        .withColumn(
-            "score",
-            F.round(cosine(F.col("_vq"), F.col("_v"), F.col("_nq"), F.col("_norm")), 6),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", F.col("_id").alias("neighbor_id"), "score")
-    )
+    return _rerank(cand, base, k)

@@ -164,6 +164,12 @@ def streaming_first_seen(
     def dedup_fn(group_key, pdfs, state: GroupState):
         import numpy as np
 
+        # state is kept SORTED so membership is searchsorted (no per-batch
+        # re-sort of the full history), and state.update is skipped entirely
+        # when a batch brings nothing new. The remaining cost is the full
+        # blob rewrite on batches WITH new keys — bounded-growth streams are
+        # fine; for unbounded-cardinality streams chunk the state across
+        # more shards (state_shards) or compact to an epoch forest.
         if state.exists:
             (seen_bytes,) = state.get
             seen = np.frombuffer(seen_bytes, dtype=np.int64)
@@ -171,15 +177,18 @@ def streaming_first_seen(
             seen = np.empty(0, dtype=np.int64)
         fresh_parts = []
         for pdf in pdfs:
-            keys = pdf["key"].to_numpy()
-            keys = pd.unique(keys)  # batch-local dedup, keeps first
-            mask = ~np.isin(keys, seen)
-            new = keys[mask]
+            keys = pd.unique(pdf["key"].to_numpy())  # batch-local, keeps first
+            if len(seen):
+                pos = np.minimum(np.searchsorted(seen, keys), len(seen) - 1)
+                known = seen[pos] == keys
+            else:
+                known = np.zeros(len(keys), dtype=bool)
+            new = keys[~known]
             if len(new):
                 fresh_parts.append(new)
-                seen = np.concatenate([seen, new])
-        state.update((seen.astype(np.int64).tobytes(),))
+                seen = np.sort(np.concatenate([seen, new]), kind="stable")
         if fresh_parts:
+            state.update((seen.astype(np.int64).tobytes(),))
             yield pd.DataFrame({"key": np.concatenate(fresh_parts)})
 
     keyed = stream_df.select(F.xxhash64(*key_cols).alias("key")).withColumn(

@@ -50,8 +50,8 @@ def test_query_matches_oracle(spark, ddb, name):
     # type parity: ints must be 64-bit on the Spark side (DuckDB len/count
     # return BIGINT) so a schema-comparing driver never flags int32 vs int64
     spark_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
-    for name, t in spark_types.items():
-        assert t not in ("int", "smallint"), (name, t)
+    for col_name, t in spark_types.items():
+        assert t not in ("int", "smallint"), (col_name, t)
     assert len(spark_rows) == len(ddb_rows)
     assert _normalize(spark_rows, spark_cols) == _normalize(ddb_rows, ddb_cols)
 

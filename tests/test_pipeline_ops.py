@@ -230,7 +230,11 @@ def test_ivf_recall(spark):
         approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.4, recalls
-    # and candidates were actually bounded (not a full scan)
+    # and the PRE-rerank candidate set is genuinely bounded (not a full scan)
+    from sparkfuse.similarity import ivf_candidates
+
     n = emb.count()
-    total_cands = sum(len(v) for v in approx.values())
-    assert total_cands <= len(qids) * 5
+    n_cands = ivf_candidates(
+        emb, "vec_id", "embedding", qids, n_centroids=8, n_probe=3
+    ).count()
+    assert n_cands < len(qids) * n * 3 / 8 * 1.5  # ~n_probe/n_centroids of corpus
