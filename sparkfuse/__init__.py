@@ -28,6 +28,7 @@ from sparkfuse.serialize import (
 )
 
 __all__ = [
+    # numpy kernel layer (Spark-free)
     "FuseFilter",
     "XorFilter",
     "build_fuse",
@@ -40,4 +41,34 @@ __all__ = [
     "save_fuse_bytes",
     "load_xor_bytes",
     "save_xor_bytes",
+    # distributed layer (lazy imports below)
+    "Forest",
+    "build_forest",
+    "build_forest_resumable",
+    "write_forest",
+    "approx_contains",
+    "exact_member_semi_join",
+    "exact_anti_join",
+    "get_spark",
 ]
+
+_SPARK_LAYER = {
+    "Forest": ("sparkfuse.forest", "Forest"),
+    "build_forest": ("sparkfuse.forest", "build_forest"),
+    "build_forest_resumable": ("sparkfuse.forest", "build_forest_resumable"),
+    "write_forest": ("sparkfuse.forest", "write_forest"),
+    "approx_contains": ("sparkfuse.probe", "approx_contains"),
+    "exact_member_semi_join": ("sparkfuse.probe", "exact_member_semi_join"),
+    "exact_anti_join": ("sparkfuse.probe", "exact_anti_join"),
+    "get_spark": ("sparkfuse.session", "get_spark"),
+}
+
+
+def __getattr__(name):
+    # lazy so `import sparkfuse` works for kernel-only use without pyspark
+    if name in _SPARK_LAYER:
+        import importlib
+
+        module, attr = _SPARK_LAYER[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'sparkfuse' has no attribute {name!r}")
