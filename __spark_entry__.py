@@ -8,7 +8,21 @@ zero-FN) are asserted separately in pytest against the F2/F3 fixtures.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
 from collections.abc import Callable
+
+# make sparkfuse importable by this driver AND by Spark python workers of a
+# session created after this import, regardless of the harness cwd
+_REPO = _os.path.dirname(_os.path.abspath(__file__))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+if _REPO not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
+    _os.environ["PYTHONPATH"] = (
+        _REPO + _os.pathsep + _os.environ["PYTHONPATH"]
+        if _os.environ.get("PYTHONPATH")
+        else _REPO
+    )
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
