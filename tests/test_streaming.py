@@ -114,3 +114,26 @@ def test_streaming_first_seen_exact_dedup(spark, tmp_path):
         .collect()
     )
     assert got == want  # every distinct key exactly once, across batches
+
+
+def test_epoch_forest_probe_udf(spark, tmp_path):
+    """EpochForest duck-types contains_np, so the column-level probe UDF
+    (and therefore exact joins) work over a streamed forest too."""
+    import pandas as pd
+
+    from sparkfuse.probe import approx_contains
+    from sparkfuse.streaming import EpochForest, stream_forest
+
+    src = tmp_path / "src3"
+    src.mkdir()
+    pd.DataFrame({"k": range(0, 2000)}).to_parquet(src / "a.parquet")
+    pd.DataFrame({"k": range(2000, 4000)}).to_parquet(src / "b.parquet")
+    q = stream_forest(
+        spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).parquet(str(src)),
+        str(tmp_path / "f3"), str(tmp_path / "ck3"), ["k"], shard_bits=1,
+    )
+    q.awaitTermination(120)
+    ef = EpochForest.load(spark, str(tmp_path / "f3"), shard_bits=1)
+    keys = spark.range(4000).select(F.xxhash64("id").alias("key"))
+    flagged = approx_contains(keys, "key", ef, spark)
+    assert flagged.filter(~F.col("maybe_member")).count() == 0
