@@ -17,12 +17,9 @@ from collections.abc import Callable
 _REPO = _os.path.dirname(_os.path.abspath(__file__))
 if _REPO not in _sys.path:
     _sys.path.insert(0, _REPO)
-if _REPO not in _os.environ.get("PYTHONPATH", "").split(_os.pathsep):
-    _os.environ["PYTHONPATH"] = (
-        _REPO + _os.pathsep + _os.environ["PYTHONPATH"]
-        if _os.environ.get("PYTHONPATH")
-        else _REPO
-    )
+from sparkfuse.session import export_repo_pythonpath as _export
+
+_export()
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession

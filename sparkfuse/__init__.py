@@ -41,16 +41,10 @@ __all__ = [
     "save_fuse_bytes",
     "load_xor_bytes",
     "save_xor_bytes",
-    # distributed layer (lazy imports below)
-    "Forest",
-    "build_forest",
-    "build_forest_resumable",
-    "write_forest",
-    "approx_contains",
-    "exact_member_semi_join",
-    "exact_anti_join",
-    "get_spark",
 ]
+# The distributed layer resolves lazily via __getattr__ (sparkfuse.Forest,
+# sparkfuse.build_forest, ...) and is deliberately NOT in __all__ so
+# `from sparkfuse import *` stays importable without pyspark.
 
 _SPARK_LAYER = {
     "Forest": ("sparkfuse.forest", "Forest"),

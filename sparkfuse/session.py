@@ -13,6 +13,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def export_repo_pythonpath() -> str:
+    """Prepend the repo root to PYTHONPATH (env var) so Spark python workers
+    forked by a LATER-created JVM can import sparkfuse from any cwd — the
+    local-mode analog of ``spark-submit --py-files``. Returns the repo dir."""
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_dir not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_dir}{os.pathsep}{existing}" if existing else repo_dir
+        )
+    return repo_dir
+
+
 def get_spark(
     app_name: str = "sparkfuse",
     cores: int | None = None,
@@ -26,16 +39,8 @@ def get_spark(
     joins)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
-    # Make the sparkfuse package importable inside Spark's python workers
-    # regardless of the driver's cwd — the local-mode analog of
-    # ``spark-submit --py-files sparkfuse.zip`` (workers inherit the env the
-    # JVM is launched with, so this must happen before getOrCreate()).
-    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    existing = os.environ.get("PYTHONPATH", "")
-    if repo_dir not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = (
-            f"{repo_dir}{os.pathsep}{existing}" if existing else repo_dir
-        )
+    # must happen before getOrCreate(): workers inherit the JVM's env
+    export_repo_pythonpath()
     return (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

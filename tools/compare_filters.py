@@ -8,10 +8,12 @@ benchmark grid of binaryfusefilter_test.go:265-331 (values measured fresh on
 this machine; the reference commits no absolute numbers).
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import numpy as np
 
@@ -25,15 +27,15 @@ N_PROBES = 10_000_000
 def measure(name, build_fn, reps=3):
     keys = np.random.default_rng(1).integers(0, 2**63, N, dtype=np.int64).view(np.uint64)
     probes = np.random.default_rng(2).integers(0, 2**63, N_PROBES, dtype=np.int64).view(np.uint64)
-    t_build = min(_t(lambda: build_fn(keys))[0] for _ in range(reps))
-    filt = build_fn(keys)
+    builds = [_t(lambda: build_fn(keys)) for _ in range(reps)]
+    t_build, filt = min(builds, key=lambda x: x[0])
     assert filt.contains(keys[:100_000]).all(), f"{name}: false negative!"
-    t_probe = min(_t(lambda: filt.contains(probes))[0] for _ in range(reps))
-    fpp = filt.contains(probes).mean()  # probes disjoint w.h.p.
+    runs = [_t(lambda: filt.contains(probes)) for _ in range(reps)]
+    t_probe, hits = min(runs, key=lambda x: x[0])
     return {
         "name": name,
-        "fpp_pct": 100 * fpp,
-        "bpe": filt.size_in_bytes * 8 / N if hasattr(filt, "size_in_bytes") else filt.bits_per_entry(N),
+        "fpp_pct": 100 * hits.mean(),  # probes disjoint w.h.p.
+        "bpe": filt.size_in_bytes * 8 / N,
         "build_mkeys": N / t_build / 1e6,
         "probe_mkeys": N_PROBES / t_probe / 1e6,
     }
@@ -49,7 +51,6 @@ def bloom_at(fpp):
     def make(keys):
         bf = BloomFilter(BloomParams.for_capacity(N, fpp))
         bf.add(keys)
-        bf.bits_per_entry = lambda n: bf.params.m_bits / n
         return bf
 
     return make
@@ -65,7 +66,7 @@ rows = [
     measure("fuse8 (4-wise)", lambda k: build_fuse(k, 8, arity=4)[0]),
 ]
 
-with open("BENCH/COMPARISON.md", "w") as f:
+with open(os.path.join(REPO, "BENCH", "COMPARISON.md"), "w") as f:
     f.write(
         "# Filter comparison — 1M keys, 10M disjoint probes, single core\n\n"
         "Reproduces the reference's comparative claim (xor/fuse beat Bloom on\n"
@@ -86,4 +87,4 @@ with open("BENCH/COMPARISON.md", "w") as f:
         "cache lines vs Bloom's k; Bloom's edge is mergeability (bitwise OR) "
         "— which the forest design recovers for xor/fuse via shard unions.\n"
     )
-print(open("BENCH/COMPARISON.md").read())
+print(open(os.path.join(REPO, "BENCH", "COMPARISON.md")).read())
