@@ -34,7 +34,7 @@ def test_stream_forest_epochs(spark, tmp_path):
         key_cols=["k"],
         shard_bits=2,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     ef = EpochForest.load(spark, forest_path, shard_bits=2)
     assert ef.n_epochs == 2  # one epoch per file
     keys = spark.range(10000).select(F.xxhash64("id").alias("key"))
@@ -105,7 +105,7 @@ def test_streaming_first_seen_exact_dedup(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    q.awaitTermination(300)
     got = sorted(r["key"] for r in spark.read.parquet(str(out)).collect())
     want = sorted(
         r[0]
@@ -132,7 +132,7 @@ def test_epoch_forest_probe_udf(spark, tmp_path):
         spark.readStream.schema("k long").option("maxFilesPerTrigger", 1).parquet(str(src)),
         str(tmp_path / "f3"), str(tmp_path / "ck3"), ["k"], shard_bits=1,
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)
     ef = EpochForest.load(spark, str(tmp_path / "f3"), shard_bits=1)
     keys = spark.range(4000).select(F.xxhash64("id").alias("key"))
     flagged = approx_contains(keys, "key", ef, spark)
