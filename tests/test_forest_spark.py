@@ -219,3 +219,24 @@ def test_plan_shard_bits():
     assert plan_shard_bits(1_000_000, min_shards=32) == 3  # 8 shards of 125k
     assert plan_shard_bits(10_000_000, min_shards=32) == 5
     assert plan_shard_bits(100_000, min_shards=32) == 0
+
+
+def test_retry_lineage_recorded(spark):
+    """north_star: 'Construction retries on rare peeling failure (reseed)
+    are checkpointed per partition with lineage' — drive an ACTUAL retry
+    (size-91 key set that fails its first seed, found deterministically)
+    through the forest path and check the lineage row records it."""
+    from sparkfuse.hashing import seed_sequence, splitmix64_fill
+    from sparkfuse.kernels import build_fuse
+
+    keys = splitmix64_fill(91, counter_start=91 * 1000 + 24)
+    f, iterations = build_fuse(keys, width=8)
+    assert iterations == 2  # first seed fails, reseed succeeds
+    seeds = seed_sequence(1)
+    next(seeds)  # first seed (failed attempt)
+    assert f.seed == next(seeds)  # filter carries the SECOND seed
+
+    df = spark.createDataFrame([(int(k),) for k in keys.view("int64")], "key long")
+    row = build_forest(df, shard_bits=0).first()
+    assert row["iterations"] == 2  # retry visible in the forest lineage
+    assert row["nkeys"] == 91
