@@ -172,6 +172,12 @@ def minhash_lsh_candidates(
     candidates ~ O(near-dups), not O(n^2)). rows = bands/num_hashes per band;
     two docs collide iff some band of their signatures is identical.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop trailing hash functions and "
+            "change the collision probability"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, num_hashes, k)
     band_cols = [

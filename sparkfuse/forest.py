@@ -34,6 +34,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -225,7 +226,18 @@ def build_forest_resumable(
         raise ValueError("resumable builds require explicit shard_bits")
     try:
         done = spark.read.parquet(path).select("shard").dropDuplicates()
-    except Exception:
+    except AnalysisException as e:
+        # Only "sink does not exist yet" means fresh-build; any other read
+        # failure (corrupt footer, permissions, transient FS error) must
+        # propagate — treating it as absent would append a duplicate full
+        # rebuild onto a sink that had data.
+        cond = ""
+        try:
+            cond = e.getCondition() or ""
+        except Exception:
+            pass
+        if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(e):
+            raise
         write_forest(build_forest(keys_df, **build_kwargs), path)
         return spark.read.parquet(path)
     kwargs = dict(build_kwargs)
@@ -266,6 +278,19 @@ class Forest:
     def __init__(self, rows):
         if not rows:
             raise ValueError("empty forest")
+        # Exact-duplicate shard rows (replayed streaming epochs under the
+        # documented at-least-once append, or a doubled resumable append) are
+        # byte-identical by determinism — drop them so nkeys/size stats count
+        # each shard payload once.
+        seen: set = set()
+        deduped = []
+        for r in rows:
+            ident = (int(r["shard"]), r["content_sha256"])
+            if ident in seen:
+                continue
+            seen.add(ident)
+            deduped.append(r)
+        rows = deduped
         self.filters = {}
         kinds = set()
         bits = set()

@@ -500,15 +500,15 @@ def build_fuse_reference_order(keys, width: int = 8):
             size = stacksize
             break
         if duplicates > 0:
+            # Mirror the Go retry exactly (binaryfusefilter.go:300-310): prune
+            # the key list but keep the STALE ``size``. The next counting pass
+            # places only len(keys) hashes, leaving hash-0 phantom slots in
+            # reverse_order that participate in counting/peeling just as they
+            # do in Go — required for byte parity on inputs whose duplicates
+            # survive into a retry.
             keys = sorted(set(keys))
-            # size stays until retry re-counts over pruned keys
-            size = len(keys)
-            reverse_order = [0] * (size + 1)
-            reverse_order[size] = 1
-            reverse_h = [0] * size
-        else:
-            for i in range(size):
-                reverse_order[i] = 0
+        for i in range(size):
+            reverse_order[i] = 0
         for i in range(capacity):
             t2count[i] = 0
             t2hash[i] = 0

@@ -12,16 +12,31 @@ Three probe modes over a built Forest:
 * ``exact_anti_join`` — complement (definitely-absent prescreen + anti-join),
   mirroring the reference's ground-truth validation direction (north_star:
   "verified against exact anti-join ground truth on a sample").
+* ``approx_contains_routed`` / ``exact_member_routed`` — the big-forest path:
+  probes are routed to their shard's filter with a cogrouped shard join
+  against the forest TABLE, so no payload ever touches the driver and no
+  monolithic broadcast is built. A 10^11-key forest (~130 GB of fuse8
+  payload) is un-broadcastable; this path shuffles only 8-byte probe keys by
+  shard and ships each shard's payload once to wherever its probe partition
+  lands. The capability analog is the reference's 5×10^7-key Contains
+  benchmarks (/root/reference/binaryfusefilter_test.go:300-331) — scaled out.
+* ``probe_forest`` — the planner: picks broadcast vs routed by comparing the
+  forest's total payload bytes against a threshold (default: the session's
+  ``spark.sql.autoBroadcastJoinThreshold``).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import BooleanType, StructField, StructType
 
-from sparkfuse.forest import Forest
+from sparkfuse.forest import Forest, _probe_one
+from sparkfuse.hashing import to_u64
+from sparkfuse.keys import shard_column
+from sparkfuse.serialize import load_fuse_bytes, load_xor_bytes
 
 
 def approx_contains_udf(forest: Forest, spark=None):
@@ -97,6 +112,147 @@ def exact_anti_join(
     build_keys = build_df.select(F.col(build_key).alias(probe_key)).dropDuplicates()
     confirmed_absent = maybes.join(build_keys, on=probe_key, how="left_anti")
     return definite.unionByName(confirmed_absent)
+
+
+def _forest_meta(forest_df: DataFrame) -> dict:
+    """Read the forest's (tiny) layout metadata — NOT the payloads.
+
+    One row per distinct layout; a valid forest has exactly one.
+    """
+    rows = (
+        forest_df.select("kind", "width", "arity", "shard_bits", "route")
+        .dropDuplicates()
+        .collect()
+    )
+    if len(rows) != 1:
+        raise ValueError(f"inhomogeneous forest: {rows}")
+    return rows[0].asDict()
+
+
+def approx_contains_routed(
+    probe_df: DataFrame,
+    key: str,
+    forest_df: DataFrame,
+    out: str = "maybe_member",
+) -> DataFrame:
+    """Membership column via a shard-routed cogroup join against the forest
+    table — the probe path for forests too big to broadcast.
+
+    Plan: probe rows get their shard id JVM-side (same xxh64-top-bits rule as
+    the build, ``keys.shard_column``), then cogroup with the forest table on
+    shard: each task receives (probe rows of one shard, that shard's single
+    filter row) and runs the vectorized numpy Contains kernel. The driver
+    never sees a payload; each shard payload crosses the wire once per probe
+    partition it meets, and probe rows shuffle once by shard.
+
+    Routing is bit-identical to ``Forest.contains_np`` (broadcast path) —
+    tested equal in tests/test_forest_spark.py. Shards absent from the forest
+    (e.g. a partial build) probe as False, matching the broadcast path.
+
+    For wide probe rows prefer ``exact_member_routed`` which routes only the
+    8-byte key column through the shard shuffle.
+    """
+    meta = _forest_meta(forest_df)
+    kind, width, arity = meta["kind"], meta["width"], meta["arity"]
+    shard_bits, route = meta["shard_bits"], meta["route"]
+
+    cols = list(probe_df.columns)
+    if out in cols:
+        raise ValueError(f"output column {out!r} already exists")
+    out_schema = StructType(
+        list(probe_df.schema.fields) + [StructField(out, BooleanType(), False)]
+    )
+
+    def probe_shard(probe_pdf: pd.DataFrame, forest_pdf: pd.DataFrame) -> pd.DataFrame:
+        res = probe_pdf[cols]
+        if len(forest_pdf) == 0 or len(res) == 0:
+            verdict = np.zeros(len(res), dtype=bool)
+        else:
+            # duplicate shard rows are byte-identical by determinism
+            row = forest_pdf.iloc[0]
+            if kind == "fuse":
+                filt = load_fuse_bytes(bytes(row["payload"]), width=width, arity=arity)
+            else:
+                filt = load_xor_bytes(bytes(row["payload"]))
+            verdict = _probe_one(filt, to_u64(res[key].to_numpy()))
+        return res.assign(**{out: verdict})
+
+    tagged = probe_df.withColumn("_sf_shard", shard_column(key, shard_bits, route))
+    forest_keyed = forest_df.select(
+        F.col("shard").alias("_sf_shard"), "payload"
+    )
+    return (
+        tagged.groupBy("_sf_shard")
+        .cogroup(forest_keyed.groupBy("_sf_shard"))
+        .applyInPandas(probe_shard, out_schema)
+    )
+
+
+def exact_member_routed(
+    probe_df: DataFrame,
+    probe_key: str,
+    build_df: DataFrame,
+    build_key: str,
+    forest_df: DataFrame,
+) -> DataFrame:
+    """Exact membership for un-broadcastable forests: routed prescreen on the
+    deduped 8-byte KEY column only, exact-confirm survivors against the build
+    keys, then semi-join the original probe rows.
+
+    Only key bytes cross the shard shuffle; the survivor set is ~(members +
+    fpp·non-members), which AQE typically broadcasts for the final semi-join.
+    Result is exact (zero-FN prescreen + exact confirm), so a plain SQL
+    ``IN`` subquery is a valid oracle — same contract as
+    ``exact_member_semi_join``.
+    """
+    keys_only = probe_df.select(F.col(probe_key).alias(probe_key)).dropDuplicates()
+    maybe = (
+        approx_contains_routed(keys_only, probe_key, forest_df, out="_maybe")
+        .filter(F.col("_maybe"))
+        .drop("_maybe")
+    )
+    build_keys = build_df.select(F.col(build_key).alias(probe_key)).dropDuplicates()
+    members = maybe.join(build_keys, on=probe_key, how="left_semi")
+    return probe_df.join(members, on=probe_key, how="left_semi")
+
+
+def forest_payload_bytes(forest_df: DataFrame) -> int:
+    """Total serialized payload size — the broadcast-vs-routed planning input
+    (an aggregate over the forest table, payloads never leave the executors)."""
+    return forest_df.agg(
+        F.sum(F.octet_length("payload")).alias("b")
+    ).first()["b"] or 0
+
+
+def probe_forest(
+    probe_df: DataFrame,
+    key: str,
+    forest_df: DataFrame,
+    spark: SparkSession | None = None,
+    out: str = "maybe_member",
+    broadcast_threshold: int | None = None,
+) -> DataFrame:
+    """Planner: broadcast the forest when its payload fits the broadcast
+    budget (probe rows never shuffle), else route probes by shard against the
+    forest table (nothing touches the driver).
+
+    Threshold defaults to the session's ``spark.sql.autoBroadcastJoinThreshold``
+    (10 MB unless tuned) — the same knob that governs Spark's own
+    broadcast-vs-shuffle join choice, reused for the same tradeoff.
+    """
+    if broadcast_threshold is None:
+        broadcast_threshold = 10 * 1024 * 1024
+        if spark is not None:
+            raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+            try:
+                broadcast_threshold = int(raw.rstrip("bB").rstrip("kKmMgG")) * {
+                    "k": 1024, "m": 1024**2, "g": 1024**3
+                }.get(raw.rstrip("bB")[-1:].lower(), 1)
+            except (ValueError, IndexError):
+                pass
+    if broadcast_threshold >= 0 and forest_payload_bytes(forest_df) <= broadcast_threshold:
+        return approx_contains(probe_df, key, Forest.from_df(forest_df), spark, out=out)
+    return approx_contains_routed(probe_df, key, forest_df, out=out)
 
 
 def verify_sample(

@@ -191,9 +191,14 @@ def streaming_first_seen(
             state.update((seen.astype(np.int64).tobytes(),))
             yield pd.DataFrame({"key": np.concatenate(fresh_parts)})
 
+    if state_shards < 2:
+        raise ValueError(f"state_shards must be >= 2, got {state_shards}")
+    # Non-power-of-two shard counts round UP to the next power of two (shard
+    # id is a top-bits slice, so the group count must be 2^bits): 100 -> 128.
+    shard_bits = (state_shards - 1).bit_length()
     keyed = stream_df.select(F.xxhash64(*key_cols).alias("key")).withColumn(
         "_shard",
-        F.shiftrightunsigned(F.xxhash64("key"), 64 - max(1, state_shards.bit_length() - 1)),
+        F.shiftrightunsigned(F.xxhash64("key"), 64 - shard_bits),
     )
     return keyed.groupBy("_shard").applyInPandasWithState(
         dedup_fn,

@@ -8,8 +8,12 @@ from sparkfuse.forest import Forest, build_forest, build_forest_resumable, write
 from sparkfuse.keys import dedup_keys, dedup_keys_salted, extract_keys
 from sparkfuse.probe import (
     approx_contains,
+    approx_contains_routed,
     exact_anti_join,
+    exact_member_routed,
     exact_member_semi_join,
+    forest_payload_bytes,
+    probe_forest,
     verify_sample,
 )
 from sparkfuse.synth import synth_transcripts
@@ -116,6 +120,89 @@ def test_verify_sample_zero_false_negatives(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# routed probe (big-forest path: no driver collect, no broadcast)
+# ---------------------------------------------------------------------------
+
+def test_routed_probe_equals_broadcast(spark):
+    """approx_contains_routed must match Forest.contains_np verdict-for-verdict
+    — including false positives — on a multi-shard forest."""
+    keys = _keys_df(spark, 30_000)
+    forest_df = build_forest(keys, shard_bits=3).cache()
+    forest = Forest.from_df(forest_df)
+    probes = _keys_df(spark, 20_000).unionByName(_keys_df(spark, 20_000, seed=999))
+    routed = {
+        r["key"]: r["m"]
+        for r in approx_contains_routed(probes, "key", forest_df, out="m").collect()
+    }
+    bc = {
+        r["key"]: r["m"]
+        for r in approx_contains(probes, "key", forest, spark, out="m").collect()
+    }
+    assert routed == bc
+    forest_df.unpersist()
+
+
+def test_routed_probe_partial_forest_missing_shards(spark):
+    # shards absent from the forest probe as False on both paths
+    keys = _keys_df(spark, 20_000)
+    partial_df = build_forest(keys, shard_bits=2).filter(F.col("shard") < 2).cache()
+    forest = Forest.from_df(partial_df)
+    routed = {
+        r["key"]: r["m"]
+        for r in approx_contains_routed(keys, "key", partial_df, out="m").collect()
+    }
+    bc = {
+        r["key"]: r["m"]
+        for r in approx_contains(keys, "key", forest, spark, out="m").collect()
+    }
+    assert routed == bc
+    assert not all(routed.values())  # the missing shards really probe False
+    assert any(routed.values())
+    partial_df.unpersist()
+
+
+def test_routed_probe_keeps_payload_columns(spark):
+    keys = _keys_df(spark, 5_000).withColumn("tag", F.col("key") % 7)
+    forest_df = build_forest(keys.select("key"), shard_bits=1)
+    got = approx_contains_routed(keys, "key", forest_df, out="m")
+    assert set(got.columns) == {"key", "tag", "m"}
+    assert got.filter(~F.col("m")).count() == 0  # zero FN carries over
+
+
+def test_exact_member_routed_matches_plain_join(spark, sf_dir):
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    forest_df = build_forest(
+        orders.select(F.col("o_custkey").alias("key")), shard_bits=2
+    )
+    got = exact_member_routed(customer, "c_custkey", orders, "o_custkey", forest_df)
+    want = customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")).dropDuplicates(),
+        "c_custkey",
+        "left_semi",
+    )
+    assert sorted(r["c_custkey"] for r in got.collect()) == sorted(
+        r["c_custkey"] for r in want.collect()
+    )
+
+
+def test_probe_forest_planner_picks_paths(spark):
+    keys = _keys_df(spark, 10_000)
+    forest_df = build_forest(keys, shard_bits=1).cache()
+    nbytes = forest_payload_bytes(forest_df)
+    assert nbytes > 0
+    # tiny threshold → routed; huge threshold → broadcast; both exact-equal
+    routed = probe_forest(keys, "key", forest_df, spark, broadcast_threshold=1)
+    bc = probe_forest(
+        keys, "key", forest_df, spark, broadcast_threshold=nbytes + 1
+    )
+    r = {x["key"]: x["maybe_member"] for x in routed.collect()}
+    b = {x["key"]: x["maybe_member"] for x in bc.collect()}
+    assert r == b and all(r.values())
+    forest_df.unpersist()
+
+
+# ---------------------------------------------------------------------------
 # determinism, mergeability, resume
 # ---------------------------------------------------------------------------
 
@@ -151,6 +238,29 @@ def test_forest_merge_is_union(spark):
     merged = Forest.from_df(half1.unionByName(half2))
     arr = np.array([r["key"] for r in keys.collect()], dtype=np.int64)
     assert merged.contains_np(arr).all()
+
+
+def test_forest_stats_dedup_replayed_rows(spark):
+    # at-least-once appends can replay byte-identical shard rows; stats must
+    # count each shard payload once (membership was already unaffected)
+    forest_df = build_forest(_keys_df(spark, 10_000), shard_bits=1)
+    once = Forest.from_df(forest_df)
+    twice = Forest.from_df(forest_df.unionByName(forest_df))
+    assert twice.nkeys == once.nkeys
+    assert twice.size_in_bytes == once.size_in_bytes
+    assert twice.bits_per_entry() == once.bits_per_entry()
+
+
+def test_resumable_propagates_corrupt_sink(spark, tmp_path):
+    # a sink that EXISTS but cannot be read is an error, not "absent":
+    # appending a fresh full build onto it would mask corruption
+    bad = tmp_path / "forest"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    keys = _keys_df(spark, 5_000)
+    with pytest.raises(Exception) as exc_info:
+        build_forest_resumable(keys, str(bad), spark, shard_bits=1).collect()
+    assert "PATH_NOT_FOUND" not in str(exc_info.value)
 
 
 def test_forest_lineage_metrics(spark):

@@ -143,6 +143,11 @@ def test_minhash_lsh_recall(spark, docs):
     assert len(cand) < n_docs * n_docs / 20
 
 
+def test_minhash_lsh_rejects_indivisible_bands(spark, docs):
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=20, bands=8)
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------

@@ -2,6 +2,7 @@
 replay idempotence, probe over epochs, compaction."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from sparkfuse.forest import Forest
@@ -114,6 +115,14 @@ def test_streaming_first_seen_exact_dedup(spark, tmp_path):
         .collect()
     )
     assert got == want  # every distinct key exactly once, across batches
+
+
+def test_streaming_first_seen_validates_state_shards(spark):
+    from sparkfuse.streaming import streaming_first_seen
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="state_shards"):
+        streaming_first_seen(stream, ["value"], state_shards=1)
 
 
 def test_epoch_forest_probe_udf(spark, tmp_path):
