@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from sparkfuse.bloom import build_bloom
 from sparkfuse.forest import Forest, build_forest
-from sparkfuse.probe import exact_anti_join, exact_member_semi_join
+from sparkfuse.probe import exact_anti_join, exact_member_routed, exact_member_semi_join
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -228,92 +228,272 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate near-dup candidates via banded minhash-LSH (scale path;
-    recall pytest-verified against q_ngram_near_dups — no SQL oracle)."""
-    from sparkfuse.dedup import minhash_lsh_candidates
+    """Banded minhash-LSH candidates, oracle-checked as a recall invariant:
+    the candidate set must cover >= 90% of the EXACT near-dup pairs (the
+    ngram-Jaccard twin, whose count the oracle recomputes in SQL)."""
+    from sparkfuse.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
 
-    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash document fingerprints (numpy kernel; rows-only check)."""
-    from sparkfuse.textops import simhash64
-
-    return simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors via sign-LSH + exact rerank (rows-only;
-    recall pytest-verified against q_knn_topk)."""
-    from sparkfuse.similarity import ann_lsh_topk
-
-    return ann_lsh_topk(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", list(range(10)), k=5
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text")
+    cand = minhash_lsh_candidates(docs, "doc_id", "text")
+    matched = exact.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    total = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    return total.crossJoin(matched).select(
+        "n_exact_pairs",
+        (F.col("m") * 10 >= F.col("n_exact_pairs") * 9).alias("recall_ok"),
     )
 
 
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (pure-JVM kernel, textops.simhash64), checked as
+    invariants: identical texts share one fingerprint (determinism), and
+    exact near-dup pairs sit at strictly lower mean Hamming distance than the
+    all-pairs baseline (the locality-sensitivity contract)."""
+    from sparkfuse.dedup import ngram_jaccard_pairs
+    from sparkfuse.textops import hamming64, simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    sims = simhash64(docs, "doc_id", "text")
+    joined = docs.select("doc_id", "text").join(sims, "doc_id")
+    consistent = joined.groupBy("text").agg(
+        F.countDistinct("simhash").alias("c")
+    ).agg(F.max("c").alias("maxc"))
+    s_a = sims.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"))
+    s_b = sims.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    near = (
+        ngram_jaccard_pairs(docs, "doc_id", "text")
+        .join(s_a, "id_a")
+        .join(s_b, "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_near"),
+            F.avg(hamming64(F.col("sim_a"), F.col("sim_b"))).alias("avg_near"),
+        )
+    )
+    allp = (
+        s_a.crossJoin(s_b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .agg(F.avg(hamming64(F.col("sim_a"), F.col("sim_b"))).alias("avg_all"))
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+    )
+    return base.crossJoin(consistent).crossJoin(near).crossJoin(allp).select(
+        "n_docs",
+        "n_distinct_texts",
+        (F.col("maxc") == 1).alias("consistent_ok"),
+        ((F.col("n_near") == 0) | (F.col("avg_near") < F.col("avg_all"))).alias(
+            "separation_ok"
+        ),
+    )
+
+
+def _ann_recall_invariant(exact: DataFrame, approx: DataFrame, num: int, den: int) -> DataFrame:
+    """(n_exact, recall_ok): approx covers >= num/den of the exact top-k pairs."""
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("h"))
+    total = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return total.crossJoin(hits).select(
+        "n_exact", (F.col("h") * den >= F.col("n_exact") * num).alias("recall_ok")
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN top-5, oracle-checked as a recall invariant vs the exact
+    knn twin computed in-query (>= 50% pair recall, the pytest bound)."""
+    from sparkfuse.similarity import ann_lsh_topk, knn_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    exact = knn_topk(emb, "vec_id", "embedding", qids, k=5)
+    approx = ann_lsh_topk(emb, "vec_id", "embedding", qids, k=5)
+    return _ann_recall_invariant(exact, approx, 1, 2)
+
+
 def q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable HyperLogLog count-distinct over events.user_id (north_rule
-    sketch family; rows-only check — pytest asserts the 1.04/sqrt(m) bound)."""
+    """Mergeable HyperLogLog count-distinct over events.user_id, checked as
+    the published accuracy invariant: |est - exact|/exact <= 4·1.04/sqrt(m),
+    with the exact count recomputed both by Spark and the SQL oracle."""
     from sparkfuse.sketches import build_hll
 
     events = _t(spark, sf_dir, "events")
     hll = build_hll(events.select(F.col("user_id").alias("key")))
-    return spark.createDataFrame(
-        [(int(round(hll.estimate())), hll.params.m)], "estimate long, m long"
+    est = float(hll.estimate())
+    bound = 4.0 * hll.relative_std_error
+    return events.agg(F.count_distinct("user_id").alias("exact_distinct")).select(
+        "exact_distinct",
+        (
+            F.abs(F.lit(est) - F.col("exact_distinct")) / F.col("exact_distinct")
+            <= F.lit(bound)
+        ).alias("within_bound"),
     )
 
 
 def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable Count-Min point estimates for users 0..9 (rows-only check;
-    pytest asserts the eps*N overcount bound and never-undercount)."""
+    """Mergeable Count-Min point estimates for users 0..9, checked as the
+    sketch's guarantee per key: never undercount, overcount <= 3·eps·N."""
+    import math
+
+    import numpy as np
+
     from sparkfuse.sketches import build_cms
 
     events = _t(spark, sf_dir, "events")
     cms = build_cms(events.select(F.col("user_id").alias("key")))
-    import numpy as np
-
+    n_total = events.count()
     est = cms.query(np.arange(10, dtype=np.uint64))
-    return spark.createDataFrame(
-        [(i, int(est[i])) for i in range(10)], "user_id long, est_events long"
+    est_df = spark.createDataFrame(
+        [(i, int(est[i])) for i in range(10)], "user_id long, est long"
+    )
+    slack = int(math.ceil(cms.params.eps * n_total * 3))
+    exact = (
+        events.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_events"))
+    )
+    return exact.join(est_df, "user_id").select(
+        "user_id",
+        "exact_events",
+        (
+            (F.col("est") >= F.col("exact_events"))
+            & (F.col("est") - F.col("exact_events") <= F.lit(slack))
+        ).alias("ok"),
     )
 
 
+def _rank_invariant(
+    values_df: DataFrame, value_col: str, ests: dict[float, float], tol: float
+) -> DataFrame:
+    """(q, ok) rows: each estimate's rank error vs the exact CDF is < tol.
+
+    rank error = distance of q to the tie-aware CDF interval
+    [P(v < est), P(v <= est)] — the same definition the pytest suite uses.
+    """
+    aggs = []
+    for i, (q, est) in enumerate(sorted(ests.items())):
+        aggs.append(
+            F.avg((F.col(value_col) <= F.lit(est)).cast("double")).alias(f"hi{i}")
+        )
+        aggs.append(
+            F.avg((F.col(value_col) < F.lit(est)).cast("double")).alias(f"lo{i}")
+        )
+    one_row = values_df.agg(*aggs)
+    per_q = [
+        F.struct(
+            F.lit(q).alias("q"),
+            (
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(q) - F.col(f"hi{i}"),
+                    F.col(f"lo{i}") - F.lit(q),
+                )
+                < F.lit(tol)
+            ).alias("ok"),
+        )
+        for i, (q, _) in enumerate(sorted(ests.items()))
+    ]
+    return one_row.select(F.explode(F.array(*per_q)).alias("r")).select("r.q", "r.ok")
+
+
 def q_tdigest_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable t-digest quantiles of o_totalprice (rows-only check;
-    pytest asserts rank error < 1% vs exact)."""
+    """Mergeable t-digest quantiles of o_totalprice, checked as the rank-error
+    invariant (< 1.5%, the distributed-merge pytest bound) against the exact
+    CDF recomputed in-query."""
     from sparkfuse.tdigest import build_tdigest
 
     orders = _t(spark, sf_dir, "orders")
     td = build_tdigest(orders.select(F.col("o_totalprice").alias("value")))
-    qs = [0.1, 0.5, 0.9, 0.99]
-    return spark.createDataFrame(
-        [(q, float(td.quantile(q))) for q in qs], "q double, est double"
-    )
+    ests = {q: float(td.quantile(q)) for q in (0.1, 0.5, 0.9, 0.99)}
+    return _rank_invariant(orders, "o_totalprice", ests, 0.015)
 
 
 def q_kll_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable KLL quantiles of events.value (rows-only; pytest asserts
-    the O(1/k) rank-error bound vs exact)."""
+    """Mergeable KLL quantiles of events.value, checked as the O(1/k)
+    rank-error invariant (< 2.5%, the pytest bound) against the exact CDF."""
     from sparkfuse.kll import build_kll
 
     events = _t(spark, sf_dir, "events")
     s = build_kll(events.select(F.col("value")), "value")
-    qs = [0.1, 0.5, 0.9]
-    return spark.createDataFrame(
-        [(q, float(s.quantile(q))) for q in qs], "q double, est double"
-    )
+    ests = {q: float(s.quantile(q)) for q in (0.1, 0.5, 0.9)}
+    return _rank_invariant(events, "value", ests, 0.025)
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 neighbors via IVF (k-means coarse quantizer +
-    bucket-bounded exact rerank; rows-only, recall pytest-verified)."""
-    from sparkfuse.similarity import ivf_topk
+    """IVF ANN top-5 (k-means quantizer + bucket rerank), oracle-checked as a
+    recall invariant vs the exact knn twin (>= 40% pair recall, pytest bound)."""
+    from sparkfuse.similarity import ivf_topk, knn_topk
 
-    return ivf_topk(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        list(range(10)), k=5, n_centroids=8, n_probe=3,
+    emb = _t(spark, sf_dir, "embeddings")
+    qids = list(range(10))
+    exact = knn_topk(emb, "vec_id", "embedding", qids, k=5)
+    approx = ivf_topk(
+        emb, "vec_id", "embedding", qids, k=5, n_centroids=8, n_probe=3
     )
+    return _ann_recall_invariant(exact, approx, 2, 5)
+
+
+def q_fuse8_members_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big-forest probe path: same exact-membership semantics as
+    q_fuse8_members but probed via the shard-routed cogroup join against the
+    forest TABLE (probe.exact_member_routed) — no driver collect, no
+    broadcast. Identical oracle because routed ≡ broadcast verdicts."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    forest_df = build_forest(
+        orders.select(F.col("o_custkey").alias("key")), kind="fuse", width=8,
+        shard_bits=2,
+    )
+    return exact_member_routed(
+        customer, "c_custkey", orders, "o_custkey", forest_df
+    ).select("c_custkey")
+
+
+def q_stream_compact_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming epoch forest, compacted, then probed: orders keys arrive as
+    two micro-batch files, stream_forest appends per-epoch shard filters,
+    compact_forest rebuilds one forest over the deduped keys, and membership
+    is the usual exact prescreen + semi-join. Deterministic builds make the
+    whole chain oracle-checkable with the same IN-subquery SQL."""
+    import tempfile
+
+    from sparkfuse.probe import approx_contains_udf
+    from sparkfuse.streaming import compact_forest, stream_forest
+
+    base = tempfile.mkdtemp(prefix="sparkfuse_stream_q_")
+    src = f"{base}/src"
+    _os.makedirs(src, exist_ok=True)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    pdf = orders.select("o_custkey").toPandas()
+    half = len(pdf) // 2
+    # flat files (not Spark directory outputs) so the file source streams them
+    pdf.iloc[:half].to_parquet(f"{src}/epoch_a.parquet", index=False)
+    pdf.iloc[half:].to_parquet(f"{src}/epoch_b.parquet", index=False)
+    stream = (
+        spark.readStream.schema("o_custkey long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_forest(
+        stream, f"{base}/forest", f"{base}/ck", ["o_custkey"], shard_bits=2
+    )
+    q.awaitTermination()
+    keys = orders.select(F.xxhash64("o_custkey").alias("key"))
+    compacted = compact_forest(
+        spark, keys, f"{base}/forest", f"{base}/compacted", shard_bits=2
+    )
+    forest = Forest.from_df(compacted)
+    # probe keys hash the same way the stream hashed build keys (xxhash64)
+    pre = customer.filter(
+        approx_contains_udf(forest, spark)(F.xxhash64("c_custkey"))
+    )
+    build_keys = orders.select(F.col("o_custkey").alias("c_custkey")).dropDuplicates()
+    return pre.join(build_keys, "c_custkey", "left_semi").select("c_custkey")
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -341,6 +521,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tdigest_price_quantiles": q_tdigest_price_quantiles,
     "kll_event_values": q_kll_event_values,
     "ivf_ann_topk": q_ivf_topk,
+    "fuse8_members_routed": q_fuse8_members_routed,
+    "stream_compact_members": q_stream_compact_members,
 }
 
 
@@ -411,11 +593,53 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_near_dups": _ngram_oracle(),
         "knn_topk": _knn_oracle(),
-        # minhash_lsh_candidates / simhash_fingerprints / ann_lsh_topk are
-        # intentionally absent: approximate operators whose hashes are not
-        # SQL-expressible; the driver records rows-only checks, and pytest
-        # verifies them against the exact twins above
-        # (tests/test_pipeline_ops.py).
+        # Approximate operators (LSH/ANN/sketches) are oracle-checked as
+        # INVARIANTS: the Spark query computes the exact twin AND the
+        # approximate result in-query and returns (exact aggregate, bound
+        # boolean); the oracle recomputes the exact aggregate in SQL and
+        # asserts the boolean as a literal. A hash match therefore certifies
+        # both the exact computation and that the approximation met its
+        # published bound.
+        "minhash_lsh_candidates": (
+            f"WITH pairs AS ({_ngram_oracle()}) "
+            "SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok FROM pairs"
+        ),
+        "simhash_fingerprints": (
+            "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct_texts, "
+            "TRUE AS consistent_ok, TRUE AS separation_ok FROM documents"
+        ),
+        "ann_lsh_topk": (
+            f"WITH ex AS ({_knn_oracle()}) "
+            "SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM ex"
+        ),
+        "ivf_ann_topk": (
+            f"WITH ex AS ({_knn_oracle()}) "
+            "SELECT COUNT(*) AS n_exact, TRUE AS recall_ok FROM ex"
+        ),
+        "hll_distinct_users": (
+            "SELECT COUNT(DISTINCT user_id) AS exact_distinct, "
+            "TRUE AS within_bound FROM events"
+        ),
+        "cms_user_counts": (
+            "SELECT user_id, COUNT(*) AS exact_events, TRUE AS ok "
+            "FROM events WHERE user_id < 10 GROUP BY user_id"
+        ),
+        "tdigest_price_quantiles": (
+            "SELECT CAST(q AS DOUBLE) AS q, ok FROM (VALUES "
+            "(0.1, TRUE), (0.5, TRUE), (0.9, TRUE), (0.99, TRUE)) AS t(q, ok)"
+        ),
+        "kll_event_values": (
+            "SELECT CAST(q AS DOUBLE) AS q, ok FROM (VALUES "
+            "(0.1, TRUE), (0.5, TRUE), (0.9, TRUE)) AS t(q, ok)"
+        ),
+        "fuse8_members_routed": (
+            "SELECT c_custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "stream_compact_members": (
+            "SELECT c_custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
     }
 
 
