@@ -158,7 +158,49 @@ def _xor_slots(hashes: np.ndarray, p: XorParams) -> np.ndarray:
 # vectorized frontier peeling (shared by fuse and xor builds)
 # ---------------------------------------------------------------------------
 
-def _peel_and_assign(hashes: np.ndarray, slots_fn, capacity: int, dtype):
+class BuildWorkspace:
+    """Reusable grow-only scratch buffers — the numpy analog of the Go
+    builder's cross-build buffer reuse (C5/C11: NewBinaryFuse8Builder /
+    reuseBuffer, /root/reference/binaryfusefilter.go:45-79, zero-alloc test
+    binaryfusefilter_test.go:398-422).
+
+    A buffer is reallocated only when a request outgrows it, so retry
+    attempts within one build AND successive shard builds inside the same
+    Spark python worker process (applyInPandas feeds a task's groups through
+    one process sequentially) run allocation-free after warm-up — this is
+    where many-tiny-shard forests spend their per-attempt fixed costs.
+
+    Not thread-safe by design: a PySpark worker process executes one task at
+    a time; driver-side concurrent builders should pass their own instance.
+    """
+
+    def __init__(self):
+        self._bufs: dict[str, np.ndarray] = {}
+
+    def get(self, name: str, size: int, dtype) -> np.ndarray:
+        """An uninitialized view of ``size`` elements (grow-only backing)."""
+        arr = self._bufs.get(name)
+        if arr is None or arr.size < size or arr.dtype != np.dtype(dtype):
+            arr = np.empty(max(size, 1), dtype=dtype)
+            self._bufs[name] = arr
+        return arr[:size]
+
+    def zeros(self, name: str, size: int, dtype) -> np.ndarray:
+        arr = self.get(name, size, dtype)
+        arr.fill(0)
+        return arr
+
+    def nbytes(self) -> int:
+        return sum(a.nbytes for a in self._bufs.values())
+
+
+# process-global workspace: reused across every build in this worker
+_DEFAULT_WS = BuildWorkspace()
+
+
+def _peel_and_assign(
+    hashes: np.ndarray, slots_fn, capacity: int, dtype, ws: BuildWorkspace
+):
     """One construction attempt. Returns fingerprint array or None on failure.
 
     Frontier peeling: every slot holding exactly one remaining key is peeled
@@ -167,6 +209,10 @@ def _peel_and_assign(hashes: np.ndarray, slots_fn, capacity: int, dtype):
     key's other slots hold >= that key, so no other round-member can alias
     it), which also makes the reverse per-round fingerprint assignment
     conflict-free.
+
+    All scratch (counts, xor accumulator, stacks, repeated-hash buffer) lives
+    in ``ws``; only the returned fingerprint array is freshly allocated (it
+    is owned by the filter).
     """
     n = len(hashes)
     if n == 0:
@@ -177,12 +223,15 @@ def _peel_and_assign(hashes: np.ndarray, slots_fn, capacity: int, dtype):
     # fused xor.at call beats one per lane (ufunc.at has ~0.1ms fixed cost,
     # and the peel makes ~n/2k rounds of small calls — see PLANS.md)
     flat = slots.reshape(-1)
-    count = np.bincount(flat, minlength=capacity).astype(np.int32)
-    hxor = np.zeros(capacity, dtype=np.uint64)
-    np.bitwise_xor.at(hxor, flat, np.tile(hashes, arity))
+    count = ws.get("count", capacity, np.int32)
+    np.copyto(count, np.bincount(flat, minlength=capacity), casting="unsafe")
+    hxor = ws.zeros("hxor", capacity, np.uint64)
+    rep = ws.get("rep", arity * n, np.uint64)
+    rep.reshape(arity, n)[:] = hashes  # broadcast fill, no tile alloc
+    np.bitwise_xor.at(hxor, flat, rep)
 
-    stack_hash = np.empty(n, dtype=np.uint64)
-    stack_slot = np.empty(n, dtype=np.int64)
+    stack_hash = ws.get("stack_hash", n, np.uint64)
+    stack_slot = ws.get("stack_slot", n, np.int64)
     frontiers: list[tuple[int, int, np.ndarray]] = []  # (start, end, slot cache)
     stacked = 0
 
@@ -203,8 +252,13 @@ def _peel_and_assign(hashes: np.ndarray, slots_fn, capacity: int, dtype):
         g = slots_fn(uh)
         frontiers.append((stacked - m, stacked, g))
         touched = g.reshape(-1)
-        np.add.at(count, touched, -1)
-        np.bitwise_xor.at(hxor, touched, np.tile(uh, arity))
+        # np.int32 scalar addend keeps ufunc.at on the fast same-dtype inner
+        # loop; a Python int forces a buffered casting path ~12x slower
+        # (measured 431us vs 35us per ~1.8k-key round, numpy 1.26)
+        np.add.at(count, touched, np.int32(-1))
+        r = rep[: arity * m]
+        r.reshape(arity, m)[:] = uh
+        np.bitwise_xor.at(hxor, touched, r)
         cand = np.unique(touched[count[touched] == 1])
 
     if stacked != n:
@@ -224,7 +278,9 @@ def _peel_and_assign(hashes: np.ndarray, slots_fn, capacity: int, dtype):
 # public builds
 # ---------------------------------------------------------------------------
 
-def build_fuse(keys, width: int = 8, arity: int = 3) -> tuple[FuseFilter, int]:
+def build_fuse(
+    keys, width: int = 8, arity: int = 3, workspace: BuildWorkspace | None = None
+) -> tuple[FuseFilter, int]:
     """Build a binary fuse filter over u64 keys (vectorized).
 
     Semantics mirrored from buildBinaryFuse
@@ -234,8 +290,10 @@ def build_fuse(keys, width: int = 8, arity: int = 3) -> tuple[FuseFilter, int]:
     (/root/reference/binaryfusefilter_test.go:113-119); MAX_ITERATIONS bound.
 
     Returns ``(filter, iterations)`` — the iteration count feeds the
-    per-shard lineage column (C12).
+    per-shard lineage column (C12). Scratch comes from ``workspace``
+    (default: the process-global one, reused across builds — C5).
     """
+    ws = workspace if workspace is not None else _DEFAULT_WS
     dtype = _dtype_for_width(width)
     ukeys = np.unique(np.asarray(keys, dtype=np.uint64))
     size = len(ukeys)
@@ -261,6 +319,7 @@ def build_fuse(keys, width: int = 8, arity: int = 3) -> tuple[FuseFilter, int]:
             lambda h, p=params: _fuse_slots(h, p),
             params.array_length,
             dtype,
+            ws,
         )
         if fp is not None:
             return FuseFilter(
@@ -276,13 +335,16 @@ def build_fuse(keys, width: int = 8, arity: int = 3) -> tuple[FuseFilter, int]:
     # unreachable
 
 
-def build_xor(keys, width: int = 8) -> tuple[XorFilter, int]:
+def build_xor(
+    keys, width: int = 8, workspace: BuildWorkspace | None = None
+) -> tuple[XorFilter, int]:
     """Build an xor filter (vectorized), width 8 ("xor8") or 16 ("xor16").
 
     Mirrors Populate (/root/reference/xorfilter.go:109-280): errors on an
     empty set (:110-113), capacity 32+ceil(1.23n) floored to x3, retries on
     a deterministic reseed schedule. Returns ``(filter, iterations)``.
     """
+    ws = workspace if workspace is not None else _DEFAULT_WS
     dtype = _dtype_for_width(width, allowed=(8, 16))
     ukeys = np.unique(np.asarray(keys, dtype=np.uint64))
     size = len(ukeys)
@@ -302,6 +364,7 @@ def build_xor(keys, width: int = 8) -> tuple[XorFilter, int]:
             lambda h, p=params: _xor_slots(h, p),
             params.array_length,
             dtype,
+            ws,
         )
         if fp is not None:
             return XorFilter(

@@ -9,6 +9,7 @@ import pytest
 
 from sparkfuse.hashing import splitmix64_fill
 from sparkfuse.kernels import (
+    BuildWorkspace,
     build_fuse,
     build_fuse_reference_order,
     build_xor,
@@ -231,3 +232,43 @@ def test_reference_order_membership_parity():
     assert a.contains(keys).all() and b.contains(keys).all()
     # identical layout parameters and seed schedule outcome
     assert (a.segment_length, a.segment_count) == (b.segment_length, b.segment_count)
+
+
+# ---------------------------------------------------------------------------
+# C5 workspace reuse (Go builder reuseBuffer analog,
+# /root/reference/binaryfusefilter_test.go:398-422 zero-alloc test)
+# ---------------------------------------------------------------------------
+
+def _buf_addrs(ws):
+    return {k: v.__array_interface__["data"][0] for k, v in ws._bufs.items()}
+
+
+def test_workspace_zero_realloc_across_builds():
+    ws = BuildWorkspace()
+    keys = splitmix64_fill(MID, counter_start=5)
+    build_fuse(keys, width=8, workspace=ws)
+    build_fuse(keys, width=16, arity=4, workspace=ws)  # largest rep demand
+    warm = _buf_addrs(ws)
+    warm_bytes = ws.nbytes()
+    # same-size and smaller builds (fuse AND xor share the workspace) must
+    # not allocate new scratch
+    for n in (MID, MID // 2, SMALL):
+        k = splitmix64_fill(n, counter_start=n)
+        build_fuse(k, width=8, workspace=ws)
+        build_fuse(k, width=16, arity=4, workspace=ws)
+        build_xor(k, width=8, workspace=ws)
+    assert _buf_addrs(ws) == warm
+    assert ws.nbytes() == warm_bytes
+
+
+def test_workspace_does_not_change_output():
+    keys = splitmix64_fill(MID, counter_start=9)
+    fresh, it_fresh = build_fuse(keys, width=8, workspace=BuildWorkspace())
+    dirty_ws = BuildWorkspace()
+    # dirty the workspace with unrelated builds first
+    build_fuse(splitmix64_fill(3000, counter_start=1), width=32, workspace=dirty_ws)
+    build_xor(splitmix64_fill(777, counter_start=2), width=16, workspace=dirty_ws)
+    reused, it_reused = build_fuse(keys, width=8, workspace=dirty_ws)
+    assert it_fresh == it_reused
+    assert fresh.seed == reused.seed
+    assert np.array_equal(fresh.fingerprints, reused.fingerprints)
