@@ -22,8 +22,14 @@ from pyspark.sql import functions as F
 
 from sparkfuse.forest import Forest, build_forest
 from sparkfuse.bloom import build_bloom
+from sparkfuse.dedup import ngram_jaccard_pairs
 from sparkfuse.keys import extract_keys
-from sparkfuse.probe import approx_contains_udf, exact_member_semi_join
+from sparkfuse.probe import (
+    approx_contains_routed,
+    approx_contains_udf,
+    exact_member_semi_join,
+    forest_payload_bytes,
+)
 from sparkfuse.session import get_spark
 from sparkfuse.synth import synth_transcripts
 
@@ -106,6 +112,53 @@ def main_bench():
         )
     )
     queries["transcripts_dedup_build"] = t
+
+    # routed probe: forest deliberately sized PAST the 10 MB default
+    # autoBroadcastJoinThreshold (12M keys -> ~13.6 MB fuse8 payload), probed
+    # via the shard-cogroup path — no driver collect, no broadcast
+    big_keys = spark.range(12_000_000).select(
+        F.xxhash64(F.col("id") + 7).alias("key")
+    )
+    big_forest = build_forest(big_keys, shard_bits=5).cache()
+    nbytes = forest_payload_bytes(big_forest)  # materializes the build
+    assert nbytes > 10 * 1024 * 1024, nbytes
+    n_routed = 10_000_000
+    routed_probes = spark.range(n_routed).select(F.xxhash64("id").alias("key"))
+    t, _ = _timed(
+        lambda: approx_contains_routed(routed_probes, "key", big_forest)
+        .filter(F.col("maybe_member"))
+        .count()
+    )
+    queries["probe_routed_10m"] = t
+    extra["probe_routed_keys_per_sec"] = n_routed / t
+    extra["routed_forest_mb"] = nbytes / 1024 / 1024
+    big_forest.unpersist()
+
+    # near-dup scale preset on a boilerplate-skewed corpus (PLANS.md par.5a):
+    # every doc shares an 11-token header; stop-shingle pruning keeps the
+    # candidate set O(near-dups) instead of O(hot-shingle^2)
+    boiler = "click here to accept all cookies and continue browsing our site"
+    uniques = spark.range(2_000).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " unique content piece number "),
+            F.col("id").cast("string"),
+            F.lit(" alpha beta gamma delta"),
+        ).alias("text"),
+    )
+    # 50 planted near-dup pairs with rare bodies (one trailing token differs)
+    planted = spark.range(50).select(F.col("id").alias("j")).selectExpr(
+        "explode(array("
+        "  struct(1000000 + 2*j AS doc_id, concat('" + boiler + " rare document body ', j, ' with several distinctive tokens one') AS text),"
+        "  struct(1000001 + 2*j AS doc_id, concat('" + boiler + " rare document body ', j, ' with several distinctive tokens two') AS text)"
+        ")) AS r"
+    ).select("r.doc_id", "r.text")
+    corpus = uniques.unionByName(planted)
+    t, n_pairs = _timed(
+        lambda: ngram_jaccard_pairs(corpus, "doc_id", "text", scale=True).count()
+    )
+    queries["ngram_neardup_scale"] = t
+    extra["ngram_scale_pairs"] = float(n_pairs)
 
     keys.unpersist()
     total = sum(queries.values())

@@ -59,6 +59,16 @@ def shingles_col(text_col: str, k: int = 3):
     return F.when(n >= k, F.array_distinct(gram)).otherwise(empty)
 
 
+# Stop-shingle document-frequency cap for the scale preset. A shingle seen
+# in d docs emits d(d-1)/2 candidate pairs, so ONE boilerplate shingle across
+# a 10^9-doc corpus emits ~5*10^17 pairs — the cutoff bounds per-shingle
+# fan-out at ~8k pairs. A true near-dup pair at J >= 1/2 shares roughly a
+# third of its shingles; it is missed only if EVERY shared shingle clears the
+# cutoff, i.e. the overlap is pure boilerplate (measured on the skewed bench
+# corpus: planted near-dups keep recall 1.0 — see PLANS.md §5a).
+DEFAULT_STOP_SHINGLE_DF = 128
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -66,6 +76,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: Fraction = Fraction(1, 2),
     df_cutoff: int | None = None,
+    scale: bool = False,
 ) -> DataFrame:
     """EXACT near-duplicate pairs (id_a < id_b) with shingle-set Jaccard >=
     threshold.
@@ -76,9 +87,16 @@ def ngram_jaccard_pairs(
     integer-exact Jaccard test. ``df_cutoff`` drops shingles appearing in
     more than that many docs before the join — the standard stop-shingle
     pruning for web-scale corpora; pairs sharing ONLY ultra-common shingles
-    can be missed, so it is off by default (exactness first, opt-in at
-    scale).
+    can be missed, so it is off by default (exactness first).
+
+    ``scale=True`` is the documented web-scale preset: it applies
+    DEFAULT_STOP_SHINGLE_DF (unless df_cutoff is given explicitly), keeping
+    the candidate set O(near-dups + bounded skew) instead of O(hot-shingle²).
+    Note the Jaccard verification stays exact over the FULL shingle sets —
+    the cutoff only prunes candidate *generation*.
     """
+    if scale and df_cutoff is None:
+        df_cutoff = DEFAULT_STOP_SHINGLE_DF
     # no .cache(): the shingle projection is pure codegen over the scan, and
     # pinning shingle arrays (larger than the text) in executor storage for
     # the app lifetime is worse than recomputing them in each join branch

@@ -11,6 +11,7 @@ from sparkfuse.dedup import (
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_oracle_sql,
+    shingles_col,
 )
 from sparkfuse.multimodal import (
     FEATURE_DIM,
@@ -146,6 +147,46 @@ def test_minhash_lsh_recall(spark, docs):
 def test_minhash_lsh_rejects_indivisible_bands(spark, docs):
     with pytest.raises(ValueError, match="divisible"):
         minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=20, bands=8)
+
+
+def test_ngram_scale_preset_survives_hot_shingles(spark):
+    """Skew test: every doc shares one boilerplate phrase (a corpus-wide hot
+    shingle). The scale preset must (a) still find every planted near-dup —
+    their identifying shingles are rare — and (b) never invent pairs the
+    exact path lacks (pruning only removes candidates).
+    """
+    boiler = "click here to accept all cookies and continue"
+    rows = []
+    # 300 distinct docs, all sharing the boilerplate (hot shingles df=300)
+    for i in range(300):
+        rows.append((i, f"{boiler} unique content piece number {i} alpha beta"))
+    # 10 planted near-dup pairs: same rare content, one token differs
+    for j in range(10):
+        base = f"rare document body {j} with several distinctive tokens here"
+        rows.append((1000 + 2 * j, f"{boiler} {base} one"))
+        rows.append((1001 + 2 * j, f"{boiler} {base} two"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = set(
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text").collect()
+    )
+    pruned = set(
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", scale=True).collect()
+    )
+    planted = {(1000 + 2 * j, 1001 + 2 * j) for j in range(10)}
+    assert planted <= exact
+    assert planted <= pruned  # recall 1.0 on planted near-dups under pruning
+    assert pruned <= exact  # pruning may only ever REMOVE pairs, never add
+    # and the fixture really contains stop-shingles (df > cutoff)
+    from sparkfuse.dedup import DEFAULT_STOP_SHINGLE_DF
+
+    inv = docs.select(F.explode(shingles_col("text")).alias("g"))
+    hot = inv.groupBy("g").count().filter(
+        F.col("count") > DEFAULT_STOP_SHINGLE_DF
+    ).count()
+    assert hot > 0
 
 
 # ---------------------------------------------------------------------------
