@@ -52,8 +52,11 @@ _SPARK_LAYER = {
     "build_forest_resumable": ("sparkfuse.forest", "build_forest_resumable"),
     "write_forest": ("sparkfuse.forest", "write_forest"),
     "approx_contains": ("sparkfuse.probe", "approx_contains"),
+    "approx_contains_routed": ("sparkfuse.probe", "approx_contains_routed"),
     "exact_member_semi_join": ("sparkfuse.probe", "exact_member_semi_join"),
+    "exact_member_routed": ("sparkfuse.probe", "exact_member_routed"),
     "exact_anti_join": ("sparkfuse.probe", "exact_anti_join"),
+    "probe_forest": ("sparkfuse.probe", "probe_forest"),
     "get_spark": ("sparkfuse.session", "get_spark"),
 }
 

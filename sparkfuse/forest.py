@@ -281,14 +281,25 @@ class Forest:
         # Exact-duplicate shard rows (replayed streaming epochs under the
         # documented at-least-once append, or a doubled resumable append) are
         # byte-identical by determinism — drop them so nkeys/size stats count
-        # each shard payload once.
-        seen: set = set()
+        # each shard payload once. Same shard with DIFFERENT content is not a
+        # replay but a corrupted/mixed sink (e.g. two different key sets
+        # appended to one path, or an epoch sink read without EpochForest):
+        # silently keeping one filter would produce false negatives, so fail.
+        seen: dict = {}
         deduped = []
         for r in rows:
-            ident = (int(r["shard"]), r["content_sha256"])
-            if ident in seen:
+            shard = int(r["shard"])
+            sha = r["content_sha256"]
+            prev = seen.get(shard)
+            if prev == sha:
                 continue
-            seen.add(ident)
+            if prev is not None:
+                raise ValueError(
+                    f"conflicting payloads for shard {shard}: the sink holds "
+                    "multiple different filters per shard (mixed builds, or "
+                    "an epoch-appended sink — read those with EpochForest)"
+                )
+            seen[shard] = sha
             deduped.append(r)
         rows = deduped
         self.filters = {}

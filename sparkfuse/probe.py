@@ -159,6 +159,8 @@ def approx_contains_routed(
     cols = list(probe_df.columns)
     if out in cols:
         raise ValueError(f"output column {out!r} already exists")
+    if "_sf_shard" in cols:
+        raise ValueError("probe_df already has a '_sf_shard' column (reserved)")
     out_schema = StructType(
         list(probe_df.schema.fields) + [StructField(out, BooleanType(), False)]
     )
@@ -168,12 +170,21 @@ def approx_contains_routed(
         if len(forest_pdf) == 0 or len(res) == 0:
             verdict = np.zeros(len(res), dtype=bool)
         else:
-            # duplicate shard rows are byte-identical by determinism
-            row = forest_pdf.iloc[0]
+            # replayed appends are byte-identical (deterministic builds);
+            # different payloads for one shard mean a mixed/corrupted sink,
+            # where picking one filter would yield false negatives — fail
+            payloads = {bytes(p) for p in forest_pdf["payload"]}
+            if len(payloads) > 1:
+                raise ValueError(
+                    "conflicting payloads for one shard in the forest table "
+                    "(mixed builds, or an epoch-appended sink — read those "
+                    "with EpochForest)"
+                )
+            (payload,) = payloads
             if kind == "fuse":
-                filt = load_fuse_bytes(bytes(row["payload"]), width=width, arity=arity)
+                filt = load_fuse_bytes(payload, width=width, arity=arity)
             else:
-                filt = load_xor_bytes(bytes(row["payload"]))
+                filt = load_xor_bytes(payload)
             verdict = _probe_one(filt, to_u64(res[key].to_numpy()))
         return res.assign(**{out: verdict})
 
@@ -239,20 +250,41 @@ def probe_forest(
     Threshold defaults to the session's ``spark.sql.autoBroadcastJoinThreshold``
     (10 MB unless tuned) — the same knob that governs Spark's own
     broadcast-vs-shuffle join choice, reused for the same tradeoff.
+
+    NOTE: planning materializes the forest (one aggregate over payload
+    sizes), and the chosen path materializes it again — persist/cache a
+    lazily-built ``forest_df`` (or read it from its sink) before calling, or
+    the shard builds run twice.
     """
     if broadcast_threshold is None:
         broadcast_threshold = 10 * 1024 * 1024
         if spark is not None:
             raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-            try:
-                broadcast_threshold = int(raw.rstrip("bB").rstrip("kKmMgG")) * {
-                    "k": 1024, "m": 1024**2, "g": 1024**3
-                }.get(raw.rstrip("bB")[-1:].lower(), 1)
-            except (ValueError, IndexError):
-                pass
+            broadcast_threshold = _parse_byte_string(raw)
     if broadcast_threshold >= 0 and forest_payload_bytes(forest_df) <= broadcast_threshold:
         return approx_contains(probe_df, key, Forest.from_df(forest_df), spark, out=out)
     return approx_contains_routed(probe_df, key, forest_df, out=out)
+
+
+_BYTE_SUFFIXES = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3,
+                  "t": 1024**4, "p": 1024**5}
+
+
+def _parse_byte_string(raw: str) -> int:
+    """Spark byte-string grammar (JavaUtils.byteStringAsBytes): optional
+    b/k/m/g/t/p suffix, case-insensitive; bare numbers are bytes. Raises on
+    anything else instead of silently substituting a default."""
+    s = str(raw).strip().lower()
+    mult = 1
+    if s and s[-1] in _BYTE_SUFFIXES:
+        mult = _BYTE_SUFFIXES[s[-1]]
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        raise ValueError(
+            f"unparseable byte string {raw!r} for autoBroadcastJoinThreshold"
+        ) from None
 
 
 def verify_sample(

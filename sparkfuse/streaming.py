@@ -195,6 +195,11 @@ def streaming_first_seen(
         raise ValueError(f"state_shards must be >= 2, got {state_shards}")
     # Non-power-of-two shard counts round UP to the next power of two (shard
     # id is a top-bits slice, so the group count must be 2^bits): 100 -> 128.
+    # CAUTION: the effective shard count is part of the state layout — a
+    # restart that changes it (e.g. new code rounding differently, or a
+    # different state_shards) re-groups keys against the wrong seen-sets and
+    # silently re-emits old keys. Keep state_shards fixed (ideally a power of
+    # two) for the lifetime of a checkpoint.
     shard_bits = (state_shards - 1).bit_length()
     keyed = stream_df.select(F.xxhash64(*key_cols).alias("key")).withColumn(
         "_shard",

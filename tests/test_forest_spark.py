@@ -251,6 +251,42 @@ def test_forest_stats_dedup_replayed_rows(spark):
     assert twice.bits_per_entry() == once.bits_per_entry()
 
 
+def test_forest_rejects_conflicting_shard_payloads(spark):
+    # two DIFFERENT builds appended to one sink is a mixed sink, not a
+    # replay: picking either filter silently false-negatives the other's
+    # keys, so both probe paths must fail loudly
+    a = build_forest(_keys_df(spark, 5_000, seed=1), shard_bits=1)
+    b = build_forest(_keys_df(spark, 5_000, seed=2), shard_bits=1)
+    mixed = a.unionByName(b).cache()
+    with pytest.raises(ValueError, match="conflicting|Epoch"):
+        Forest.from_df(mixed)
+    with pytest.raises(Exception) as exc_info:
+        approx_contains_routed(
+            _keys_df(spark, 1_000, seed=1), "key", mixed, out="m"
+        ).collect()
+    assert "conflicting" in str(exc_info.value)
+    mixed.unpersist()
+
+
+def test_parse_byte_string_grammar():
+    from sparkfuse.probe import _parse_byte_string
+
+    assert _parse_byte_string("10485760") == 10 * 1024 * 1024
+    assert _parse_byte_string("10m") == 10 * 1024 * 1024
+    assert _parse_byte_string("10MB".rstrip("B")) == 10 * 1024 * 1024
+    assert _parse_byte_string("1t") == 1024**4
+    assert _parse_byte_string("-1") == -1
+    with pytest.raises(ValueError, match="unparseable"):
+        _parse_byte_string("ten megabytes")
+
+
+def test_routed_probe_rejects_reserved_column(spark):
+    keys = _keys_df(spark, 1_000).withColumn("_sf_shard", F.lit(0))
+    forest_df = build_forest(_keys_df(spark, 1_000), shard_bits=1)
+    with pytest.raises(ValueError, match="_sf_shard"):
+        approx_contains_routed(keys, "key", forest_df)
+
+
 def test_resumable_propagates_corrupt_sink(spark, tmp_path):
     # a sink that EXISTS but cannot be read is an error, not "absent":
     # appending a fresh full build onto it would mask corruption
