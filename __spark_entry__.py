@@ -503,6 +503,27 @@ def q_stream_compact_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.join(build_keys, "c_custkey", "left_semi").select("c_custkey")
 
 
+def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs, round-to-6
+    determinism contract) — the embedding-space member of the dedup ladder."""
+    from sparkfuse.similarity import cosine_pairs
+
+    return cosine_pairs(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4)
+
+
+def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprints (MOSS scheme), aggregated
+    per doc as (n_fps, fp_xor) — integer-exact, so the SQL twin matches
+    bit-for-bit. Substring-robust complement to whole-text fingerprinting."""
+    from sparkfuse.textops import winnow_fingerprints
+
+    fps = winnow_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.expr("bit_xor(fp)").alias("fp_xor"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuse8_members": q_fuse8_members,
     "fuse16_members": q_fuse16_members,
@@ -530,6 +551,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": q_ivf_topk,
     "fuse8_members_routed": q_fuse8_members_routed,
     "stream_compact_members": q_stream_compact_members,
+    "cosine_near_dups": q_cosine_near_dups,
+    "winnow_fingerprints": q_winnow_fps,
 }
 
 
@@ -647,6 +670,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),
+        "cosine_near_dups": _cosine_oracle(),
+        "winnow_fingerprints": _winnow_oracle(),
     }
 
 
@@ -666,3 +691,20 @@ def _knn_oracle() -> str:
     from sparkfuse.similarity import knn_topk_oracle_sql
 
     return knn_topk_oracle_sql("embeddings", "vec_id", "embedding", list(range(10)), k=5)
+
+
+def _cosine_oracle() -> str:
+    from sparkfuse.similarity import cosine_pairs_oracle_sql
+
+    return cosine_pairs_oracle_sql("embeddings", "vec_id", "embedding", 0.4)
+
+
+def _winnow_oracle() -> str:
+    from sparkfuse.textops import winnow_fingerprints_oracle_sql
+
+    inner = winnow_fingerprints_oracle_sql("documents", "doc_id", "text")
+    return (
+        f"WITH fps AS ({inner}) "
+        "SELECT doc_id, COUNT(*) AS n_fps, bit_xor(fp) AS fp_xor "
+        "FROM fps GROUP BY doc_id"
+    )

@@ -74,18 +74,42 @@ def _rerank(cand: DataFrame, base: DataFrame, k: int) -> DataFrame:
 def cosine_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
-    """Exact all-pairs with cosine >= threshold (id_a < id_b). The rerank
-    primitive; O(n^2) — bound n upstream (bucket/broadcast) at scale."""
+    """Exact all-pairs with cosine >= threshold (id_a < id_b) — the
+    embedding-space near-duplicate operator. The comparison uses
+    ``round(cos, 6)`` so the result SET is identical across engines (same
+    determinism contract as knn_topk), making the brute-force SQL twin a
+    valid oracle. O(n^2) — bound n upstream (bucket/broadcast) at scale;
+    ``ann_lsh_topk``/``ivf_topk`` are the candidate-bounded paths.
+    """
     base = with_norm(df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v")
     a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na"))
     b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")))
+        .withColumn(
+            "cos",
+            F.round(cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def cosine_pairs_oracle_sql(
+    table: str, id_col: str, vec_col: str, threshold: float
+) -> str:
+    """DuckDB twin of cosine_pairs (same round-to-6 determinism contract)."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS _id, {vec_col}::DOUBLE[] AS _v,
+         sqrt(list_inner_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[])) AS _n
+  FROM {table}
+)
+SELECT a._id AS id_a, b._id AS id_b
+FROM base a JOIN base b ON a._id < b._id
+WHERE round(list_inner_product(a._v, b._v) / (a._n * b._n), 6) >= {threshold}
+"""
 
 
 def knn_topk(

@@ -172,3 +172,92 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def hamming64(a: Column, b: Column) -> Column:
     """Population count of (a XOR b) — JVM-side, for simhash joins."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# Winnowing rolling-hash parameters: Horner base 256 over character code
+# points, prime modulus < 2^31 so every intermediate (h*256 + code < 2^39)
+# stays ANSI-safe in Spark and exact in DuckDB BIGINT — the integer-exact
+# cross-engine contract the oracle needs.
+WINNOW_BASE = 256
+WINNOW_MOD = 1_000_000_007
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS rolling-hash scheme): polynomial rolling hash of every char
+    k-gram, then the minimum hash of each window of ``window`` consecutive
+    k-grams; the distinct minima are the document's fingerprint set.
+
+    Guarantee: two documents sharing any substring of length >= k+window-1
+    share at least one fingerprint — the substring-robust complement to the
+    whole-text xxhash64 ``fingerprint`` (which any 1-char edit breaks).
+
+    Entirely JVM-side (sequence/transform/aggregate higher-order functions;
+    no Python, no shuffle — a pure per-row projection). Returns exploded
+    (id, fp) rows; docs shorter than k characters contribute no rows.
+    """
+    b = F.lit(WINNOW_BASE).cast("long")
+    p = F.lit(WINNOW_MOD).cast("long")
+    txt = F.col(text_col)
+    n = F.length(txt)
+
+    # One char-codes array per row, then the k-gram Horner as a fold of k-1
+    # zip_with passes over SHIFTED SLICES of it — each pass is one vectorized
+    # array op, vs a per-gram aggregate() re-reading chars via substring()
+    # (measured 60x slower). Stepwise mod keeps h*256 + code < 2^39.
+    codes = F.transform(F.split(txt, ""), lambda c: F.ascii(c).cast("long"))
+    m = n - (k - 1)  # gram count
+    grams = F.slice(codes, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(codes, j + 1, m), lambda h, c: (h * b + c) % p
+        )
+    grams = F.when(n >= k, grams).otherwise(F.array().cast("array<long>"))
+    n_g = F.size(grams)
+    # window minima as a least() fold over shifted gram slices, same trick
+    wc = n_g - (window - 1)  # window count
+    wins = F.slice(grams, 1, wc)
+    for j in range(1, window):
+        wins = F.zip_with(wins, F.slice(grams, j + 1, wc), lambda a, c: F.least(a, c))
+    wins = (
+        F.when(n_g >= window, wins)
+        .when(n_g > 0, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
+def winnow_fingerprints_oracle_sql(
+    table: str, id_col: str, text_col: str, k: int = 5, window: int = 4
+) -> str:
+    """DuckDB twin of winnow_fingerprints — identical stepwise-mod Horner
+    (list_reduce seeds with the first element; code_0 == 0*256 + code_0, so
+    the fold agrees with Spark's zero-seeded aggregate)."""
+    codes = ", ".join(
+        f"CAST(ord(substr({text_col}, i + {j}, 1)) AS BIGINT)" for j in range(k)
+    )
+    return f"""
+WITH g AS (
+  SELECT {id_col},
+         CASE WHEN length({text_col}) >= {k} THEN
+           [list_reduce([{codes}],
+                        (h, c) -> (h * {WINNOW_BASE} + c) % {WINNOW_MOD})
+            for i in range(1, length({text_col}) - {k - 2})]
+         ELSE [] END AS grams
+  FROM {table}
+),
+w AS (
+  SELECT {id_col},
+         CASE WHEN len(grams) >= {window} THEN
+           [list_min(list_slice(grams, i, i + {window - 1}))
+            for i in range(1, len(grams) - {window - 2})]
+         WHEN len(grams) > 0 THEN [list_min(grams)]
+         ELSE [] END AS wins
+  FROM g
+)
+SELECT {id_col}, unnest(list_distinct(wins)) AS fp FROM w
+"""

@@ -149,6 +149,40 @@ def test_minhash_lsh_rejects_indivisible_bands(spark, docs):
         minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=20, bands=8)
 
 
+def test_winnow_fingerprints_properties(spark, ddb):
+    from sparkfuse.textops import winnow_fingerprints, winnow_fingerprints_oracle_sql
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "tiny"),   # < k chars -> no fingerprints
+        (3, "exact"),  # exactly k chars -> one gram -> one fingerprint
+        (4, ""),
+        (5, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+        (6, "unrelated words entirely: spark parquet shuffle executor"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["doc_id"], r["fp"])
+        for r in winnow_fingerprints(df, "doc_id", "text").collect()
+    )
+    ddb.execute("CREATE OR REPLACE TABLE winnow_docs AS SELECT * FROM (VALUES "
+                + ",".join(f"({i}, '{t}')" for i, t in rows)
+                + ") t(doc_id, text)")
+    want = sorted(tuple(r) for r in ddb.execute(
+        winnow_fingerprints_oracle_sql("winnow_docs", "doc_id", "text")
+    ).fetchall())
+    assert got == want  # bit-exact cross-engine (integer rolling hash)
+    by_doc = {}
+    for d, fp in got:
+        by_doc.setdefault(d, set()).add(fp)
+    assert by_doc[0] == by_doc[5]               # identical text, identical set
+    assert by_doc[0] & by_doc[1]                # shared >=k+window-1 substring
+    assert 2 not in by_doc and 4 not in by_doc  # too short -> no fingerprints
+    assert len(by_doc[3]) == 1                  # exactly-k doc -> one fp
+    assert not (by_doc[0] & by_doc[6])          # unrelated docs don't collide
+
+
 def test_ngram_scale_preset_survives_hot_shingles(spark):
     """Skew test: every doc shares one boilerplate phrase (a corpus-wide hot
     shingle). The scale preset must (a) still find every planted near-dup —
