@@ -503,6 +503,14 @@ def q_stream_compact_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.join(build_keys, "c_custkey", "left_semi").select("c_custkey")
 
 
+def q_bpe_tok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting next to the whitespace count (pure
+    codegen; the lookahead-free pattern keeps Java regex == RE2)."""
+    from sparkfuse.textops import bpe_token_stats
+
+    return bpe_token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs, round-to-6
     determinism contract) — the embedding-space member of the dedup ladder."""
@@ -553,6 +561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_compact_members": q_stream_compact_members,
     "cosine_near_dups": q_cosine_near_dups,
     "winnow_fingerprints": q_winnow_fps,
+    "bpe_tok_stats": q_bpe_tok_stats,
 }
 
 
@@ -672,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_near_dups": _cosine_oracle(),
         "winnow_fingerprints": _winnow_oracle(),
+        "bpe_tok_stats": _bpe_oracle(),
     }
 
 
@@ -697,6 +707,12 @@ def _cosine_oracle() -> str:
     from sparkfuse.similarity import cosine_pairs_oracle_sql
 
     return cosine_pairs_oracle_sql("embeddings", "vec_id", "embedding", 0.4)
+
+
+def _bpe_oracle() -> str:
+    from sparkfuse.textops import bpe_token_stats_oracle_sql
+
+    return bpe_token_stats_oracle_sql("documents", "doc_id", "text")
 
 
 def _winnow_oracle() -> str:

@@ -174,6 +174,39 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+# BPE-ish pretokenizer regex (GPT-2-style segment classes: optional leading
+# space + letter run / digit run / punctuation run, else whitespace run).
+# Deliberately lookahead-free so Spark's Java regex and DuckDB's RE2 agree
+# token-for-token — the cross-engine oracle contract.
+BPE_SPLIT_REGEX = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting with a BPE-ish pretokenizer regex (the training-cost
+    estimator's unit), alongside the whitespace count for comparison. Pure
+    codegen: regexp_extract_all + size, no Python."""
+    toks = tokens_col(text_col)
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_REGEX), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(F.filter(bpe, lambda t: F.trim(t) != "")).cast("long").alias(
+            "n_bpe_tokens"
+        ),
+        F.size(toks).cast("long").alias("n_ws_tokens"),
+    )
+
+
+def bpe_token_stats_oracle_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin (RE2 regex, same lookahead-free pattern)."""
+    return (
+        f"SELECT {id_col}, "
+        f"len(list_filter(regexp_extract_all({text_col}, '{BPE_SPLIT_REGEX}'), "
+        "t -> trim(t) != '')) AS n_bpe_tokens, "
+        f"len(string_split_regex(trim({text_col}), '\\s+')) AS n_ws_tokens "
+        f"FROM {table}"
+    )
+
+
 # Winnowing rolling-hash parameters: Horner base 256 over character code
 # points, prime modulus < 2^31 so every intermediate (h*256 + code < 2^39)
 # stays ANSI-safe in Spark and exact in DuckDB BIGINT — the integer-exact

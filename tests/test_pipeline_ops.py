@@ -149,6 +149,22 @@ def test_minhash_lsh_rejects_indivisible_bands(spark, docs):
         minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=20, bands=8)
 
 
+def test_bpe_token_stats_segments(spark):
+    from sparkfuse.textops import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [(0, "hello world"), (1, "it's 2024, okay?!"), (2, ""), (3, "a1b2")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["n_bpe_tokens"], r["n_ws_tokens"])
+           for r in bpe_token_stats(df, "doc_id", "text").collect()}
+    assert got[0] == (2, 2)              # "hello", " world"
+    # "it", "'", "s", " 2024", ",", " okay", "?!"
+    assert got[1][0] == 7
+    assert got[3][0] == 4                # letter/digit class switches split
+    assert got[2][0] == 0
+
+
 def test_winnow_fingerprints_properties(spark, ddb):
     from sparkfuse.textops import winnow_fingerprints, winnow_fingerprints_oracle_sql
 
