@@ -25,6 +25,7 @@ from sparkfuse.bloom import build_bloom
 from sparkfuse.dedup import ngram_jaccard_pairs
 from sparkfuse.keys import extract_keys
 from sparkfuse.probe import (
+    approx_contains_arrow,
     approx_contains_routed,
     approx_contains_udf,
     exact_member_semi_join,
@@ -84,6 +85,15 @@ def main_bench():
     # the hit rate IS the measured false-positive rate (zero-FN is separately
     # guaranteed; published bound ~0.39%)
     extra["fpp_fuse8_pct"] = 100.0 * n_hits / n_probes
+
+    # Arrow-native probe (mapInArrow, no pandas wrap) — the keys-only fast path
+    t, _ = _timed(
+        lambda: approx_contains_arrow(probes, "key", forest, spark, out="m")
+        .filter(F.col("m"))
+        .count()
+    )
+    queries["probe_10m_arrow"] = t
+    extra["probe_arrow_keys_per_sec"] = n_probes / t
 
     customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")

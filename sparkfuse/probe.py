@@ -74,6 +74,41 @@ def approx_contains(
     return df.withColumn(out, approx_contains_udf(forest, spark)(col))
 
 
+def approx_contains_arrow(
+    df: DataFrame, key: str, forest: Forest, spark, out: str = "maybe_member"
+) -> DataFrame:
+    """Membership column via ``mapInArrow`` — skips the pandas Series wrap
+    the pandas_udf pays (measured +36%: 24.0 vs 17.7 Mkeys/s on a 40M-key
+    keys-only probe, local[32]).
+
+    Tradeoff vs ``approx_contains``: mapInArrow ships EVERY column of ``df``
+    through the Arrow channel, while the pandas_udf column ships only the
+    key series. Use this for narrow (ideally keys-only) probe frames — the
+    prescreen hot path; use the UDF column form for wide rows.
+    """
+    import pyarrow as pa
+
+    if out in df.columns:
+        raise ValueError(f"output column {out!r} already exists")
+    bc = spark.sparkContext.broadcast(forest)
+    names = list(df.columns) + [out]
+    key_idx = df.columns.index(key)
+
+    def probe_batches(batches):
+        f = bc.value
+        for batch in batches:
+            arr = batch.column(key_idx).to_numpy(zero_copy_only=False)
+            verdict = f.contains_np(arr)
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(verdict)], names=names
+            )
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {out} boolean"
+    return df.mapInArrow(probe_batches, schema)
+
+
 def exact_member_semi_join(
     probe_df: DataFrame,
     probe_key: str,

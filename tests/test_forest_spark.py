@@ -186,6 +186,19 @@ def test_exact_member_routed_matches_plain_join(spark, sf_dir):
     )
 
 
+def test_arrow_probe_equals_pandas_udf(spark):
+    from sparkfuse.probe import approx_contains_arrow
+
+    keys = _keys_df(spark, 20_000)
+    forest = Forest.from_df(build_forest(keys, shard_bits=2))
+    probes = keys.unionByName(_keys_df(spark, 20_000, seed=77))
+    a = {r["key"]: r["m"]
+         for r in approx_contains_arrow(probes, "key", forest, spark, out="m").collect()}
+    b = {r["key"]: r["m"]
+         for r in approx_contains(probes, "key", forest, spark, out="m").collect()}
+    assert a == b  # verdict-identical incl. false positives
+
+
 def test_probe_forest_planner_picks_paths(spark):
     keys = _keys_df(spark, 10_000)
     forest_df = build_forest(keys, shard_bits=1).cache()
