@@ -503,6 +503,17 @@ def q_stream_compact_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.join(build_keys, "c_custkey", "left_semi").select("c_custkey")
 
 
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive per-user event rollup (the north-star per-turn-text-
+    equality-under-stable-ordering invariant as a comparable value): props
+    concatenated in (ts, event_id) order via one sort_array aggregation."""
+    from sparkfuse.transcripts import ordered_rollup
+
+    return ordered_rollup(
+        _t(spark, sf_dir, "events"), "user_id", ["ts", "event_id"], "props"
+    )
+
+
 def q_bpe_tok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting next to the whitespace count (pure
     codegen; the lookahead-free pattern keeps Java regex == RE2)."""
@@ -562,6 +573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_near_dups": q_cosine_near_dups,
     "winnow_fingerprints": q_winnow_fps,
     "bpe_tok_stats": q_bpe_tok_stats,
+    "event_rollup": q_event_rollup,
 }
 
 
@@ -682,6 +694,11 @@ def oracle_sql() -> dict[str, str]:
         "cosine_near_dups": _cosine_oracle(),
         "winnow_fingerprints": _winnow_oracle(),
         "bpe_tok_stats": _bpe_oracle(),
+        "event_rollup": (
+            "SELECT user_id, COUNT(*) AS n_rows, "
+            "string_agg(props, '|' ORDER BY ts, event_id) AS content "
+            "FROM events GROUP BY user_id"
+        ),
     }
 
 

@@ -214,6 +214,35 @@ def streaming_first_seen(
     )
 
 
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    extra_keys: tuple = (),
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the late-data-bounded streaming
+    rollup. Append-mode compatible: a window emits once the watermark
+    (max event time − ``watermark``) passes its end, and events arriving
+    after that are dropped, which BOUNDS state at (watermark / window) open
+    windows per key — the property that keeps this runnable forever on a
+    10^12-turn stream. Tumbling windows never overlap, so counts partial-
+    aggregate map-side like any groupBy.
+    """
+    keys = [F.col(k) for k in extra_keys]
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *extra_keys,
+            "n_events",
+        )
+    )
+
+
 def compact_forest(
     spark: SparkSession,
     keys_df: DataFrame,

@@ -131,3 +131,34 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").alias("content_hash"),
     )
+
+
+def ordered_rollup(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    text_col: str,
+    sep: str = "|",
+) -> DataFrame:
+    """Order-SENSITIVE rollup: per partition key, the texts concatenated in
+    the total order given by ``order_cols`` — the north-star "per-turn text
+    equality under stable turn ordering" invariant as a directly comparable
+    value (any reorder, drop, or edit changes the string).
+
+    collect_list's input order is nondeterministic, so determinism comes
+    from sort_array over (order_cols..., text) structs — one codegen
+    aggregation, no window function, no second shuffle. The SQL twin is
+    ``string_agg(text, sep ORDER BY order_cols...)``.
+    """
+    struct = F.struct(
+        *[F.col(c) for c in order_cols], F.col(text_col).alias("_t")
+    )
+    return df.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(struct)), lambda s: s["_t"]
+            ),
+            sep,
+        ).alias("content"),
+    )

@@ -117,6 +117,59 @@ def test_streaming_first_seen_exact_dedup(spark, tmp_path):
     assert got == want  # every distinct key exactly once, across batches
 
 
+def test_windowed_counts_watermark_semantics(spark, tmp_path):
+    """Watermarked tumbling windows: a window emits once the watermark passes
+    its end; a row arriving after its window closed is DROPPED (late-data
+    bound); windows the watermark never passes stay unemitted."""
+    import pandas as pd
+
+    from sparkfuse.streaming import windowed_event_counts
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    h = lambda hour, m=0: pd.Timestamp(2024, 1, 1, hour, m)
+    # batch a: 3 events in [10:00,11:00), 2 in [11:00,12:00), 1 at 13:30
+    # -> after batch a the watermark is 13:30 - 2h = 11:30, STRICTLY past
+    # window [10,11)'s end, so that window emits and its state drops
+    def write(path, stamps):
+        pdf = pd.DataFrame({"ts": stamps})
+        # micros, not pandas-default nanos: Spark's schema reader rejects
+        # parquet TIMESTAMP(NANOS) as a timestamp column
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(path, index=False)
+
+    out = tmp_path / "wm_out"
+
+    def run_available():
+        # one availableNow run per arrived file => guaranteed separate
+        # micro-batches with the watermark persisted in the checkpoint
+        stream = spark.readStream.schema("ts timestamp").parquet(str(src))
+        q = (
+            windowed_event_counts(stream, "ts", "1 hour", "2 hours")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "wm_ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write(src / "a.parquet",
+          [h(10, 5), h(10, 20), h(10, 40), h(11, 10), h(11, 50), h(13, 30)])
+    run_available()  # watermark now 11:30 -> window 10 emitted, state dropped
+    # run 2: one LATE row at 10:30 (window 10 already closed -> dropped)
+    # and a sentinel at 20:00 -> watermark 18:00: windows 11 and 13 emit;
+    # the sentinel's own window (20:00) is never passed -> never emitted
+    write(src / "b.parquet", [h(10, 30), h(20)])
+    run_available()
+    got = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {10: 3, 11: 2, 13: 1}  # late row dropped, sentinel unemitted
+
+
 def test_streaming_first_seen_validates_state_shards(spark):
     from sparkfuse.streaming import streaming_first_seen
 
