@@ -503,6 +503,14 @@ def q_stream_compact_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.join(build_keys, "c_custkey", "left_semi").select("c_custkey")
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation: exact dedup -> quality gate -> pairwise near-dup
+    drop, as one oracle-checkable chain (sparkfuse.pipeline)."""
+    from sparkfuse.pipeline import curate_documents
+
+    return curate_documents(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive per-user event rollup (the north-star per-turn-text-
     equality-under-stable-ordering invariant as a comparable value): props
@@ -574,6 +582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprints": q_winnow_fps,
     "bpe_tok_stats": q_bpe_tok_stats,
     "event_rollup": q_event_rollup,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 
@@ -699,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
             "string_agg(props, '|' ORDER BY ts, event_id) AS content "
             "FROM events GROUP BY user_id"
         ),
+        "curation_pipeline": _curation_oracle(),
     }
 
 
@@ -724,6 +734,12 @@ def _cosine_oracle() -> str:
     from sparkfuse.similarity import cosine_pairs_oracle_sql
 
     return cosine_pairs_oracle_sql("embeddings", "vec_id", "embedding", 0.4)
+
+
+def _curation_oracle() -> str:
+    from sparkfuse.pipeline import curate_documents_oracle_sql
+
+    return curate_documents_oracle_sql("documents", "doc_id", "text")
 
 
 def _bpe_oracle() -> str:

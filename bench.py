@@ -39,10 +39,16 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
 
 
-def _timed(fn):
-    t0 = time.perf_counter()
-    out = fn()
-    return time.perf_counter() - t0, out
+def _timed(fn, repeats: int = 1):
+    """min-of-N wall time (this VM ramps CPU frequency: single shots vary
+    2-4x; the min is the stable statistic — see BENCH/BASELINE.md)."""
+    best, out = None, None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best, out
 
 
 def main_bench():
@@ -63,14 +69,16 @@ def main_bench():
     t, forest = _timed(
         lambda: Forest.from_df(
             build_forest(keys, kind="fuse", width=8, min_shards=CPUS)
-        )
+        ),
+        repeats=2,
     )
     queries["forest_build_fuse8"] = t
     extra["build_keys_per_sec_fuse8"] = n_keys / t
     extra["bits_per_entry_fuse8"] = forest.bits_per_entry()
 
     t, xforest = _timed(
-        lambda: Forest.from_df(build_forest(keys, kind="xor", width=8, min_shards=CPUS))
+        lambda: Forest.from_df(build_forest(keys, kind="xor", width=8, min_shards=CPUS)),
+        repeats=2,
     )
     queries["forest_build_xor8"] = t
     extra["build_keys_per_sec_xor8"] = n_keys / t
@@ -78,7 +86,7 @@ def main_bench():
     n_probes = 10_000_000
     probes = spark.range(n_probes).select(F.xxhash64("id").alias("key"))
     probe_udf = approx_contains_udf(forest, spark)
-    t, n_hits = _timed(lambda: probes.filter(probe_udf(F.col("key"))).count())
+    t, n_hits = _timed(lambda: probes.filter(probe_udf(F.col("key"))).count(), repeats=2)
     queries["probe_10m_fuse8"] = t
     extra["probe_keys_per_sec"] = n_probes / t
     # the probe keys are disjoint from the lineitem-derived build keys, so
@@ -90,7 +98,8 @@ def main_bench():
     t, _ = _timed(
         lambda: approx_contains_arrow(probes, "key", forest, spark, out="m")
         .filter(F.col("m"))
-        .count()
+        .count(),
+        repeats=2,
     )
     queries["probe_10m_arrow"] = t
     extra["probe_arrow_keys_per_sec"] = n_probes / t
@@ -103,11 +112,12 @@ def main_bench():
     t, _ = _timed(
         lambda: exact_member_semi_join(
             customer, "c_custkey", orders, "o_custkey", cforest, spark
-        ).count()
+        ).count(),
+        repeats=2,
     )
     queries["exact_semi_join"] = t
 
-    t, bloom = _timed(lambda: build_bloom(keys, n_estimate=n_keys, fpp=0.004))
+    t, bloom = _timed(lambda: build_bloom(keys, n_estimate=n_keys, fpp=0.004), repeats=2)
     queries["bloom_build"] = t
     extra["build_keys_per_sec_bloom"] = n_keys / t
     extra["bits_per_entry_bloom"] = bloom.bits_per_entry(n_keys)
@@ -119,7 +129,8 @@ def main_bench():
                 shard_bits=3,
                 pre_dedup=True,
             )
-        )
+        ),
+        repeats=2,
     )
     queries["transcripts_dedup_build"] = t
 
@@ -137,7 +148,8 @@ def main_bench():
     t, _ = _timed(
         lambda: approx_contains_routed(routed_probes, "key", big_forest)
         .filter(F.col("maybe_member"))
-        .count()
+        .count(),
+        repeats=2,
     )
     queries["probe_routed_10m"] = t
     extra["probe_routed_keys_per_sec"] = n_routed / t
@@ -165,7 +177,8 @@ def main_bench():
     ).select("r.doc_id", "r.text")
     corpus = uniques.unionByName(planted)
     t, n_pairs = _timed(
-        lambda: ngram_jaccard_pairs(corpus, "doc_id", "text", scale=True).count()
+        lambda: ngram_jaccard_pairs(corpus, "doc_id", "text", scale=True).count(),
+        repeats=2,
     )
     queries["ngram_neardup_scale"] = t
     extra["ngram_scale_pairs"] = float(n_pairs)

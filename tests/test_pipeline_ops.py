@@ -149,6 +149,25 @@ def test_minhash_lsh_rejects_indivisible_bands(spark, docs):
         minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=20, bands=8)
 
 
+def test_curation_pipeline_semantics(spark, docs):
+    from sparkfuse.pipeline import curate_documents
+
+    kept = {r["doc_id"] for r in curate_documents(docs, "doc_id", "text").collect()}
+    n_docs = docs.count()
+    assert kept  # non-degenerate
+    # the fixture plants near-dups (no exact dups), so the near-dup stage bites
+    assert len(kept) < n_docs
+    # canonical choice: every kept id is its text's minimum id
+    canon = {
+        r["doc_id"]
+        for r in docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+    assert kept <= canon
+    # deterministic
+    kept2 = {r["doc_id"] for r in curate_documents(docs, "doc_id", "text").collect()}
+    assert kept == kept2
+
+
 def test_bpe_token_stats_segments(spark):
     from sparkfuse.textops import bpe_token_stats
 
