@@ -705,7 +705,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tok_stats": _bpe_oracle(),
         "event_rollup": (
             "SELECT user_id, COUNT(*) AS n_rows, "
-            "string_agg(props, '|' ORDER BY ts, event_id) AS content "
+            "string_agg(props, '|' ORDER BY ts, event_id, props) AS content "
             "FROM events GROUP BY user_id"
         ),
         "curation_pipeline": _curation_oracle(),

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sparkfuse.dedup import ngram_jaccard_pairs
+from sparkfuse.dedup import exact_dedup, ngram_jaccard_pairs
 from sparkfuse.textops import quality_stats
 
 
@@ -37,8 +37,11 @@ def curate_documents(
     and SQL-expressible (no transitive closure), which is what makes the
     whole pipeline oracle-checkable.
     """
-    canon = docs.groupBy(text_col).agg(F.min(id_col).alias(id_col))
-    kept1 = docs.join(canon.select(id_col), id_col, "left_semi")
+    # exact_dedup groups on the 64-bit fingerprint, so this stage shuffles
+    # 8 bytes + id per row, never document bodies (fingerprint-equality ≡
+    # text-equality at any realistic corpus size; the SQL oracle groups on
+    # the full text, so a collision would surface as an oracle mismatch)
+    kept1 = docs.join(exact_dedup(docs, id_col, text_col), id_col, "left_semi")
     q = quality_stats(kept1, id_col, text_col).filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("max_token_len") <= max_token_len)

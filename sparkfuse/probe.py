@@ -103,10 +103,10 @@ def approx_contains_arrow(
                 list(batch.columns) + [pa.array(verdict)], names=names
             )
 
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-    ) + f", {out} boolean"
-    return df.mapInArrow(probe_batches, schema)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out, BooleanType(), False)]
+    )
+    return df.mapInArrow(probe_batches, out_schema)
 
 
 def exact_member_semi_join(

@@ -87,6 +87,11 @@ def cosine_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
+        # zero-norm vectors have no direction: without the norm guards their
+        # cosine is 0/0 = NaN, and NaN >= threshold is TRUE under Spark's
+        # (and DuckDB's) NaN-is-greatest ordering — every vector would pair
+        # with them
+        .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
         .withColumn(
             "cos",
             F.round(cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6),
@@ -108,7 +113,8 @@ WITH base AS (
 )
 SELECT a._id AS id_a, b._id AS id_b
 FROM base a JOIN base b ON a._id < b._id
-WHERE round(list_inner_product(a._v, b._v) / (a._n * b._n), 6) >= {threshold}
+WHERE a._n > 0 AND b._n > 0
+  AND round(list_inner_product(a._v, b._v) / (a._n * b._n), 6) >= {threshold}
 """
 
 

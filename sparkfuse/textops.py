@@ -187,9 +187,12 @@ def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     codegen: regexp_extract_all + size, no Python."""
     toks = tokens_col(text_col)
     bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_REGEX), 0)
+    # whitespace-run segments are dropped with an explicit char class (trim()
+    # strips only spaces, and Java's \s includes \x0B while RE2's does not)
+    ws = "^[ \\t\\n\\r\\f]+$"
     return df.select(
         F.col(id_col),
-        F.size(F.filter(bpe, lambda t: F.trim(t) != "")).cast("long").alias(
+        F.size(F.filter(bpe, lambda t: ~t.rlike(ws))).cast("long").alias(
             "n_bpe_tokens"
         ),
         F.size(toks).cast("long").alias("n_ws_tokens"),
@@ -201,7 +204,7 @@ def bpe_token_stats_oracle_sql(table: str, id_col: str, text_col: str) -> str:
     return (
         f"SELECT {id_col}, "
         f"len(list_filter(regexp_extract_all({text_col}, '{BPE_SPLIT_REGEX}'), "
-        "t -> trim(t) != '')) AS n_bpe_tokens, "
+        "t -> NOT regexp_matches(t, '^[ \\t\\n\\r\\f]+$'))) AS n_bpe_tokens, "
         f"len(string_split_regex(trim({text_col}), '\\s+')) AS n_ws_tokens "
         f"FROM {table}"
     )
@@ -227,13 +230,20 @@ def winnow_fingerprints(
     share at least one fingerprint — the substring-robust complement to the
     whole-text xxhash64 ``fingerprint`` (which any 1-char edit breaks).
 
-    Entirely JVM-side (sequence/transform/aggregate higher-order functions;
-    no Python, no shuffle — a pure per-row projection). Returns exploded
-    (id, fp) rows; docs shorter than k characters contribute no rows.
+    Entirely JVM-side (split/zip_with higher-order functions; no Python, no
+    shuffle — a pure per-row projection). Returns exploded (id, fp) rows;
+    docs shorter than k characters contribute no rows.
+
+    Non-ASCII characters are projected to '?' BEFORE hashing: Spark's
+    ``ascii()`` returns the first UTF-16 code unit (a surrogate for astral
+    chars) while SQL engines' ``ord()`` returns the codepoint, so hashing
+    raw unicode would be engine-dependent. The ASCII projection makes the
+    fingerprints identical everywhere at the cost of non-ASCII runs losing
+    identity (acceptable for a similarity fingerprint; documented contract).
     """
     b = F.lit(WINNOW_BASE).cast("long")
     p = F.lit(WINNOW_MOD).cast("long")
-    txt = F.col(text_col)
+    txt = F.regexp_replace(F.col(text_col), "[^\\x00-\\x7F]", "?")
     n = F.length(txt)
 
     # One char-codes array per row, then the k-gram Horner as a fold of k-1
@@ -269,19 +279,25 @@ def winnow_fingerprints_oracle_sql(
 ) -> str:
     """DuckDB twin of winnow_fingerprints — identical stepwise-mod Horner
     (list_reduce seeds with the first element; code_0 == 0*256 + code_0, so
-    the fold agrees with Spark's zero-seeded aggregate)."""
+    the fold agrees with Spark's zero-seeded fold) over the same
+    ASCII-projected text."""
     codes = ", ".join(
-        f"CAST(ord(substr({text_col}, i + {j}, 1)) AS BIGINT)" for j in range(k)
+        f"CAST(ord(substr(_t, i + {j}, 1)) AS BIGINT)" for j in range(k)
     )
     return f"""
-WITH g AS (
+WITH norm AS (
   SELECT {id_col},
-         CASE WHEN length({text_col}) >= {k} THEN
+         regexp_replace({text_col}, '[^\\x00-\\x7F]', '?', 'g') AS _t
+  FROM {table}
+),
+g AS (
+  SELECT {id_col},
+         CASE WHEN length(_t) >= {k} THEN
            [list_reduce([{codes}],
                         (h, c) -> (h * {WINNOW_BASE} + c) % {WINNOW_MOD})
-            for i in range(1, length({text_col}) - {k - 2})]
+            for i in range(1, length(_t) - {k - 2})]
          ELSE [] END AS grams
-  FROM {table}
+  FROM norm
 ),
 w AS (
   SELECT {id_col},

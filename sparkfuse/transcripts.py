@@ -147,8 +147,10 @@ def ordered_rollup(
 
     collect_list's input order is nondeterministic, so determinism comes
     from sort_array over (order_cols..., text) structs — one codegen
-    aggregation, no window function, no second shuffle. The SQL twin is
-    ``string_agg(text, sep ORDER BY order_cols...)``.
+    aggregation, no window function, no second shuffle. Note the text column
+    itself is the final tie-breaker, so the result is deterministic even
+    when order_cols are not a unique key; the SQL twin must therefore be
+    ``string_agg(text, sep ORDER BY order_cols..., text)``.
     """
     struct = F.struct(
         *[F.col(c) for c in order_cols], F.col(text_col).alias("_t")

@@ -184,6 +184,32 @@ def test_bpe_token_stats_segments(spark):
     assert got[2][0] == 0
 
 
+def test_bpe_token_stats_drops_all_whitespace_runs(spark):
+    from sparkfuse.textops import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [(0, "a\nb"), (1, "a b"), (2, "a\t\tb")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_token_stats(df, "doc_id", "text").collect()}
+    # newline/tab runs are whitespace, not tokens — same count as a space
+    assert got[0] == got[1] == got[2] == 2
+
+
+def test_cosine_pairs_ignores_zero_norm_vectors(spark):
+    from sparkfuse.similarity import cosine_pairs
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),  # no direction: must pair with nothing (0/0 = NaN)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"])
+             for r in cosine_pairs(df, "vec_id", "embedding", 0.4).collect()}
+    assert pairs == {(0, 1)}
+
+
 def test_winnow_fingerprints_properties(spark, ddb):
     from sparkfuse.textops import winnow_fingerprints, winnow_fingerprints_oracle_sql
 
