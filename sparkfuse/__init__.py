@@ -57,6 +57,7 @@ _SPARK_LAYER = {
     "exact_member_routed": ("sparkfuse.probe", "exact_member_routed"),
     "exact_anti_join": ("sparkfuse.probe", "exact_anti_join"),
     "probe_forest": ("sparkfuse.probe", "probe_forest"),
+    "curate_documents": ("sparkfuse.pipeline", "curate_documents"),
     "get_spark": ("sparkfuse.session", "get_spark"),
 }
 
