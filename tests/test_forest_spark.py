@@ -161,6 +161,28 @@ def test_routed_probe_partial_forest_missing_shards(spark):
     partial_df.unpersist()
 
 
+def test_routed_probe_non_fuse8_kinds(spark):
+    # the routed kernel loads (kind, width, arity) from forest metadata;
+    # prove the non-default branches (xor, wide fuse) route correctly
+    for kind, width, arity in [("xor", 16, 3), ("fuse", 16, 3), ("fuse", 8, 4)]:
+        keys = _keys_df(spark, 15_000, seed=width)
+        forest_df = build_forest(
+            keys, kind=kind, width=width, arity=arity, shard_bits=2
+        ).cache()
+        forest = Forest.from_df(forest_df)
+        probes = keys.unionByName(_keys_df(spark, 5_000, seed=4321))
+        routed = {
+            r["key"]: r["m"]
+            for r in approx_contains_routed(probes, "key", forest_df, out="m").collect()
+        }
+        bc = {
+            r["key"]: r["m"]
+            for r in approx_contains(probes, "key", forest, spark, out="m").collect()
+        }
+        assert routed == bc, (kind, width, arity)
+        forest_df.unpersist()
+
+
 def test_routed_probe_keeps_payload_columns(spark):
     keys = _keys_df(spark, 5_000).withColumn("tag", F.col("key") % 7)
     forest_df = build_forest(keys.select("key"), shard_bits=1)

@@ -149,6 +149,48 @@ def test_minhash_lsh_rejects_indivisible_bands(spark, docs):
         minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=20, bands=8)
 
 
+def test_winnow_fingerprints_vs_python_reference(spark):
+    """Randomized cross-check of the JVM zip_with formulation against a
+    direct Python transliteration of the winnowing definition."""
+    import random
+
+    from sparkfuse.textops import (
+        WINNOW_BASE,
+        WINNOW_MOD,
+        winnow_fingerprints,
+    )
+
+    k, window = 5, 4
+
+    def reference(text):
+        if len(text) < k:
+            return set()
+        grams = []
+        for i in range(len(text) - k + 1):
+            h = 0
+            for c in text[i : i + k]:
+                h = (h * WINNOW_BASE + ord(c)) % WINNOW_MOD
+            grams.append(h)
+        if len(grams) < window:
+            return {min(grams)}
+        return {
+            min(grams[w : w + window]) for w in range(len(grams) - window + 1)
+        }
+
+    rng = random.Random(42)
+    alphabet = "ab cd\tef!?" + "xyz0189"
+    rows = []
+    for i in range(40):
+        n = rng.randrange(0, 30)
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in winnow_fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, text in rows:
+        assert got.get(i, set()) == reference(text), (i, text)
+
+
 def test_curation_pipeline_semantics(spark, docs):
     from sparkfuse.pipeline import curate_documents
 
