@@ -258,7 +258,7 @@ def exact_member_routed(
     ``IN`` subquery is a valid oracle — same contract as
     ``exact_member_semi_join``.
     """
-    keys_only = probe_df.select(F.col(probe_key).alias(probe_key)).dropDuplicates()
+    keys_only = probe_df.select(probe_key).dropDuplicates()
     maybe = (
         approx_contains_routed(keys_only, probe_key, forest_df, out="_maybe")
         .filter(F.col("_maybe"))
