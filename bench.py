@@ -154,6 +154,27 @@ def main_bench():
     queries["probe_routed_10m"] = t
     extra["probe_routed_keys_per_sec"] = n_routed / t
     extra["routed_forest_mb"] = nbytes / 1024 / 1024
+
+    # hybrid replicated probe on the SAME past-threshold forest: each worker
+    # loads the forest from its parquet sink once (cached), probe keys never
+    # shuffle — the probe_forest middle regime (broadcast < payload ≤
+    # replication budget)
+    import tempfile
+
+    from sparkfuse.forest import write_forest
+    from sparkfuse.probe import approx_contains_sink
+
+    with tempfile.TemporaryDirectory() as td:
+        sink = os.path.join(td, "big_forest")
+        write_forest(big_forest, sink, mode="overwrite")
+        t, _ = _timed(
+            lambda: approx_contains_sink(routed_probes, "key", sink)
+            .filter(F.col("maybe_member"))
+            .count(),
+            repeats=2,
+        )
+    queries["probe_hybrid_10m"] = t
+    extra["probe_hybrid_keys_per_sec"] = n_routed / t
     big_forest.unpersist()
 
     # near-dup scale preset on a boilerplate-skewed corpus (PLANS.md par.5a):

@@ -53,6 +53,7 @@ _SPARK_LAYER = {
     "write_forest": ("sparkfuse.forest", "write_forest"),
     "approx_contains": ("sparkfuse.probe", "approx_contains"),
     "approx_contains_routed": ("sparkfuse.probe", "approx_contains_routed"),
+    "approx_contains_sink": ("sparkfuse.probe", "approx_contains_sink"),
     "exact_member_semi_join": ("sparkfuse.probe", "exact_member_semi_join"),
     "exact_member_routed": ("sparkfuse.probe", "exact_member_routed"),
     "exact_anti_join": ("sparkfuse.probe", "exact_anti_join"),

@@ -20,12 +20,25 @@ Three probe modes over a built Forest:
   shard and ships each shard's payload once to wherever its probe partition
   lands. The capability analog is the reference's 5×10^7-key Contains
   benchmarks (/root/reference/binaryfusefilter_test.go:300-331) — scaled out.
-* ``probe_forest`` — the planner: picks broadcast vs routed by comparing the
-  forest's total payload bytes against a threshold (default: the session's
-  ``spark.sql.autoBroadcastJoinThreshold``).
+* ``approx_contains_sink`` — the HYBRID middle regime: each Python worker
+  loads the forest once from its parquet sink (process-global cache) and
+  probes locally. No driver bytes, no broadcast, and — unlike the routed
+  path — **no probe-key shuffle**. Replicating an R-byte forest to E
+  executors costs R·E bytes of storage reads ONCE; routing K probe keys
+  costs 8·K shuffle bytes EVERY query. At 10^10 probes vs a 100 MB forest on
+  1000 executors that's 100 GB of reads vs 80 GB of shuffle — and the reads
+  are cold-cache-only while the shuffle repeats per query, so the hybrid
+  wins everywhere the forest fits executor memory.
+* ``probe_forest`` — the planner: three regimes by forest payload bytes —
+  ≤ broadcast threshold → driver broadcast; ≤ replication budget (default
+  512m, conf ``sparkfuse.probe.replicationBudget``) → hybrid replication
+  (sink-load when a ``sink_path`` is given, torrent broadcast otherwise);
+  else → shard-routed cogroup.
 """
 
 from __future__ import annotations
+
+import re
 
 import numpy as np
 import pandas as pd
@@ -107,6 +120,81 @@ def approx_contains_arrow(
         list(df.schema.fields) + [StructField(out, BooleanType(), False)]
     )
     return df.mapInArrow(probe_batches, out_schema)
+
+
+# Per-Python-worker forest cache for the hybrid sink-load probe. Keyed by
+# (path, file listing incl. sizes) so an appended/replaced sink is reloaded;
+# bounded so a worker holds at most a few forests.
+_SINK_FOREST_CACHE: dict = {}
+_SINK_CACHE_MAX = 2
+
+
+def _sink_fingerprint(path: str):
+    """(filesystem, data files, cache key) for a forest parquet sink.
+
+    Follows Spark's sink convention: files whose base name starts with
+    ``_`` or ``.`` (``_SUCCESS``, hidden markers) are metadata, not data.
+    Works for local paths and any pyarrow-supported URI (s3://, hdfs://) —
+    the executor reads the sink directly; the driver never touches payloads.
+    """
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        filesystem, base = pafs.FileSystem.from_uri(path)
+    else:
+        filesystem, base = pafs.LocalFileSystem(), path
+    infos = filesystem.get_file_info(pafs.FileSelector(base, recursive=True))
+    files = sorted(
+        (i.path, i.size)
+        for i in infos
+        if i.type == pafs.FileType.File and not i.base_name.startswith(("_", "."))
+    )
+    if not files:
+        raise ValueError(f"no data files in forest sink {path!r}")
+    return filesystem, [p for p, _ in files], (path, tuple(files))
+
+
+def _load_forest_from_sink(path: str) -> Forest:
+    """Load (or fetch cached) the Forest from its parquet sink, inside the
+    Python worker process. One storage read per worker per sink version —
+    amortized across every probe batch the worker ever sees."""
+    import pyarrow.dataset as pads
+
+    filesystem, data_files, cache_key = _sink_fingerprint(path)
+    cached = _SINK_FOREST_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    tbl = pads.dataset(data_files, filesystem=filesystem, format="parquet").to_table()
+    forest = Forest(tbl.to_pylist())
+    while len(_SINK_FOREST_CACHE) >= _SINK_CACHE_MAX:
+        _SINK_FOREST_CACHE.pop(next(iter(_SINK_FOREST_CACHE)))
+    _SINK_FOREST_CACHE[cache_key] = forest
+    return forest
+
+
+def approx_contains_sink(
+    df: DataFrame, key: str | Column, sink_path: str, out: str = "maybe_member"
+) -> DataFrame:
+    """Hybrid replicated probe: membership column against a forest each
+    worker loads from ``sink_path`` itself (cached per process).
+
+    The middle regime between broadcast and routed: forests too big for the
+    session broadcast budget but small enough to replicate per executor.
+    Probe keys never shuffle (the scale killer of the routed path) and the
+    driver never sees a payload (the scale killer of the broadcast path).
+    Requires the sink to be immutable while probing (append-only sinks get a
+    fresh cache entry per version via the file-listing fingerprint).
+    """
+    col = F.col(key) if isinstance(key, str) else key
+
+    @F.pandas_udf(BooleanType())
+    def probe_sink(keys: pd.Series) -> pd.Series:
+        forest = _load_forest_from_sink(sink_path)
+        return pd.Series(forest.contains_np(keys.to_numpy()))
+
+    # asNondeterministic: same Catalyst predicate-pinning rationale as
+    # approx_contains_udf (PLANS.md §2).
+    return df.withColumn(out, probe_sink.asNondeterministic()(col))
 
 
 def exact_member_semi_join(
@@ -277,6 +365,9 @@ def forest_payload_bytes(forest_df: DataFrame) -> int:
     ).first()["b"] or 0
 
 
+DEFAULT_REPLICATION_BUDGET = "512m"
+
+
 def probe_forest(
     probe_df: DataFrame,
     key: str,
@@ -284,14 +375,26 @@ def probe_forest(
     spark: SparkSession | None = None,
     out: str = "maybe_member",
     broadcast_threshold: int | None = None,
+    replication_budget: int | None = None,
+    sink_path: str | None = None,
 ) -> DataFrame:
-    """Planner: broadcast the forest when its payload fits the broadcast
-    budget (probe rows never shuffle), else route probes by shard against the
-    forest table (nothing touches the driver).
+    """Planner: pick the probe strategy by forest payload size — THREE regimes.
 
-    Threshold defaults to the session's ``spark.sql.autoBroadcastJoinThreshold``
-    (10 MB unless tuned) — the same knob that governs Spark's own
-    broadcast-vs-shuffle join choice, reused for the same tradeoff.
+    1. payload ≤ broadcast threshold (session
+       ``spark.sql.autoBroadcastJoinThreshold``, 10 MB unless tuned — the
+       same knob as Spark's own broadcast-join choice): driver-collected
+       ``sc.broadcast`` forest, pandas_udf probe. Cheapest; fuses into the
+       probe scan.
+    2. payload ≤ replication budget (``sparkfuse.probe.replicationBudget``
+       session conf, default 512m — sized to what an executor can hold
+       resident): HYBRID replication. Probe keys never shuffle. With a
+       ``sink_path`` each worker loads the forest from storage itself
+       (zero driver bytes); without one the forest is torrent-broadcast
+       (one driver pass, still no key shuffle).
+    3. else: shard-routed cogroup — the only plan when the forest exceeds
+       executor memory; pays one 8-byte-per-key probe shuffle.
+
+    Set either threshold to -1 to disable that regime.
 
     NOTE: planning materializes the forest (one aggregate over payload
     sizes), and the chosen path materializes it again — persist/cache a
@@ -303,30 +406,43 @@ def probe_forest(
         if spark is not None:
             raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
             broadcast_threshold = _parse_byte_string(raw)
-    if broadcast_threshold >= 0 and forest_payload_bytes(forest_df) <= broadcast_threshold:
+    if replication_budget is None:
+        raw = DEFAULT_REPLICATION_BUDGET
+        if spark is not None:
+            raw = spark.conf.get(
+                "sparkfuse.probe.replicationBudget", DEFAULT_REPLICATION_BUDGET
+            )
+        replication_budget = _parse_byte_string(raw)
+    nbytes = forest_payload_bytes(forest_df)
+    if broadcast_threshold >= 0 and nbytes <= broadcast_threshold:
+        return approx_contains(probe_df, key, Forest.from_df(forest_df), spark, out=out)
+    if replication_budget >= 0 and nbytes <= replication_budget:
+        if sink_path is not None:
+            return approx_contains_sink(probe_df, key, sink_path, out=out)
         return approx_contains(probe_df, key, Forest.from_df(forest_df), spark, out=out)
     return approx_contains_routed(probe_df, key, forest_df, out=out)
 
 
 _BYTE_SUFFIXES = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3,
                   "t": 1024**4, "p": 1024**5}
+# JavaUtils.byteStringAsBytes grammar: integer + optional multiplier letter
+# + optional trailing 'b' ("10m", "10MB", "512kb", "1b", "10485760").
+_BYTE_RE = re.compile(r"^(-?\d+)\s*([kmgtp]?b?)$")
 
 
 def _parse_byte_string(raw: str) -> int:
     """Spark byte-string grammar (JavaUtils.byteStringAsBytes): optional
-    b/k/m/g/t/p suffix, case-insensitive; bare numbers are bytes. Raises on
-    anything else instead of silently substituting a default."""
-    s = str(raw).strip().lower()
-    mult = 1
-    if s and s[-1] in _BYTE_SUFFIXES:
-        mult = _BYTE_SUFFIXES[s[-1]]
-        s = s[:-1]
-    try:
-        return int(s) * mult
-    except ValueError:
+    b/kb/mb/gb/tb/pb (or bare k/m/g/t/p) suffix, case-insensitive; bare
+    numbers are bytes. Raises on anything else instead of silently
+    substituting a default."""
+    m = _BYTE_RE.match(str(raw).strip().lower())
+    if not m:
         raise ValueError(
             f"unparseable byte string {raw!r} for autoBroadcastJoinThreshold"
-        ) from None
+        )
+    suffix = m.group(2)
+    mult = _BYTE_SUFFIXES[suffix[0]] if suffix else 1
+    return int(m.group(1)) * mult
 
 
 def verify_sample(

@@ -9,6 +9,7 @@ from sparkfuse.keys import dedup_keys, dedup_keys_salted, extract_keys
 from sparkfuse.probe import (
     approx_contains,
     approx_contains_routed,
+    approx_contains_sink,
     exact_anti_join,
     exact_member_routed,
     exact_member_semi_join,
@@ -227,7 +228,9 @@ def test_probe_forest_planner_picks_paths(spark):
     nbytes = forest_payload_bytes(forest_df)
     assert nbytes > 0
     # tiny threshold → routed; huge threshold → broadcast; both exact-equal
-    routed = probe_forest(keys, "key", forest_df, spark, broadcast_threshold=1)
+    routed = probe_forest(
+        keys, "key", forest_df, spark, broadcast_threshold=1, replication_budget=1
+    )
     bc = probe_forest(
         keys, "key", forest_df, spark, broadcast_threshold=nbytes + 1
     )
@@ -235,6 +238,92 @@ def test_probe_forest_planner_picks_paths(spark):
     b = {x["key"]: x["maybe_member"] for x in bc.collect()}
     assert r == b and all(r.values())
     forest_df.unpersist()
+
+
+def _plan_of(df) -> str:
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+def test_probe_forest_planner_three_regimes(spark, tmp_path):
+    keys = _keys_df(spark, 10_000)
+    sink = str(tmp_path / "forest")
+    write_forest(build_forest(keys, shard_bits=1), sink, mode="overwrite")
+    forest_df = spark.read.parquet(sink)
+    nbytes = forest_payload_bytes(forest_df)
+
+    # regime 1: fits the broadcast threshold → driver-broadcast pandas_udf
+    bc = probe_forest(keys, "key", forest_df, spark, broadcast_threshold=nbytes + 1)
+    assert "probe(" in _plan_of(bc) and "probe_sink" not in _plan_of(bc)
+    # regime 2: past broadcast, within replication budget, sink known → hybrid
+    hy = probe_forest(
+        keys, "key", forest_df, spark,
+        broadcast_threshold=1, replication_budget=nbytes + 1, sink_path=sink,
+    )
+    assert "probe_sink(" in _plan_of(hy)
+    assert "FlatMapCoGroups" not in _plan_of(hy)  # no probe-key shuffle
+    # regime 2 without a sink path falls back to torrent broadcast
+    hy_nosink = probe_forest(
+        keys, "key", forest_df, spark,
+        broadcast_threshold=1, replication_budget=nbytes + 1,
+    )
+    assert "probe(" in _plan_of(hy_nosink)
+    # regime 3: past both budgets → routed cogroup
+    rt = probe_forest(
+        keys, "key", forest_df, spark,
+        broadcast_threshold=1, replication_budget=1,
+    )
+    assert "FlatMapCoGroups" in _plan_of(rt)
+
+    # all three verdict-identical (incl. false positives)
+    b = {x["key"]: x["maybe_member"] for x in bc.collect()}
+    h = {x["key"]: x["maybe_member"] for x in hy.collect()}
+    r = {x["key"]: x["maybe_member"] for x in rt.collect()}
+    assert b == h == r and all(b.values())
+
+
+def test_sink_probe_equals_broadcast_incl_fps(spark, tmp_path):
+    keys = _keys_df(spark, 20_000)
+    sink = str(tmp_path / "forest")
+    write_forest(build_forest(keys, shard_bits=2), sink, mode="overwrite")
+    forest = Forest.from_df(spark.read.parquet(sink))
+    probes = keys.unionByName(_keys_df(spark, 20_000, seed=77))
+    via_sink = {
+        r["key"]: r["m"]
+        for r in approx_contains_sink(probes, "key", sink, out="m").collect()
+    }
+    via_bc = {
+        r["key"]: r["m"]
+        for r in approx_contains(probes, "key", forest, spark, out="m").collect()
+    }
+    assert via_sink == via_bc
+
+
+def test_sink_probe_cache_invalidates_on_append(spark, tmp_path):
+    # worker-side cache keys on the sink's file listing: appending the
+    # missing shards must be visible to the SAME worker processes
+    keys = _keys_df(spark, 30_000)
+    sink = str(tmp_path / "forest")
+    full = build_forest(keys, shard_bits=2).cache()
+    write_forest(full.filter(F.col("shard") < 2), sink)
+    partial_hits = (
+        approx_contains_sink(keys, "key", sink, out="m")
+        .filter(F.col("m")).count()
+    )
+    assert 0 < partial_hits < 30_000  # missing shards probe False
+    write_forest(full.filter(F.col("shard") >= 2), sink)  # append rest
+    assert (
+        approx_contains_sink(keys, "key", sink, out="m")
+        .filter(F.col("m")).count()
+    ) == 30_000  # zero FN once the forest is complete
+    full.unpersist()
+
+
+def test_sink_probe_empty_sink_raises(spark, tmp_path):
+    empty = tmp_path / "forest"
+    empty.mkdir()
+    keys = _keys_df(spark, 100)
+    with pytest.raises(Exception, match="no data files"):
+        approx_contains_sink(keys, "key", str(empty), out="m").collect()
 
 
 # ---------------------------------------------------------------------------
@@ -308,11 +397,17 @@ def test_parse_byte_string_grammar():
 
     assert _parse_byte_string("10485760") == 10 * 1024 * 1024
     assert _parse_byte_string("10m") == 10 * 1024 * 1024
-    assert _parse_byte_string("10MB".rstrip("B")) == 10 * 1024 * 1024
+    assert _parse_byte_string("10MB") == 10 * 1024 * 1024
+    assert _parse_byte_string("10mb") == 10 * 1024 * 1024
+    assert _parse_byte_string("512KB") == 512 * 1024
+    assert _parse_byte_string("1gb") == 1024**3
     assert _parse_byte_string("1t") == 1024**4
+    assert _parse_byte_string("128b") == 128
     assert _parse_byte_string("-1") == -1
     with pytest.raises(ValueError, match="unparseable"):
         _parse_byte_string("ten megabytes")
+    with pytest.raises(ValueError, match="unparseable"):
+        _parse_byte_string("10mib")
 
 
 def test_routed_probe_rejects_reserved_column(spark):
