@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from sparkfuse.bloom import build_bloom
 from sparkfuse.forest import Forest, build_forest
+from sparkfuse.textops import TOKEN_SPLIT
 from sparkfuse.probe import exact_anti_join, exact_member_routed, exact_member_semi_join
 
 
@@ -201,7 +202,8 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint-group dedup: canonical event per distinct props payload
-    (shuffles 8-byte hashes, not bodies)."""
+    (shuffles 128-bit hashes — collision-free at 10^12-doc scale — not
+    bodies)."""
     from sparkfuse.dedup import exact_dedup
 
     return exact_dedup(_t(spark, sf_dir, "events"), "event_id", "props").select(
@@ -538,6 +540,66 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4)
 
 
+# Planted near-dup CHAIN for the connected-components query: token windows
+# over 13 distinct words. A = w1..w9, B = w3..w11, C = w5..w13 gives 3-gram
+# shingle Jaccard J(A,B) = J(B,C) = 5/9 >= 1/2 but J(A,C) = 3/11 < 1/2 —
+# a genuine A~B~C chain where (A, C) is NOT itself a pair, so only
+# transitive clustering collapses the trio.
+_CHAIN_WORDS = (
+    "zulucat yankeedog xrayfox whiskeyhen victorowl uniformbat tangoelk "
+    "sierrajay romeoyak quebecant papabee oscarcod novembereel"
+).split()
+_CHAIN_DOCS = [
+    (900001, " ".join(_CHAIN_WORDS[0:9])),
+    (900002, " ".join(_CHAIN_WORDS[2:11])),
+    (900003, " ".join(_CHAIN_WORDS[4:13])),
+]
+
+
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: connected components (hash-min label
+    propagation, O(diameter) rounds) over the exact ngram-Jaccard pair graph,
+    on documents ∪ a planted A~B~C chain. Returns (id, comp) labels; the
+    oracle recomputes min-reachable-id with a SQL recursive CTE."""
+    from sparkfuse.dedup import ngram_jaccard_pairs
+    from sparkfuse.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chain = spark.createDataFrame(_CHAIN_DOCS, "doc_id long, text string")
+    base = docs.unionByName(chain)
+    pairs = ngram_jaccard_pairs(base, "doc_id", "text")
+    return connected_components(pairs)
+
+
+def q_cosine_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup pairs (sign-LSH candidates + exact cosine
+    verify — the 100-TB path; cosine_pairs is its exact all-pairs twin).
+    Oracle-checked as an invariant on a planted corpus: each of the first 100
+    vectors gets a 2x-scaled copy (cosine is scale-invariant ⇒ cos = 1.0,
+    and identical sign patterns ⇒ the pair collides in EVERY hash table, so
+    the planted recall is deterministic). Emitted pairs are exact-verified,
+    so approx ⊆ exact by construction; the invariant asserts recall >= 0.9
+    of the exact pair count the SQL oracle recomputes."""
+    from sparkfuse.similarity import cosine_lsh_pairs, cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.filter(F.col("vec_id") < 100).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    base = emb.unionByName(dup)
+    exact = cosine_pairs(base, "vec_id", "embedding", 0.95)
+    approx = cosine_lsh_pairs(base, "vec_id", "embedding", 0.95)
+    matched = exact.join(approx, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    total = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    return total.crossJoin(matched).select(
+        "n_exact_pairs",
+        (F.col("m") * 10 >= F.col("n_exact_pairs") * 9).alias("recall_ok"),
+    )
+
+
 def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints (MOSS scheme), aggregated
     per doc as (n_fps, fp_xor) — integer-exact, so the SQL twin matches
@@ -579,6 +641,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuse8_members_routed": q_fuse8_members_routed,
     "stream_compact_members": q_stream_compact_members,
     "cosine_near_dups": q_cosine_near_dups,
+    "cosine_lsh_near_dups": q_cosine_lsh_near_dups,
+    "neardup_components": q_neardup_components,
     "winnow_fingerprints": q_winnow_fps,
     "bpe_tok_stats": q_bpe_tok_stats,
     "event_rollup": q_event_rollup,
@@ -634,7 +698,7 @@ def oracle_sql() -> dict[str, str]:
         "forest_stats": "SELECT COUNT(DISTINCT o_custkey) AS nkeys FROM orders",
         "tok_stats": (
             "SELECT doc_id, "
-            "len(string_split_regex(trim(text), '\\s+')) AS n_tokens, "
+            f"len(string_split_regex(trim(text), '{TOKEN_SPLIT}')) AS n_tokens, "
             "length(text) AS n_chars_text FROM documents"
         ),
         "quality_stats": (
@@ -644,7 +708,7 @@ def oracle_sql() -> dict[str, str]:
             "len(list_intersect(list_distinct(ts), "
             "['the','a','and','of','to','is','in','that'])) AS n_stopword_kinds, "
             "length(text) AS n_chars_text FROM "
-            "(SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS ts "
+            f"(SELECT doc_id, text, string_split_regex(trim(text), '{TOKEN_SPLIT}') AS ts "
             "FROM documents)"
         ),
         "lang_id": _lang_id_oracle(),
@@ -701,6 +765,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),
         "cosine_near_dups": _cosine_oracle(),
+        "cosine_lsh_near_dups": (
+            "WITH base0 AS ("
+            "  SELECT vec_id AS _id, embedding::DOUBLE[] AS _v FROM embeddings"
+            "  UNION ALL"
+            "  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 2.0)"
+            "  FROM embeddings WHERE vec_id < 100"
+            "), base AS ("
+            "  SELECT _id, _v, sqrt(list_inner_product(_v, _v)) AS _n FROM base0"
+            "), pairs AS ("
+            "  SELECT a._id AS id_a, b._id AS id_b"
+            "  FROM base a JOIN base b ON a._id < b._id"
+            "  WHERE a._n > 0 AND b._n > 0"
+            "    AND round(list_inner_product(a._v, b._v) / (a._n * b._n), 6) >= 0.95"
+            ") SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok FROM pairs"
+        ),
+        "neardup_components": _components_oracle(),
         "winnow_fingerprints": _winnow_oracle(),
         "bpe_tok_stats": _bpe_oracle(),
         "event_rollup": (
@@ -728,6 +808,21 @@ def _knn_oracle() -> str:
     from sparkfuse.similarity import knn_topk_oracle_sql
 
     return knn_topk_oracle_sql("embeddings", "vec_id", "embedding", list(range(10)), k=5)
+
+
+def _components_oracle() -> str:
+    from sparkfuse.dedup import ngram_jaccard_pairs_oracle_sql
+    from sparkfuse.graph import components_oracle_sql
+
+    values = ", ".join(f"({i}, '{t}')" for i, t in _CHAIN_DOCS)
+    inner = ngram_jaccard_pairs_oracle_sql("base", "doc_id", "text")
+    pairs_sql = inner.replace(
+        "WITH toks",
+        "WITH base AS (SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT * FROM (VALUES {values}) AS t(doc_id, text)), toks",
+        1,
+    )
+    return components_oracle_sql(pairs_sql)
 
 
 def _cosine_oracle() -> str:

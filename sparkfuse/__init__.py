@@ -59,6 +59,9 @@ _SPARK_LAYER = {
     "exact_anti_join": ("sparkfuse.probe", "exact_anti_join"),
     "probe_forest": ("sparkfuse.probe", "probe_forest"),
     "curate_documents": ("sparkfuse.pipeline", "curate_documents"),
+    "exact_dedup": ("sparkfuse.dedup", "exact_dedup"),
+    "cosine_lsh_pairs": ("sparkfuse.similarity", "cosine_lsh_pairs"),
+    "connected_components": ("sparkfuse.graph", "connected_components"),
     "get_spark": ("sparkfuse.session", "get_spark"),
 }
 

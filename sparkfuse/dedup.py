@@ -25,19 +25,45 @@ from fractions import Fraction
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sparkfuse.textops import tokens_col
+from sparkfuse.textops import TOKEN_SPLIT, tokens_col
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def fingerprint_cols(text_col: str, bits: int = 128) -> list:
+    """Content-fingerprint column(s) for dedup grouping, width-parameterized.
+
+    128-bit (default for the EXACT path): two independent-seed xxhash64
+    lanes — ``xxhash64(text)`` and ``xxhash64(text, 1)``. Expected false
+    merges ~ n²/2^129: ~4·10^-16 at n = 10^12 docs, i.e. zero at any corpus
+    scale that fits in storage. 64-bit is kept for the APPROXIMATE ladder
+    (minhash/simhash candidates), where ~n²/2^65 ≈ 27k collisions at 10^12
+    docs is noise among millions of true near-dups — but on a path labeled
+    EXACT those would be silently dropped distinct documents.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if bits == 64:
+        return [F.xxhash64(c).alias("fp")]
+    if bits == 128:
+        return [F.xxhash64(c).alias("fp"), F.xxhash64(c, F.lit(1)).alias("fp2")]
+    raise ValueError(f"fingerprint bits must be 64 or 128, got {bits}")
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, fingerprint_bits: int = 128
+) -> DataFrame:
     """Canonical id per distinct text (min id), via hash fingerprint group-by.
 
-    Grouping on the 64-bit fingerprint instead of the full text means the
-    shuffle carries 8 bytes + id per row instead of the document body —
-    the difference between shuffling 100 TB and shuffling 1.6 TB.
+    Grouping on the fingerprint instead of the full text means the shuffle
+    carries 16 bytes + id per row instead of the document body — the
+    difference between shuffling 100 TB and shuffling ~3 TB. The default
+    128-bit width keeps fingerprint-equality ≡ text-equality at 10^12-doc
+    scale (see ``fingerprint_cols``); the SQL oracle groups on the full
+    text, so any collision would surface as an oracle mismatch.
     """
+    fps = fingerprint_cols(text_col, fingerprint_bits)
+    sel = df.select(F.col(id_col), *fps)
+    group_cols = [c for c in sel.columns if c != id_col]
     return (
-        df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("fp"))
-        .groupBy("fp")
+        sel.groupBy(*group_cols)
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
@@ -145,7 +171,7 @@ def ngram_jaccard_pairs_oracle_sql(
     gram = " || ' ' || ".join(f"ts[i+{j}]" for j in range(k))
     return f"""
 WITH toks AS (
-  SELECT {id_col} AS _id, string_split_regex(trim({text_col}), '\\s+') AS ts
+  SELECT {id_col} AS _id, string_split_regex(trim({text_col}), '{TOKEN_SPLIT}') AS ts
   FROM {table}
 ),
 sh AS (

@@ -2,10 +2,11 @@
 
 ``curate_documents`` chains the library's exact dedup ladder the way a
 corpus-curation job would: exact text dedup (canonical = min id per distinct
-text) → integer quality gate → pairwise near-duplicate drop (keep the lower
-id of each qualifying pair). Every stage is EXACT and deterministic, so the
-entire composition is checkable against one ANSI-SQL oracle — the same
-contract as each individual operator.
+text) → integer quality gate → transitive near-duplicate clustering
+(connected components over the pair graph; one canonical doc per cluster).
+Every stage is EXACT and deterministic, so the entire composition is
+checkable against one ANSI-SQL oracle (the components stage as a recursive
+CTE) — the same contract as each individual operator.
 
 At 100 TB the plan is: stage 1 shuffles 8-byte fingerprints (not bodies),
 stage 2 is a pure codegen projection, stage 3 is the inverted-index shingle
@@ -19,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkfuse.dedup import exact_dedup, ngram_jaccard_pairs
-from sparkfuse.textops import quality_stats
+from sparkfuse.textops import TOKEN_SPLIT, quality_stats
 
 
 def curate_documents(
@@ -29,18 +30,27 @@ def curate_documents(
     min_tokens: int = 5,
     max_token_len: int = 40,
     scale: bool = False,
+    canonical: str = "components",
 ) -> DataFrame:
     """Returns the curated (kept) ids after dedup → quality → near-dup drop.
 
-    Near-dup policy is pairwise-canonical: for every near-dup pair
-    (id_a < id_b) among quality survivors, id_b is dropped — deterministic
-    and SQL-expressible (no transitive closure), which is what makes the
-    whole pipeline oracle-checkable.
+    Near-dup canonicalization policy:
+
+    * ``canonical="components"`` (default) — TRANSITIVE clustering: connected
+      components over the near-dup pair graph (graph.connected_components,
+      hash-min label propagation, O(diameter) rounds); each cluster keeps
+      exactly its min id. A chain A~B~C collapses to A even though (A, C) is
+      not itself a pair — the standard corpus-dedup requirement. Still
+      oracle-checkable (min-reachable-id is a SQL recursive CTE).
+    * ``canonical="pairwise"`` — drop id_b of every pair. Cheaper (no
+      iteration) but a chain A~B~C keeps both A and C.
     """
-    # exact_dedup groups on the 64-bit fingerprint, so this stage shuffles
-    # 8 bytes + id per row, never document bodies (fingerprint-equality ≡
-    # text-equality at any realistic corpus size; the SQL oracle groups on
-    # the full text, so a collision would surface as an oracle mismatch)
+    # exact_dedup groups on the 128-bit fingerprint (two xxhash64 lanes), so
+    # this stage shuffles 16 bytes + id per row, never document bodies.
+    # 128-bit keeps fingerprint-equality ≡ text-equality even at 10^12 docs
+    # (~4e-16 expected collisions, vs ~27k on 64-bit — see
+    # dedup.fingerprint_cols); the SQL oracle groups on the full text, so a
+    # collision would surface as an oracle mismatch.
     kept1 = docs.join(exact_dedup(docs, id_col, text_col), id_col, "left_semi")
     q = quality_stats(kept1, id_col, text_col).filter(
         (F.col("n_tokens") >= min_tokens)
@@ -48,7 +58,19 @@ def curate_documents(
     )
     kept2 = kept1.join(q.select(id_col), id_col, "left_semi")
     pairs = ngram_jaccard_pairs(kept2, id_col, text_col, scale=scale)
-    dropped = pairs.select(F.col("id_b").alias(id_col))
+    if canonical == "components":
+        from sparkfuse.graph import connected_components
+
+        comps = connected_components(pairs)
+        dropped = comps.filter(F.col("id") != F.col("comp")).select(
+            F.col("id").alias(id_col)
+        )
+    elif canonical == "pairwise":
+        dropped = pairs.select(F.col("id_b").alias(id_col))
+    else:
+        raise ValueError(
+            f"canonical must be 'components' or 'pairwise', got {canonical!r}"
+        )
     return kept2.join(dropped, id_col, "left_anti").select(id_col)
 
 
@@ -58,14 +80,36 @@ def curate_documents_oracle_sql(
     text_col: str,
     min_tokens: int = 5,
     max_token_len: int = 40,
+    canonical: str = "components",
 ) -> str:
-    """DuckDB twin of curate_documents (scale=False path)."""
+    """DuckDB twin of curate_documents (scale=False path). The components
+    policy is expressed as a recursive CTE (min reachable id per node)."""
     from sparkfuse.dedup import ngram_jaccard_pairs_oracle_sql
 
-    toks = f"string_split_regex(trim({text_col}), '\\s+')"
+    toks = f"string_split_regex(trim({text_col}), '{TOKEN_SPLIT}')"
     pairs = ngram_jaccard_pairs_oracle_sql("kept2", id_col, text_col)
+    if canonical == "components":
+        drop = """
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+dropped AS (
+  SELECT id FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+  WHERE id != comp
+)"""
+    elif canonical == "pairwise":
+        drop = "dropped AS (SELECT id_b AS id FROM pairs)"
+    else:
+        raise ValueError(f"unknown canonical policy {canonical!r}")
     return f"""
-WITH canon AS (
+WITH RECURSIVE canon AS (
   SELECT MIN({id_col}) AS {id_col} FROM {table} GROUP BY {text_col}
 ),
 kept1 AS (
@@ -77,7 +121,8 @@ kept2 AS (
   WHERE len({toks}) >= {min_tokens}
     AND list_max(list_transform({toks}, t -> length(t))) <= {max_token_len}
 ),
-pairs AS ({pairs})
+pairs AS ({pairs}),
+{drop}
 SELECT {id_col} FROM kept2
-WHERE {id_col} NOT IN (SELECT id_b FROM pairs)
+WHERE {id_col} NOT IN (SELECT id FROM dropped)
 """

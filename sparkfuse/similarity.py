@@ -273,27 +273,14 @@ def ivf_topk(
     return _rerank(cand, base, k)
 
 
-def ann_lsh_topk(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    query_ids,
-    k: int = 5,
-    n_planes: int = 4,
-    n_tables: int = 8,
-    dim: int = 64,
-    seed: int = 7,
+def _lsh_bucket_table(
+    base: DataFrame, n_planes: int, n_tables: int, dim: int, seed: int
 ) -> DataFrame:
-    """Approximate top-k: sign-LSH (random hyperplanes) bucketing + exact
-    rerank inside buckets. n_tables independent hash tables union their
-    candidates (recall knob). The hyperplanes are generated from a fixed
-    seed on the driver and broadcast via closure — deterministic.
-
-    Parameter note: P(bucket collision) = (1 - acos(cos)/pi)^n_planes per
-    table; defaults (4 planes x 8 tables) target the ~0.5-cosine neighbor
-    regime (~0.83 recall). For tightly-clustered embeddings raise n_planes
-    to shrink candidate sets.
-    """
+    """Sign-LSH bucket assignments (melted): (_id, t, h) — one row per
+    (vector, hash table). Hyperplanes are generated from a fixed seed on the
+    driver and ship via closure (tiny: n_tables·n_planes·dim doubles) —
+    deterministic. Shared by ``ann_lsh_topk`` (query-vs-table join) and
+    ``cosine_lsh_pairs`` (self-join)."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float64)
 
@@ -313,15 +300,98 @@ def ann_lsh_topk(
         [StructField("_id", LongType(), True)]
         + [StructField(f"bk{t}", LongType(), True) for t in range(n_tables)]
     )
-    base = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
     buckets = base.mapInPandas(bucket_kernel, schema)
-    melted = buckets.select(
+    return buckets.select(
         "_id",
         F.explode(
             F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"bk{t}").alias("h"))
                       for t in range(n_tables)])
         ).alias("bk"),
     ).select("_id", "bk.t", "bk.h")
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-duplicate PAIRS at scale: sign-LSH candidate generation
+    + exact round-6 cosine verification — the embedding twin of
+    ``minhash_lsh_candidates``, and the scale path that ``cosine_pairs``
+    (exact all-pairs crossJoin) is not.
+
+    Plan: bucket every vector into n_tables sign-LSH tables (one Arrow pass),
+    self-join buckets on (table, code) → candidate pairs O(near-dups +
+    bucket collisions), never O(n²) → join vectors back and verify with the
+    EXACT cosine contract of ``cosine_pairs`` (round 6, zero-norm guard), so
+    every emitted pair is a true pair. Recall < 1 (a pair is missed iff it
+    collides in no table): P(emit) = 1 - (1 - p^planes)^tables with
+    p = 1 - acos(cos)/π — defaults (8×8) give ≥0.93 at cos 0.90, ≥0.9997 at
+    cos 0.97; raise n_tables for more recall, n_planes for fewer candidates.
+    Skew note: an LSH bucket holding d vectors emits d(d-1)/2 candidates —
+    AQE's skew-join split handles hot buckets (same lever as hot shingles in
+    ngram_jaccard_pairs; duplicate-heavy corpora should exact-dedup first).
+    """
+    base = with_norm(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v"
+    )
+    melted = _lsh_bucket_table(
+        base.select("_id", "_v"), n_planes, n_tables, dim, seed
+    )
+    a = melted.select(F.col("_id").alias("id_a"), "t", "h")
+    b = melted.select(F.col("_id").alias("id_b"), "t", "h")
+    cand = (
+        a.join(b, ["t", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    va = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_norm").alias("_na")
+    )
+    vb = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_norm").alias("_nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .withColumn(
+            "cos",
+            F.round(cosine(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")), 6),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: sign-LSH (random hyperplanes) bucketing + exact
+    rerank inside buckets. n_tables independent hash tables union their
+    candidates (recall knob).
+
+    Parameter note: P(bucket collision) = (1 - acos(cos)/pi)^n_planes per
+    table; defaults (4 planes x 8 tables) target the ~0.5-cosine neighbor
+    regime (~0.83 recall). For tightly-clustered embeddings raise n_planes
+    to shrink candidate sets.
+    """
+    base = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
+    melted = _lsh_bucket_table(base, n_planes, n_tables, dim, seed)
     qb = melted.filter(F.col("_id").isin(list(query_ids))).select(
         F.col("_id").alias("query_id"), "t", "h"
     )

@@ -32,7 +32,12 @@ LANG_STOPWORDS = {
     "fr": ["le", "la", "les", "une", "est", "et", "que", "pour"],
 }
 
-TOKEN_SPLIT = r"\s+"
+# Explicit whitespace class, shared verbatim by the Spark (Java regex) and
+# DuckDB-oracle (RE2) sides: Java's \s includes \x0B, RE2's does not, so a
+# literal \s+ would diverge on vertical-tab-bearing text. Spelling the class
+# out makes cross-engine divergence impossible. (\x0B itself therefore
+# tokenizes as a punctuation character — identically in both engines.)
+TOKEN_SPLIT = r"[ \t\n\r\f]+"
 
 
 def tokens_col(text: str | Column) -> Column:
@@ -99,7 +104,7 @@ def lang_id_oracle_sql(table: str, id_col: str, text_col: str) -> str:
     for lang in langs:
         words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
         score_exprs.append(
-            f"len(list_filter(string_split_regex(trim({text_col}), '\\s+'), "
+            f"len(list_filter(string_split_regex(trim({text_col}), '{TOKEN_SPLIT}'), "
             f"t -> list_contains([{words}], t))) AS score_{lang}"
         )
     best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
@@ -178,7 +183,9 @@ def hamming64(a: Column, b: Column) -> Column:
 # space + letter run / digit run / punctuation run, else whitespace run).
 # Deliberately lookahead-free so Spark's Java regex and DuckDB's RE2 agree
 # token-for-token — the cross-engine oracle contract.
-BPE_SPLIT_REGEX = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+# \s spelled out as the explicit class in BOTH alternatives (same Java-vs-RE2
+# \x0B rationale as TOKEN_SPLIT).
+BPE_SPLIT_REGEX = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\r\f]+|[ \t\n\r\f]+"
 
 
 def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -205,7 +212,7 @@ def bpe_token_stats_oracle_sql(table: str, id_col: str, text_col: str) -> str:
         f"SELECT {id_col}, "
         f"len(list_filter(regexp_extract_all({text_col}, '{BPE_SPLIT_REGEX}'), "
         "t -> NOT regexp_matches(t, '^[ \\t\\n\\r\\f]+$'))) AS n_bpe_tokens, "
-        f"len(string_split_regex(trim({text_col}), '\\s+')) AS n_ws_tokens "
+        f"len(string_split_regex(trim({text_col}), '{TOKEN_SPLIT}')) AS n_ws_tokens "
         f"FROM {table}"
     )
 

@@ -21,7 +21,13 @@ from sparkfuse.multimodal import (
     media_repartition_by_bytes,
     synth_media,
 )
-from sparkfuse.similarity import ann_lsh_topk, cosine_pairs, knn_topk, knn_topk_oracle_sql
+from sparkfuse.similarity import (
+    ann_lsh_topk,
+    cosine_lsh_pairs,
+    cosine_pairs,
+    knn_topk,
+    knn_topk_oracle_sql,
+)
 from sparkfuse.textops import (
     fingerprint,
     hamming64,
@@ -84,6 +90,32 @@ def test_fingerprint_dedup_events(spark, ddb):
     )
     assert got == want
     assert len(got) == 100  # known dup structure
+
+
+def test_fingerprint_width_parameterization(spark, ddb):
+    from sparkfuse.dedup import fingerprint_cols
+
+    events = spark.read.parquet(f"{SF01}/events.parquet")
+    want = sorted(
+        r[0] for r in ddb.execute(
+            "SELECT MIN(event_id) FROM events GROUP BY props"
+        ).fetchall()
+    )
+    # both widths agree with full-text grouping on a real corpus; 128-bit is
+    # the default because only it stays collision-free at 10^12 docs
+    for bits in (64, 128):
+        got = sorted(
+            r["event_id"]
+            for r in exact_dedup(
+                events, "event_id", "props", fingerprint_bits=bits
+            ).collect()
+        )
+        assert got == want, bits
+    # the two 128-bit lanes are genuinely different hash functions
+    row = events.select(*fingerprint_cols("props", 128)).first()
+    assert row["fp"] != row["fp2"]
+    with pytest.raises(ValueError, match="64 or 128"):
+        fingerprint_cols("props", 96)
 
 
 def test_simhash_properties(spark):
@@ -238,6 +270,51 @@ def test_bpe_token_stats_drops_all_whitespace_runs(spark):
     assert got[0] == got[1] == got[2] == 2
 
 
+def test_vertical_tab_cross_engine_parity(spark):
+    # Java \s includes \x0B, RE2's does not — both TOKEN_SPLIT and
+    # BPE_SPLIT_REGEX spell the whitespace class out so a \x0B-bearing doc
+    # tokenizes identically in Spark and the DuckDB oracle
+    import duckdb
+    import pandas as pd
+
+    from sparkfuse.textops import (
+        bpe_token_stats,
+        bpe_token_stats_oracle_sql,
+    )
+
+    rows = [
+        (0, "a\x0b."),                         # the VERDICT r2 divergence case
+        (1, "plain text with\ttabs and\nnewlines"),
+        (2, "mixed \x0b ws\x0b\x0bruns \f formfeed"),
+        (3, "the cat\x0bsat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("vt_docs", pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    got_tok = {r["doc_id"]: r["n_tokens"]
+               for r in token_stats(df, "doc_id", "text").collect()}
+    want_tok = dict(con.execute(
+        "SELECT doc_id, len(string_split_regex(trim(text), "
+        "'[ \\t\\n\\r\\f]+')) FROM vt_docs"
+    ).fetchall())
+    assert got_tok == want_tok
+
+    got_bpe = {r["doc_id"]: (r["n_bpe_tokens"], r["n_ws_tokens"])
+               for r in bpe_token_stats(df, "doc_id", "text").collect()}
+    want_bpe = {r[0]: (r[1], r[2]) for r in con.execute(
+        bpe_token_stats_oracle_sql("vt_docs", "doc_id", "text")
+    ).fetchall()}
+    assert got_bpe == want_bpe
+
+    got_lang = {r["doc_id"]: r["pred_lang"]
+                for r in lang_id(df, "doc_id", "text").collect()}
+    want_lang = dict(con.execute(
+        lang_id_oracle_sql("vt_docs", "doc_id", "text")
+    ).fetchall())
+    assert got_lang == want_lang
+
+
 def test_cosine_pairs_ignores_zero_norm_vectors(spark):
     from sparkfuse.similarity import cosine_pairs
 
@@ -367,6 +444,44 @@ def test_ann_lsh_recall(spark):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_cosine_lsh_pairs_subset_of_exact(spark):
+    # every emitted pair is exact-verified, so approx ⊆ exact ALWAYS holds
+    # (precision 1.0 by construction); recall is the probabilistic part
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_lsh_pairs(
+            emb, "vec_id", "embedding", 0.4, n_planes=3, n_tables=16
+        ).collect()
+    }
+    assert approx <= exact
+    # at cos>=0.4 with 3x16 tables the per-pair miss bound is <=1.1%
+    assert len(approx) >= 0.8 * len(exact), (len(approx), len(exact))
+
+
+def test_cosine_lsh_pairs_planted_dups_full_recall(spark):
+    # 2x-scaled copies: cosine is scale-invariant (cos = 1.0) and the sign
+    # pattern is identical in every table, so recall on planted dups is
+    # deterministic 1.0 — the invariant the entry query certifies
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dup = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    base = emb.unionByName(dup)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_lsh_pairs(base, "vec_id", "embedding", 0.99).collect()
+    }
+    assert {(i, i + 100000) for i in range(50)} <= got
 
 
 # ---------------------------------------------------------------------------
