@@ -471,18 +471,22 @@ def q_stream_compact_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="sparkfuse_stream_q_")
     src = f"{base}/src"
-    _os.makedirs(src, exist_ok=True)
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
-    pdf = orders.select("o_custkey").toPandas()
-    half = len(pdf) // 2
-    # flat files (not Spark directory outputs) so the file source streams them
-    pdf.iloc[:half].to_parquet(f"{src}/epoch_a.parquet", index=False)
-    pdf.iloc[half:].to_parquet(f"{src}/epoch_b.parquet", index=False)
+    # arrival fixture written DISTRIBUTED (no toPandas/collect anywhere in
+    # the query): two deterministic key slices, each a Spark parquet dir; the
+    # file source reads them via a glob (part files are plain parquet, and
+    # _SUCCESS/_-prefixed files are ignored by the source's convention)
+    orders.filter(F.col("o_orderkey") % 2 == 0).select("o_custkey").write.mode(
+        "overwrite"
+    ).parquet(f"{src}/epoch_a")
+    orders.filter(F.col("o_orderkey") % 2 == 1).select("o_custkey").write.mode(
+        "overwrite"
+    ).parquet(f"{src}/epoch_b")
     stream = (
         spark.readStream.schema("o_custkey long")
         .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+        .parquet(f"{src}/epoch_*")
     )
     q = stream_forest(
         stream, f"{base}/forest", f"{base}/ck", ["o_custkey"], shard_bits=2

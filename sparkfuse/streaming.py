@@ -129,10 +129,49 @@ class EpochForest:
         return len(self.epochs)
 
 
+def _check_state_layout(checkpoint: str, shard_bits: int) -> None:
+    """Persist the effective shard layout next to the checkpoint and FAIL
+    LOUDLY on mismatch: restarting a checkpointed first-seen query with a
+    different shard count re-groups keys against the wrong seen-sets and
+    silently re-emits already-seen keys. The metadata file makes that
+    misconfiguration an error at query build time instead.
+
+    (Local/NFS paths only — the same filesystems the HDFSBackedStateStore
+    checkpoint itself can use in this mode; for object-store checkpoints
+    persist the layout in your job config instead.)
+    """
+    import json
+    import os
+
+    meta_path = os.path.join(checkpoint, "_sparkfuse_first_seen_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            saved = json.load(f)
+        if saved.get("shard_bits") != shard_bits:
+            raise ValueError(
+                f"checkpoint {checkpoint!r} was created with shard_bits="
+                f"{saved.get('shard_bits')} (state_shards="
+                f"{saved.get('state_shards_effective')}), but this query "
+                f"derives shard_bits={shard_bits}. Restarting with a "
+                "different shard layout would re-group keys against the "
+                "wrong seen-sets and re-emit already-seen keys. Use the "
+                "original state_shards, or start a fresh checkpoint."
+            )
+        return
+    os.makedirs(checkpoint, exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump(
+            {"shard_bits": shard_bits, "state_shards_effective": 1 << shard_bits},
+            f,
+        )
+
+
 def streaming_first_seen(
     stream_df: DataFrame,
     key_cols: list[str],
     state_shards: int = 64,
+    checkpoint: str | None = None,
+    state_key_budget: int | None = None,
 ):
     """Streaming EXACT dedup: emit each key's FIRST occurrence only, across
     micro-batches, via a custom stateful operator (applyInPandasWithState).
@@ -143,6 +182,26 @@ def streaming_first_seen(
     state store enormous and the shuffle per-batch O(distinct keys). Each
     group's state is the set of seen 64-bit hashes (stored as binary);
     within a batch the kernel also dedups batch-local repeats.
+
+    State-growth contract (exact dedup needs Ω(distinct) state; the knobs
+    bound the *write amplification* and make exhaustion loud, they cannot
+    remove the lower bound):
+
+    * batches that bring a shard NO new keys skip ``state.update`` entirely —
+      the per-batch state write is proportional to the DIRTY shards only
+      (tested: a repeat-only batch writes ~no state delta);
+    * ``state_key_budget`` (per-shard): exceeding it raises mid-stream with
+      remediation guidance (compact history into an epoch forest via
+      ``stream_forest``+``compact_forest`` and restart first-seen fresh, or
+      re-plan with more state_shards on a NEW checkpoint) — loud beats a
+      state store that degrades towards per-batch full rewrites;
+    * ``checkpoint`` (recommended): persists the effective shard layout next
+      to the checkpoint dir and fails loudly if a restart would change it —
+      a silently changed layout re-emits already-seen keys;
+    * at cluster scale run under the RocksDB state store provider
+      (``spark.sql.streaming.stateStore.providerClass`` =
+      ``...RocksDBStateStoreProvider``): changelog-based checkpointing turns
+      the per-batch blob rewrite into an incremental write.
 
     This is the streaming analog of ``dedup.exact_dedup`` and the stateful
     complement to the epoch forest (approximate, immutable) — use this when
@@ -188,6 +247,14 @@ def streaming_first_seen(
                 fresh_parts.append(new)
                 seen = np.sort(np.concatenate([seen, new]), kind="stable")
         if fresh_parts:
+            if state_key_budget is not None and len(seen) > state_key_budget:
+                raise RuntimeError(
+                    f"first-seen state shard {group_key[0]} exceeded "
+                    f"state_key_budget={state_key_budget} ({len(seen)} keys). "
+                    "Compact history into an epoch forest (stream_forest + "
+                    "compact_forest) and restart first-seen fresh, or re-plan "
+                    "with more state_shards on a NEW checkpoint."
+                )
             state.update((seen.astype(np.int64).tobytes(),))
             yield pd.DataFrame({"key": np.concatenate(fresh_parts)})
 
@@ -195,12 +262,12 @@ def streaming_first_seen(
         raise ValueError(f"state_shards must be >= 2, got {state_shards}")
     # Non-power-of-two shard counts round UP to the next power of two (shard
     # id is a top-bits slice, so the group count must be 2^bits): 100 -> 128.
-    # CAUTION: the effective shard count is part of the state layout — a
-    # restart that changes it (e.g. new code rounding differently, or a
-    # different state_shards) re-groups keys against the wrong seen-sets and
-    # silently re-emits old keys. Keep state_shards fixed (ideally a power of
-    # two) for the lifetime of a checkpoint.
+    # The effective shard count is part of the state layout — pass
+    # ``checkpoint`` so a restart that would change it fails loudly instead
+    # of silently re-emitting old keys.
     shard_bits = (state_shards - 1).bit_length()
+    if checkpoint is not None:
+        _check_state_layout(checkpoint, shard_bits)
     keyed = stream_df.select(F.xxhash64(*key_cols).alias("key")).withColumn(
         "_shard",
         F.shiftrightunsigned(F.xxhash64("key"), 64 - shard_bits),

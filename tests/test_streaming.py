@@ -178,6 +178,84 @@ def test_streaming_first_seen_validates_state_shards(spark):
         streaming_first_seen(stream, ["value"], state_shards=1)
 
 
+def _run_first_seen_available_now(spark, src, ck, out, **kw):
+    from sparkfuse.streaming import streaming_first_seen
+
+    stream = spark.readStream.schema("k long").parquet(str(src))
+    deduped = streaming_first_seen(stream, ["k"], checkpoint=str(ck), **kw)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ck))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def test_first_seen_checkpoint_layout_guard(spark, tmp_path):
+    import pandas as pd
+
+    from sparkfuse.streaming import streaming_first_seen
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"k": range(100)}).to_parquet(src / "a.parquet")
+    ck, out = tmp_path / "ck", tmp_path / "out"
+    _run_first_seen_available_now(spark, src, ck, out, state_shards=8)
+    assert (ck / "_sparkfuse_first_seen_meta.json").exists()
+    # same layout restarts fine (no new emissions for repeated keys)
+    _run_first_seen_available_now(spark, src, ck, out, state_shards=8)
+    # a DIFFERENT effective shard count against the same checkpoint fails
+    # loudly at query build time, before any state is touched
+    stream = spark.readStream.schema("k long").parquet(str(src))
+    with pytest.raises(ValueError, match="shard_bits"):
+        streaming_first_seen(stream, ["k"], state_shards=16, checkpoint=str(ck))
+    # non-power-of-two requests resolve to the same layout -> accepted
+    streaming_first_seen(stream, ["k"], state_shards=7, checkpoint=str(ck))
+
+
+def test_first_seen_state_key_budget_fails_loudly(spark, tmp_path):
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"k": range(2000)}).to_parquet(src / "a.parquet")
+    with pytest.raises(Exception, match="state_key_budget"):
+        _run_first_seen_available_now(
+            spark, src, tmp_path / "ck", tmp_path / "out",
+            state_shards=2, state_key_budget=100,
+        )
+
+
+def test_first_seen_repeat_batches_write_no_state(spark, tmp_path):
+    """Write-amplification bound: a batch bringing a shard no new keys skips
+    state.update, so its state-store delta files stay ~empty while the
+    first (all-new) batch writes the full seen-set."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ck, out = tmp_path / "ck", tmp_path / "out"
+    pd.DataFrame({"k": range(5000)}).to_parquet(src / "a.parquet")
+    _run_first_seen_available_now(spark, src, ck, out, state_shards=4)
+    # second availableNow run, repeats only
+    pd.DataFrame({"k": range(5000)}).to_parquet(src / "b.parquet")
+    _run_first_seen_available_now(spark, src, ck, out, state_shards=4)
+    state_root = ck / "state" / "0"
+    deltas = {}  # batch version -> total delta bytes across partitions
+    for f in state_root.rglob("*.delta"):
+        v = int(f.name.split(".")[0])
+        deltas[v] = deltas.get(v, 0) + f.stat().st_size
+    assert set(deltas) >= {1, 2}, deltas
+    # batch 1 persisted ~5000 keys * 8B; batch 2 persisted nothing but
+    # store framing — two orders of magnitude apart, assert one
+    assert deltas[2] * 10 <= deltas[1], deltas
+    # and no rows were re-emitted
+    assert spark.read.parquet(str(out)).count() == 5000
+
+
 def test_epoch_forest_probe_udf(spark, tmp_path):
     """EpochForest duck-types contains_np, so the column-level probe UDF
     (and therefore exact joins) work over a streamed forest too."""
