@@ -510,8 +510,10 @@ def q_stream_compact_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed curation: exact dedup -> quality gate -> pairwise near-dup
-    drop, as one oracle-checkable chain (sparkfuse.pipeline)."""
+    """Composed curation: exact dedup (128-bit fingerprints) -> quality gate
+    -> transitive near-dup clustering (connected components; one canonical
+    doc per cluster), as one oracle-checkable chain incl. the recursive-CTE
+    oracle (sparkfuse.pipeline)."""
     from sparkfuse.pipeline import curate_documents
 
     return curate_documents(_t(spark, sf_dir, "documents"), "doc_id", "text")

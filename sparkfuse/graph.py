@@ -51,7 +51,8 @@ def connected_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_rounds):
+    changing_rounds = 0
+    while True:
         prop = und.join(
             labels.select(F.col("id").alias("src"), "comp"), "src"
         ).select(F.col("dst").alias("id"), "comp")
@@ -72,11 +73,36 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_rounds} rounds — "
-        "the pair graph has a longer chain than the round budget; raise "
-        "max_rounds (rounds needed = graph diameter)"
-    )
+        # only rounds that still change labels consume budget: the final
+        # confirming (no-change) pass is free, so max_rounds = graph
+        # diameter suffices exactly
+        changing_rounds += 1
+        if changing_rounds > max_rounds:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} "
+                "label-changing rounds — the pair graph has a longer chain "
+                "than the round budget; raise max_rounds (rounds needed = "
+                "graph diameter)"
+            )
+
+
+def components_reach_cte(pairs_cte: str = "pairs") -> str:
+    """Shared CTE fragment (``edges``, ``reach``) enumerating (node,
+    reachable id) over the undirected pair edges of an existing
+    ``pairs_cte`` producing (id_a, id_b). Compose inside a
+    ``WITH RECURSIVE`` chain — the single source of truth for the CC oracle
+    formulation (used by both ``components_oracle_sql`` and the
+    curate_documents oracle)."""
+    return f"""edges AS (
+  SELECT id_a AS src, id_b AS dst FROM {pairs_cte}
+  UNION
+  SELECT id_b, id_a FROM {pairs_cte}
+),
+reach(id, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+)"""
 
 
 def components_oracle_sql(pairs_sql: str) -> str:
@@ -84,15 +110,6 @@ def components_oracle_sql(pairs_sql: str) -> str:
     edges produced by ``pairs_sql`` (a SELECT yielding id_a, id_b)."""
     return f"""
 WITH RECURSIVE pairs AS ({pairs_sql}),
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-),
-reach(id, comp) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
-)
+{components_reach_cte()}
 SELECT id, MIN(comp) AS comp FROM reach GROUP BY id
 """

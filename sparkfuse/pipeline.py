@@ -8,10 +8,11 @@ Every stage is EXACT and deterministic, so the entire composition is
 checkable against one ANSI-SQL oracle (the components stage as a recursive
 CTE) — the same contract as each individual operator.
 
-At 100 TB the plan is: stage 1 shuffles 8-byte fingerprints (not bodies),
+At 100 TB the plan is: stage 1 shuffles 16-byte fingerprints (not bodies),
 stage 2 is a pure codegen projection, stage 3 is the inverted-index shingle
-join (use ``scale=True`` to bound hot-shingle fan-out, PLANS.md §5a); the
-final anti-join's right side is only the near-dup ids (tiny → broadcast).
+join (use ``scale=True`` to bound hot-shingle fan-out, PLANS.md §5a) plus
+O(diameter) label-propagation rounds over the pair graph only; the final
+anti-join's right side is only the near-dup ids (tiny → broadcast).
 """
 
 from __future__ import annotations
@@ -89,17 +90,10 @@ def curate_documents_oracle_sql(
     toks = f"string_split_regex(trim({text_col}), '{TOKEN_SPLIT}')"
     pairs = ngram_jaccard_pairs_oracle_sql("kept2", id_col, text_col)
     if canonical == "components":
-        drop = """
-edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-),
-reach(id, comp) AS (
-  SELECT src, src FROM edges
-  UNION
-  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
-),
+        from sparkfuse.graph import components_reach_cte
+
+        drop = f"""
+{components_reach_cte()},
 dropped AS (
   SELECT id FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
   WHERE id != comp

@@ -126,7 +126,7 @@ def approx_contains_arrow(
 # (path, file listing incl. sizes) so an appended/replaced sink is reloaded;
 # bounded so a worker holds at most a few forests.
 _SINK_FOREST_CACHE: dict = {}
-_SINK_CACHE_MAX = 2
+_SINK_CACHE_MAX = 4  # 2 forests x (content key + per-query memo key)
 
 
 def _sink_fingerprint(path: str):
@@ -136,6 +136,8 @@ def _sink_fingerprint(path: str):
     ``_`` or ``.`` (``_SUCCESS``, hidden markers) are metadata, not data.
     Works for local paths and any pyarrow-supported URI (s3://, hdfs://) —
     the executor reads the sink directly; the driver never touches payloads.
+    The key covers (name, size, mtime) per file so an in-place rewrite with
+    same-named same-sized files still invalidates the worker cache.
     """
     from pyarrow import fs as pafs
 
@@ -145,30 +147,43 @@ def _sink_fingerprint(path: str):
         filesystem, base = pafs.LocalFileSystem(), path
     infos = filesystem.get_file_info(pafs.FileSelector(base, recursive=True))
     files = sorted(
-        (i.path, i.size)
+        (i.path, i.size, getattr(i, "mtime_ns", None) or i.mtime)
         for i in infos
         if i.type == pafs.FileType.File and not i.base_name.startswith(("_", "."))
     )
     if not files:
         raise ValueError(f"no data files in forest sink {path!r}")
-    return filesystem, [p for p, _ in files], (path, tuple(files))
+    return filesystem, [p for p, _, _ in files], (path, tuple(files))
 
 
-def _load_forest_from_sink(path: str) -> Forest:
+def _load_forest_from_sink(path: str, plan_token: str) -> Forest:
     """Load (or fetch cached) the Forest from its parquet sink, inside the
-    Python worker process. One storage read per worker per sink version —
-    amortized across every probe batch the worker ever sees."""
+    Python worker process.
+
+    Two cache layers: (path, plan_token) memoizes WITHIN one query plan so
+    the sink listing runs once per worker per query (not once per Arrow
+    batch — at object-store latency a per-batch LIST would dominate); the
+    content-level (path, file listing) cache persists ACROSS queries so an
+    unchanged sink is never re-read, and a changed one (append, or in-place
+    rewrite — mtime is in the key) reloads on the next query.
+    """
     import pyarrow.dataset as pads
 
-    filesystem, data_files, cache_key = _sink_fingerprint(path)
-    cached = _SINK_FOREST_CACHE.get(cache_key)
+    memo_key = (path, plan_token)
+    cached = _SINK_FOREST_CACHE.get(memo_key)
     if cached is not None:
         return cached
-    tbl = pads.dataset(data_files, filesystem=filesystem, format="parquet").to_table()
-    forest = Forest(tbl.to_pylist())
+    filesystem, data_files, content_key = _sink_fingerprint(path)
+    forest = _SINK_FOREST_CACHE.get(content_key)
+    if forest is None:
+        tbl = pads.dataset(
+            data_files, filesystem=filesystem, format="parquet"
+        ).to_table()
+        forest = Forest(tbl.to_pylist())
     while len(_SINK_FOREST_CACHE) >= _SINK_CACHE_MAX:
         _SINK_FOREST_CACHE.pop(next(iter(_SINK_FOREST_CACHE)))
-    _SINK_FOREST_CACHE[cache_key] = forest
+    _SINK_FOREST_CACHE[content_key] = forest
+    _SINK_FOREST_CACHE[memo_key] = forest
     return forest
 
 
@@ -182,14 +197,19 @@ def approx_contains_sink(
     session broadcast budget but small enough to replicate per executor.
     Probe keys never shuffle (the scale killer of the routed path) and the
     driver never sees a payload (the scale killer of the broadcast path).
-    Requires the sink to be immutable while probing (append-only sinks get a
-    fresh cache entry per version via the file-listing fingerprint).
+    The sink version is pinned once per query per worker (plan token), so a
+    sink mutated MID-query may be observed at either version per worker;
+    across queries the file-listing fingerprint (names+sizes+mtimes)
+    guarantees a fresh load after any append or rewrite.
     """
+    import os as _os
+
     col = F.col(key) if isinstance(key, str) else key
+    plan_token = _os.urandom(8).hex()  # fixed at plan time, ships in closure
 
     @F.pandas_udf(BooleanType())
     def probe_sink(keys: pd.Series) -> pd.Series:
-        forest = _load_forest_from_sink(sink_path)
+        forest = _load_forest_from_sink(sink_path, plan_token)
         return pd.Series(forest.contains_np(keys.to_numpy()))
 
     # asNondeterministic: same Catalyst predicate-pinning rationale as
@@ -385,14 +405,19 @@ def probe_forest(
        same knob as Spark's own broadcast-join choice): driver-collected
        ``sc.broadcast`` forest, pandas_udf probe. Cheapest; fuses into the
        probe scan.
-    2. payload ≤ replication budget (``sparkfuse.probe.replicationBudget``
-       session conf, default 512m — sized to what an executor can hold
-       resident): HYBRID replication. Probe keys never shuffle. With a
-       ``sink_path`` each worker loads the forest from storage itself
-       (zero driver bytes); without one the forest is torrent-broadcast
-       (one driver pass, still no key shuffle).
-    3. else: shard-routed cogroup — the only plan when the forest exceeds
-       executor memory; pays one 8-byte-per-key probe shuffle.
+    2. ``sink_path`` given AND payload ≤ replication budget
+       (``sparkfuse.probe.replicationBudget`` session conf, default 512m —
+       sized to what an executor can hold resident): HYBRID replication.
+       Each worker loads the forest from the sink itself — probe keys never
+       shuffle AND the driver never touches a payload. Without a sink_path
+       this regime is skipped (falling through to routed), because the only
+       way to replicate a DataFrame-only forest is a driver collect — a
+       driver-memory cost the executor-sized budget does not police.
+       (To trade driver memory for probe speed anyway, raise
+       broadcast_threshold explicitly.)
+    3. else: shard-routed cogroup — the only no-driver plan when the forest
+       exceeds executor memory (or has no readable sink); pays one
+       8-byte-per-key probe shuffle.
 
     Set either threshold to -1 to disable that regime.
 
@@ -416,10 +441,8 @@ def probe_forest(
     nbytes = forest_payload_bytes(forest_df)
     if broadcast_threshold >= 0 and nbytes <= broadcast_threshold:
         return approx_contains(probe_df, key, Forest.from_df(forest_df), spark, out=out)
-    if replication_budget >= 0 and nbytes <= replication_budget:
-        if sink_path is not None:
-            return approx_contains_sink(probe_df, key, sink_path, out=out)
-        return approx_contains(probe_df, key, Forest.from_df(forest_df), spark, out=out)
+    if sink_path is not None and replication_budget >= 0 and nbytes <= replication_budget:
+        return approx_contains_sink(probe_df, key, sink_path, out=out)
     return approx_contains_routed(probe_df, key, forest_df, out=out)
 
 
@@ -437,9 +460,7 @@ def _parse_byte_string(raw: str) -> int:
     substituting a default."""
     m = _BYTE_RE.match(str(raw).strip().lower())
     if not m:
-        raise ValueError(
-            f"unparseable byte string {raw!r} for autoBroadcastJoinThreshold"
-        )
+        raise ValueError(f"unparseable Spark byte string {raw!r}")
     suffix = m.group(2)
     mult = _BYTE_SUFFIXES[suffix[0]] if suffix else 1
     return int(m.group(1)) * mult

@@ -337,8 +337,12 @@ def cosine_lsh_pairs(
     AQE's skew-join split handles hot buckets (same lever as hot shingles in
     ngram_jaccard_pairs; duplicate-heavy corpora should exact-dedup first).
     """
+    # cast("long") matches ann_lsh_topk: the bucket kernel's Arrow schema
+    # declares _id long, so non-integer id columns fail there mid-job —
+    # casting up front keeps the scale path drop-in for any integer id type
     base = with_norm(
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")), "_v"
+        df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")),
+        "_v",
     )
     melted = _lsh_bucket_table(
         base.select("_id", "_v"), n_planes, n_tables, dim, seed

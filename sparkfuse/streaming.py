@@ -143,6 +143,14 @@ def _check_state_layout(checkpoint: str, shard_bits: int) -> None:
     import json
     import os
 
+    if "://" in checkpoint:
+        raise ValueError(
+            f"checkpoint {checkpoint!r} is a scheme-qualified URI: the local "
+            "layout guard cannot reach it, and silently skipping the check "
+            "would give false protection. For object-store checkpoints pin "
+            "state_shards in your job config (it must never change for the "
+            "checkpoint's lifetime) and pass checkpoint=None here."
+        )
     meta_path = os.path.join(checkpoint, "_sparkfuse_first_seen_meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:

@@ -261,12 +261,14 @@ def test_probe_forest_planner_three_regimes(spark, tmp_path):
     )
     assert "probe_sink(" in _plan_of(hy)
     assert "FlatMapCoGroups" not in _plan_of(hy)  # no probe-key shuffle
-    # regime 2 without a sink path falls back to torrent broadcast
+    # regime 2 without a sink path is SKIPPED (replicating a DataFrame-only
+    # forest would driver-collect up to the budget — a driver-memory cost
+    # the executor-sized budget does not police) → routed
     hy_nosink = probe_forest(
         keys, "key", forest_df, spark,
         broadcast_threshold=1, replication_budget=nbytes + 1,
     )
-    assert "probe(" in _plan_of(hy_nosink)
+    assert "FlatMapCoGroups" in _plan_of(hy_nosink)
     # regime 3: past both budgets → routed cogroup
     rt = probe_forest(
         keys, "key", forest_df, spark,
@@ -316,6 +318,23 @@ def test_sink_probe_cache_invalidates_on_append(spark, tmp_path):
         .filter(F.col("m")).count()
     ) == 30_000  # zero FN once the forest is complete
     full.unpersist()
+
+
+def test_sink_fingerprint_detects_inplace_rewrite(tmp_path):
+    # same file name + same byte size, different content: the cache key
+    # must still change (mtime is part of the fingerprint), or reused
+    # workers would serve stale membership verdicts
+    import os
+
+    from sparkfuse.probe import _sink_fingerprint
+
+    f = tmp_path / "part-0.parquet"
+    f.write_bytes(b"A" * 64)
+    _, _, key1 = _sink_fingerprint(str(tmp_path))
+    f.write_bytes(b"B" * 64)  # same size
+    os.utime(f, ns=(1, 1))  # force a different mtime even on coarse clocks
+    _, _, key2 = _sink_fingerprint(str(tmp_path))
+    assert key1 != key2
 
 
 def test_sink_probe_empty_sink_raises(spark, tmp_path):

@@ -39,13 +39,14 @@ def test_multiple_components_and_determinism(spark):
 
 def test_long_path_needs_diameter_rounds(spark):
     # a 12-node path has diameter 11: a 2-round budget must fail LOUDLY,
-    # a diameter-sized budget converges
+    # and max_rounds = diameter suffices EXACTLY (the confirming no-change
+    # pass is free — only label-changing rounds consume budget)
     path = [(i, i + 1) for i in range(11)]
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(_pairs(spark, path), max_rounds=2)
     labels = {
         r["id"]: r["comp"]
-        for r in connected_components(_pairs(spark, path), max_rounds=12).collect()
+        for r in connected_components(_pairs(spark, path), max_rounds=11).collect()
     }
     assert set(labels.values()) == {0}
 
