@@ -167,11 +167,13 @@ def main_bench():
     with tempfile.TemporaryDirectory() as td:
         sink = os.path.join(td, "big_forest")
         write_forest(big_forest, sink, mode="overwrite")
+        # min-of-3: the first run pays the per-worker sink load (and the
+        # VM's frequency ramp) — steady state is what the row measures
         t, _ = _timed(
             lambda: approx_contains_sink(routed_probes, "key", sink)
             .filter(F.col("maybe_member"))
             .count(),
-            repeats=2,
+            repeats=3,
         )
     queries["probe_hybrid_10m"] = t
     extra["probe_hybrid_keys_per_sec"] = n_routed / t

@@ -190,6 +190,15 @@ class BuildWorkspace:
         arr.fill(0)
         return arr
 
+    def arange(self, name: str, size: int, dtype) -> np.ndarray:
+        """A read-only-by-convention 0..size-1 ramp; refilled only on growth
+        (callers must never write to it)."""
+        arr = self._bufs.get(name)
+        if arr is None or arr.size < size or arr.dtype != np.dtype(dtype):
+            arr = np.arange(max(size, 1), dtype=dtype)
+            self._bufs[name] = arr
+        return arr[:size]
+
     def nbytes(self) -> int:
         return sum(a.nbytes for a in self._bufs.values())
 
@@ -225,12 +234,17 @@ def _peel_and_assign(
     flat = slots.reshape(-1)
     count = ws.get("count", capacity, np.int32)
     np.copyto(count, np.bincount(flat, minlength=capacity), casting="unsafe")
-    hxor = ws.zeros("hxor", capacity, np.uint64)
-    rep = ws.get("rep", arity * n, np.uint64)
-    rep.reshape(arity, n)[:] = hashes  # broadcast fill, no tile alloc
-    np.bitwise_xor.at(hxor, flat, rep)
+    # XOR of key INDICES (not hashes): a singleton slot then yields the key's
+    # index directly, so per-round slot triples come from a GATHER of the
+    # precomputed table instead of recomputing the hash mixes, and the xor
+    # accumulator is uint32 (half the .at memory traffic of uint64).
+    # (n < 2^32 always: a shard is ~2M keys.)
+    ixor = ws.zeros("ixor", capacity, np.uint32)
+    # the value operand broadcasts against the (arity, n) index shape —
+    # measured equal to an explicit tiled buffer, with no fill pass
+    np.bitwise_xor.at(ixor, slots, np.arange(n, dtype=np.uint32))
 
-    stack_hash = ws.get("stack_hash", n, np.uint64)
+    stack_idx = ws.get("stack_idx", n, np.int64)
     stack_slot = ws.get("stack_slot", n, np.int64)
     frontiers: list[tuple[int, int, np.ndarray]] = []  # (start, end, slot cache)
     stacked = 0
@@ -239,34 +253,50 @@ def _peel_and_assign(
     # candidate set is tracked incrementally: after a round's removals, only
     # slots touched by those removals can have become singletons — a full
     # count==1 rescan per round would cost rounds x capacity.
+    # int32 throughout: occurrence positions and key indices are < 2^31 at
+    # any shard size, and halving these buffers matters in the bus-bound
+    # many-worker regime (BENCH/BASELINE.md)
+    pos = ws.get("pos", n, np.int32)
+    # cand can be as long as capacity (initial round) or arity*m (later),
+    # so the occurrence-number buffer must cover the larger of the two
+    occ_n = max(capacity, arity * n)
+    occ_all = ws.arange("occ", occ_n, np.int32)
     cand = np.nonzero(count == 1)[0]
     while cand.size:
-        h = hxor[cand]
-        # A key alone in two slots at once appears twice; keep one occurrence.
-        uh, first = np.unique(h, return_index=True)
-        sl = cand[first]
-        m = len(uh)
-        stack_hash[stacked:stacked + m] = uh
+        ids = ixor[cand]
+        # A key alone in two slots at once appears twice (and a slot may
+        # appear twice in cand — see below); keep ONE occurrence per key.
+        # Sort-free dedup: scatter each occurrence's position keyed by id —
+        # the last write wins — then keep exactly the winning occurrences.
+        # (Either of a key's singleton slots is a valid assignment target:
+        # the reverse pass xors over all arity lanes regardless.)
+        occ = occ_all[: len(ids)]
+        pos[ids] = occ
+        winner = pos[ids] == occ
+        uids = ids[winner]  # uint32 key indices
+        sl = cand[winner]
+        m = len(uids)
+        stack_idx[stacked:stacked + m] = uids
         stack_slot[stacked:stacked + m] = sl
         stacked += m
-        g = slots_fn(uh)
+        g = slots[:, uids]  # gather beats recomputing the hash mixes
         frontiers.append((stacked - m, stacked, g))
         touched = g.reshape(-1)
         # np.int32 scalar addend keeps ufunc.at on the fast same-dtype inner
         # loop; a Python int forces a buffered casting path ~12x slower
         # (measured 431us vs 35us per ~1.8k-key round, numpy 1.26)
         np.add.at(count, touched, np.int32(-1))
-        r = rep[: arity * m]
-        r.reshape(arity, m)[:] = uh
-        np.bitwise_xor.at(hxor, touched, r)
-        cand = np.unique(touched[count[touched] == 1])
+        np.bitwise_xor.at(ixor, g, uids)  # value broadcasts over lanes
+        # duplicates (two keys of this round sharing a slot) are tolerated
+        # here — next round's unique-on-ids collapses them — saving a sort
+        cand = touched[count[touched] == 1]
 
     if stacked != n:
         return None
 
     fp = np.zeros(capacity, dtype=dtype)
     for start, end, g in reversed(frontiers):
-        h = stack_hash[start:end]
+        h = hashes[stack_idx[start:end]]
         acc = fingerprint64(h).astype(dtype)
         for lane in range(arity):
             acc = acc ^ fp[g[lane]]
