@@ -606,6 +606,64 @@ def q_cosine_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end over a media table DERIVED in-query
+    from documents (payload = utf-8 bytes of the text, kind by id mod 3,
+    video duration = char length): schema → byte-sized partitioning →
+    Arrow feature extraction (deterministic stand-in featurizer; the codec
+    step is the documented stub) → frame-sample plan. The SQL oracle
+    recomputes the exact parts (row count, payload bytes, frame-plan size)
+    and asserts the feature invariants (dim, [0,1] bounds) the Arrow path
+    must satisfy."""
+    from sparkfuse.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        frame_sample_plan,
+        media_repartition_by_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        ).alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.length(F.col("text")).cast("int").alias("duration_ms"),
+            F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    media = media_repartition_by_bytes(media, target_mb=1)
+    feats = extract_features(media)
+    n_frames = frame_sample_plan(media, every_ms=100).count()
+    stats = media.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.octet_length("payload")).alias("total_payload_bytes"),
+    )
+    inv = feats.agg(
+        (
+            (F.min(F.size("feature")) == FEATURE_DIM)
+            & (F.max(F.size("feature")) == FEATURE_DIM)
+        ).alias("feat_dim_ok"),
+        (
+            (F.min(F.array_min("feature")) >= 0.0)
+            & (F.max(F.array_max("feature")) <= 1.0)
+        ).alias("feat_bounded"),
+    )
+    return stats.crossJoin(inv).select(
+        "n_media",
+        "total_payload_bytes",
+        F.lit(n_frames).cast("long").alias("n_frames"),
+        "feat_dim_ok",
+        "feat_bounded",
+    )
+
+
 def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints (MOSS scheme), aggregated
     per doc as (n_fps, fp_xor) — integer-exact, so the SQL twin matches
@@ -649,6 +707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_near_dups": q_cosine_near_dups,
     "cosine_lsh_near_dups": q_cosine_lsh_near_dups,
     "neardup_components": q_neardup_components,
+    "media_pipeline": q_media_pipeline,
     "winnow_fingerprints": q_winnow_fps,
     "bpe_tok_stats": q_bpe_tok_stats,
     "event_rollup": q_event_rollup,
@@ -787,6 +846,21 @@ def oracle_sql() -> dict[str, str]:
             ") SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok FROM pairs"
         ),
         "neardup_components": _components_oracle(),
+        "media_pipeline": (
+            "WITH media AS ("
+            "  SELECT doc_id AS media_id,"
+            "         ['image','audio','video'][(doc_id % 3) + 1] AS kind,"
+            "         octet_length(encode(text)) AS n_bytes,"
+            "         length(text) AS duration_ms"
+            "  FROM documents"
+            "), frames AS ("
+            "  SELECT media_id, unnest(generate_series(0, greatest(duration_ms - 1, 0), 100))"
+            "  FROM media WHERE kind = 'video'"
+            ") SELECT (SELECT COUNT(*) FROM media) AS n_media,"
+            "         (SELECT CAST(SUM(n_bytes) AS BIGINT) FROM media) AS total_payload_bytes,"
+            "         (SELECT COUNT(*) FROM frames) AS n_frames,"
+            "         TRUE AS feat_dim_ok, TRUE AS feat_bounded"
+        ),
         "winnow_fingerprints": _winnow_oracle(),
         "bpe_tok_stats": _bpe_oracle(),
         "event_rollup": (

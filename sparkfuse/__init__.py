@@ -56,6 +56,7 @@ _SPARK_LAYER = {
     "approx_contains_sink": ("sparkfuse.probe", "approx_contains_sink"),
     "exact_member_semi_join": ("sparkfuse.probe", "exact_member_semi_join"),
     "exact_member_routed": ("sparkfuse.probe", "exact_member_routed"),
+    "exact_member_forest": ("sparkfuse.probe", "exact_member_forest"),
     "exact_anti_join": ("sparkfuse.probe", "exact_anti_join"),
     "probe_forest": ("sparkfuse.probe", "probe_forest"),
     "curate_documents": ("sparkfuse.pipeline", "curate_documents"),

@@ -446,6 +446,36 @@ def probe_forest(
     return approx_contains_routed(probe_df, key, forest_df, out=out)
 
 
+def exact_member_forest(
+    probe_df: DataFrame,
+    probe_key: str,
+    build_df: DataFrame,
+    build_key: str,
+    forest_df: DataFrame,
+    spark: SparkSession | None = None,
+    sink_path: str | None = None,
+    **plan_kwargs,
+) -> DataFrame:
+    """Exact membership with the prescreen strategy chosen by the
+    ``probe_forest`` planner (broadcast / hybrid sink-load / routed), then
+    the exact-confirm semi-join. One entry point that stays correct from a
+    100 KB forest to a 100 GB one; same zero-FN + exact-confirm contract as
+    ``exact_member_semi_join``, so a plain SQL ``IN`` subquery is a valid
+    oracle for every regime."""
+    keys_only = probe_df.select(probe_key).dropDuplicates()
+    maybe = (
+        probe_forest(
+            keys_only, probe_key, forest_df, spark,
+            out="_maybe", sink_path=sink_path, **plan_kwargs,
+        )
+        .filter(F.col("_maybe"))
+        .drop("_maybe")
+    )
+    build_keys = build_df.select(F.col(build_key).alias(probe_key)).dropDuplicates()
+    members = maybe.join(build_keys, on=probe_key, how="left_semi")
+    return probe_df.join(members, on=probe_key, how="left_semi")
+
+
 _BYTE_SUFFIXES = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3,
                   "t": 1024**4, "p": 1024**5}
 # JavaUtils.byteStringAsBytes grammar: integer + optional multiplier letter

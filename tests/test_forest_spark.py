@@ -320,6 +320,46 @@ def test_sink_probe_cache_invalidates_on_append(spark, tmp_path):
     full.unpersist()
 
 
+def test_exact_member_forest_all_regimes(spark, tmp_path):
+    # planner-driven exact membership: identical result in every regime,
+    # equal to the plain semi-join ground truth
+    from sparkfuse.probe import exact_member_forest
+
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    sink = str(tmp_path / "forest")
+    write_forest(
+        build_forest(
+            orders.select(F.col("o_custkey").alias("key")), shard_bits=2
+        ),
+        sink,
+        mode="overwrite",
+    )
+    forest_df = spark.read.parquet(sink)
+    nbytes = forest_payload_bytes(forest_df)
+    want = sorted(
+        r["c_custkey"]
+        for r in customer.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")).dropDuplicates(),
+            "c_custkey", "left_semi",
+        ).collect()
+    )
+    regimes = {
+        "broadcast": dict(broadcast_threshold=nbytes + 1),
+        "hybrid": dict(broadcast_threshold=1, replication_budget=nbytes + 1,
+                       sink_path=sink),
+        "routed": dict(broadcast_threshold=1, replication_budget=1),
+    }
+    for name, kw in regimes.items():
+        got = sorted(
+            r["c_custkey"]
+            for r in exact_member_forest(
+                customer, "c_custkey", orders, "o_custkey", forest_df, spark, **kw
+            ).collect()
+        )
+        assert got == want, name
+
+
 def test_sink_fingerprint_detects_inplace_rewrite(tmp_path):
     # same file name + same byte size, different content: the cache key
     # must still change (mtime is part of the fingerprint), or reused
