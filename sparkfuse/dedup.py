@@ -211,10 +211,19 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 8,
     k: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded minhash-LSH (the 100-TB path:
     candidates ~ O(near-dups), not O(n^2)). rows = bands/num_hashes per band;
     two docs collide iff some band of their signatures is identical.
+
+    ``max_bucket_size``: drop LSH buckets holding more than this many docs
+    before the self-join — a bucket of d docs emits d(d-1)/2 candidates, so
+    one boilerplate family of 10^6 near-identical docs would emit 5·10^11
+    pairs. Oversized buckets are overwhelmingly exact-duplicate families
+    (run ``exact_dedup`` first) or template boilerplate; a true near-dup
+    pair is lost only if EVERY band bucket it shares is oversized. Off by
+    default (recall first) — the web-scale preset is ~1024.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -236,6 +245,11 @@ def minhash_lsh_candidates(
         F.explode(F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("h"))
                             for b in range(bands)])).alias("bk"),
     ).select(id_col, "bk.b", "bk.h")
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("b", "h").agg(F.count("*").alias("_n"))
+        buckets = buckets.join(
+            sizes.filter(F.col("_n") <= max_bucket_size), ["b", "h"], "left_semi"
+        )
     a = buckets.select(F.col(id_col).alias("id_a"), "b", "h")
     bb = buckets.select(F.col(id_col).alias("id_b"), "b", "h")
     return (

@@ -319,6 +319,7 @@ def cosine_lsh_pairs(
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate PAIRS at scale: sign-LSH candidate generation
     + exact round-6 cosine verification — the embedding twin of
@@ -336,6 +337,9 @@ def cosine_lsh_pairs(
     Skew note: an LSH bucket holding d vectors emits d(d-1)/2 candidates —
     AQE's skew-join split handles hot buckets (same lever as hot shingles in
     ngram_jaccard_pairs; duplicate-heavy corpora should exact-dedup first).
+    ``max_bucket_size`` additionally DROPS buckets above that size before
+    the self-join (the minhash_lsh_candidates analog): a pair is lost only
+    if every table bucket it shares is oversized; off by default.
     """
     # cast("long") matches ann_lsh_topk: the bucket kernel's Arrow schema
     # declares _id long, so non-integer id columns fail there mid-job —
@@ -347,6 +351,11 @@ def cosine_lsh_pairs(
     melted = _lsh_bucket_table(
         base.select("_id", "_v"), n_planes, n_tables, dim, seed
     )
+    if max_bucket_size is not None:
+        sizes = melted.groupBy("t", "h").agg(F.count("*").alias("_n"))
+        melted = melted.join(
+            sizes.filter(F.col("_n") <= max_bucket_size), ["t", "h"], "left_semi"
+        )
     a = melted.select(F.col("_id").alias("id_a"), "t", "h")
     b = melted.select(F.col("_id").alias("id_b"), "t", "h")
     cand = (

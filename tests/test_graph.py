@@ -67,6 +67,45 @@ def test_matches_recursive_cte_oracle(spark, tmp_path):
     assert got == want
 
 
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of the component
+    comp_min = {}
+    for x in parent:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    return {x: comp_min[find(x)] for x in parent}
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(3, 40, 25), (7, 60, 80), (11, 30, 60)])
+def test_random_graphs_match_union_find(spark, seed, n_nodes, n_edges):
+    import random
+
+    rng = random.Random(seed)
+    edges = []
+    while len(edges) < n_edges:
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(_pairs(spark, edges)).collect()
+    }
+    assert got == _union_find_labels(edges)
+
+
 def test_curate_components_collapses_chain(spark):
     # end-to-end through curate_documents: a text chain A~B~C (window
     # shingle overlap) keeps only A under components, A and C under pairwise

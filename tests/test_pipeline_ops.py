@@ -465,6 +465,42 @@ def test_cosine_lsh_pairs_subset_of_exact(spark):
     assert len(approx) >= 0.8 * len(exact), (len(approx), len(exact))
 
 
+def test_lsh_bucket_caps_bound_candidates_keep_planted_pairs(spark):
+    # a boilerplate family (many identical docs) floods its buckets; the cap
+    # drops those buckets while pairs outside oversized buckets survive
+    from sparkfuse.dedup import minhash_lsh_candidates
+
+    rows = [(i, "identical boilerplate header text repeated everywhere "
+                "on every single page of the site") for i in range(60)]
+    rows += [
+        (100, "a genuinely unique document about distributed query planning"),
+        (101, "a genuinely unique document about distributed query planning!"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            docs, "doc_id", "text", max_bucket_size=10
+        ).collect()
+    }
+    assert (100, 101) in capped            # planted near-dup survives
+    assert not any(a < 60 and b < 60 for a, b in capped)  # family buckets dropped
+    # embedding analog
+    emb = spark.createDataFrame(
+        [(i, [1.0] * 8 + [0.0] * 56) for i in range(40)]
+        + [(200, [0.0] * 56 + [1.0] * 8), (201, [0.0] * 56 + [1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_lsh_pairs(
+            emb, "vec_id", "embedding", 0.99, max_bucket_size=5
+        ).collect()
+    }
+    assert (200, 201) in got
+    assert not any(a < 40 and b < 40 for a, b in got)
+
+
 def test_cosine_lsh_pairs_planted_dups_full_recall(spark):
     # 2x-scaled copies: cosine is scale-invariant (cos = 1.0) and the sign
     # pattern is identical in every table, so recall on planted dups is
