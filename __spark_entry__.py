@@ -638,9 +638,14 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+    # frame plan counted pre-repartition (no reason to pay that shuffle
+    # twice); kept LAZY so every output column recomputes consistently if
+    # the returned DataFrame is re-executed
+    frames = frame_sample_plan(media, every_ms=100).agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
     media = media_repartition_by_bytes(media, target_mb=1)
     feats = extract_features(media)
-    n_frames = frame_sample_plan(media, every_ms=100).count()
     stats = media.agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum(F.octet_length("payload")).alias("total_payload_bytes"),
@@ -655,10 +660,10 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.max(F.array_max("feature")) <= 1.0)
         ).alias("feat_bounded"),
     )
-    return stats.crossJoin(inv).select(
+    return stats.crossJoin(frames).crossJoin(inv).select(
         "n_media",
         "total_payload_bytes",
-        F.lit(n_frames).cast("long").alias("n_frames"),
+        F.col("n_frames").cast("long").alias("n_frames"),
         "feat_dim_ok",
         "feat_bounded",
     )

@@ -246,10 +246,9 @@ def minhash_lsh_candidates(
                             for b in range(bands)])).alias("bk"),
     ).select(id_col, "bk.b", "bk.h")
     if max_bucket_size is not None:
-        sizes = buckets.groupBy("b", "h").agg(F.count("*").alias("_n"))
-        buckets = buckets.join(
-            sizes.filter(F.col("_n") <= max_bucket_size), ["b", "h"], "left_semi"
-        )
+        from sparkfuse.keys import cap_group_size
+
+        buckets = cap_group_size(buckets, ["b", "h"], max_bucket_size)
     a = buckets.select(F.col(id_col).alias("id_a"), "b", "h")
     bb = buckets.select(F.col(id_col).alias("id_b"), "b", "h")
     return (

@@ -219,9 +219,9 @@ def _peel_and_assign(
     it), which also makes the reverse per-round fingerprint assignment
     conflict-free.
 
-    All scratch (counts, xor accumulator, stacks, repeated-hash buffer) lives
-    in ``ws``; only the returned fingerprint array is freshly allocated (it
-    is owned by the filter).
+    All scratch (counts, index-xor accumulator, stacks, dedup position map,
+    index ramps) lives in ``ws``; only the returned fingerprint array is
+    freshly allocated (it is owned by the filter).
     """
     n = len(hashes)
     if n == 0:
@@ -242,7 +242,7 @@ def _peel_and_assign(
     ixor = ws.zeros("ixor", capacity, np.uint32)
     # the value operand broadcasts against the (arity, n) index shape —
     # measured equal to an explicit tiled buffer, with no fill pass
-    np.bitwise_xor.at(ixor, slots, np.arange(n, dtype=np.uint32))
+    np.bitwise_xor.at(ixor, slots, ws.arange("ramp32", n, np.uint32))
 
     stack_idx = ws.get("stack_idx", n, np.int64)
     stack_slot = ws.get("stack_slot", n, np.int64)

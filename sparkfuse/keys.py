@@ -82,3 +82,19 @@ def shard_column(key: str | Column, shard_bits: int, route: str = "xxh64") -> Co
     elif route != "raw":
         raise ValueError(f"unknown shard route {route!r}")
     return F.shiftrightunsigned(col, 64 - shard_bits)
+
+
+def cap_group_size(df: DataFrame, cols: list[str], max_size: int) -> DataFrame:
+    """Drop every row belonging to a group (over ``cols``) larger than
+    ``max_size`` — the hot-bucket guard shared by the LSH candidate
+    generators (a bucket of d members emits d(d-1)/2 candidate pairs).
+    One window pass over the input; no re-evaluation of the (often
+    expensive) lineage that produced it."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*cols)
+    return (
+        df.withColumn("_grp_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_grp_n") <= max_size)
+        .drop("_grp_n")
+    )

@@ -426,6 +426,24 @@ def probe_forest(
     lazily-built ``forest_df`` (or read it from its sink) before calling, or
     the shard builds run twice.
     """
+    regime = _plan_probe_regime(
+        forest_df, spark, broadcast_threshold, replication_budget, sink_path
+    )
+    if regime == "broadcast":
+        return approx_contains(probe_df, key, Forest.from_df(forest_df), spark, out=out)
+    if regime == "hybrid":
+        return approx_contains_sink(probe_df, key, sink_path, out=out)
+    return approx_contains_routed(probe_df, key, forest_df, out=out)
+
+
+def _plan_probe_regime(
+    forest_df: DataFrame,
+    spark: SparkSession | None,
+    broadcast_threshold: int | None,
+    replication_budget: int | None,
+    sink_path: str | None,
+) -> str:
+    """The probe_forest regime decision, shared with exact_member_forest."""
     if broadcast_threshold is None:
         broadcast_threshold = 10 * 1024 * 1024
         if spark is not None:
@@ -440,10 +458,10 @@ def probe_forest(
         replication_budget = _parse_byte_string(raw)
     nbytes = forest_payload_bytes(forest_df)
     if broadcast_threshold >= 0 and nbytes <= broadcast_threshold:
-        return approx_contains(probe_df, key, Forest.from_df(forest_df), spark, out=out)
+        return "broadcast"
     if sink_path is not None and replication_budget >= 0 and nbytes <= replication_budget:
-        return approx_contains_sink(probe_df, key, sink_path, out=out)
-    return approx_contains_routed(probe_df, key, forest_df, out=out)
+        return "hybrid"
+    return "routed"
 
 
 def exact_member_forest(
@@ -461,19 +479,30 @@ def exact_member_forest(
     the exact-confirm semi-join. One entry point that stays correct from a
     100 KB forest to a 100 GB one; same zero-FN + exact-confirm contract as
     ``exact_member_semi_join``, so a plain SQL ``IN`` subquery is a valid
-    oracle for every regime."""
-    keys_only = probe_df.select(probe_key).dropDuplicates()
-    maybe = (
-        probe_forest(
-            keys_only, probe_key, forest_df, spark,
-            out="_maybe", sink_path=sink_path, **plan_kwargs,
-        )
-        .filter(F.col("_maybe"))
-        .drop("_maybe")
+    oracle for every regime.
+
+    Plan shapes per regime: broadcast delegates to ``exact_member_semi_join``
+    (UDF filter fused into the probe scan + ONE semi-join — no key
+    dropDuplicates shuffle); hybrid filters rows in place with the sink
+    probe then semi-joins once; routed dedups keys first so only 8-byte
+    keys cross the shard shuffle (``exact_member_routed``)."""
+    regime = _plan_probe_regime(
+        forest_df, spark,
+        plan_kwargs.get("broadcast_threshold"),
+        plan_kwargs.get("replication_budget"),
+        sink_path,
     )
+    if regime == "broadcast":
+        return exact_member_semi_join(
+            probe_df, probe_key, build_df, build_key,
+            Forest.from_df(forest_df), spark,
+        )
     build_keys = build_df.select(F.col(build_key).alias(probe_key)).dropDuplicates()
-    members = maybe.join(build_keys, on=probe_key, how="left_semi")
-    return probe_df.join(members, on=probe_key, how="left_semi")
+    if regime == "hybrid":
+        pre = approx_contains_sink(probe_df, probe_key, sink_path, out="_maybe")
+        pre = pre.filter(F.col("_maybe")).drop("_maybe")
+        return pre.join(build_keys, on=probe_key, how="left_semi")
+    return exact_member_routed(probe_df, probe_key, build_df, build_key, forest_df)
 
 
 _BYTE_SUFFIXES = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3,

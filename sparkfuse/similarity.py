@@ -352,10 +352,9 @@ def cosine_lsh_pairs(
         base.select("_id", "_v"), n_planes, n_tables, dim, seed
     )
     if max_bucket_size is not None:
-        sizes = melted.groupBy("t", "h").agg(F.count("*").alias("_n"))
-        melted = melted.join(
-            sizes.filter(F.col("_n") <= max_bucket_size), ["t", "h"], "left_semi"
-        )
+        from sparkfuse.keys import cap_group_size
+
+        melted = cap_group_size(melted, ["t", "h"], max_bucket_size)
     a = melted.select(F.col("_id").alias("id_a"), "t", "h")
     b = melted.select(F.col("_id").alias("id_b"), "t", "h")
     cand = (
