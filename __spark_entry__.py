@@ -669,6 +669,34 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED mergeable sketch aggregation (the true-UDAF shape: partial
+    HLL states per (partition, group), register-max merge per group — only
+    KB states shuffle, never rows): distinct users per event type. Oracle
+    invariant: exact per-group COUNT(DISTINCT) + the published 4σ bound
+    (σ = 1.04/sqrt(m)) asserted in-query."""
+    from sparkfuse.sketches import HllParams, grouped_hll
+
+    events = _t(spark, sf_dir, "events")
+    params = HllParams()
+    est = grouped_hll(events, ["event_type"], "user_id", params)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    sigma = 1.04 / (params.m ** 0.5)
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_distinct_est") - F.col("n_exact"))
+                <= F.lit(4 * sigma) * F.col("n_exact") + F.lit(1.0)
+            ).alias("bound_ok"),
+        )
+    )
+
+
 def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints (MOSS scheme), aggregated
     per doc as (n_fps, fp_xor) — integer-exact, so the SQL twin matches
@@ -713,6 +741,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_lsh_near_dups": q_cosine_lsh_near_dups,
     "neardup_components": q_neardup_components,
     "media_pipeline": q_media_pipeline,
+    "hll_by_group": q_hll_by_group,
     "winnow_fingerprints": q_winnow_fps,
     "bpe_tok_stats": q_bpe_tok_stats,
     "event_rollup": q_event_rollup,
@@ -851,6 +880,10 @@ def oracle_sql() -> dict[str, str]:
             ") SELECT COUNT(*) AS n_exact_pairs, TRUE AS recall_ok FROM pairs"
         ),
         "neardup_components": _components_oracle(),
+        "hll_by_group": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, "
+            "TRUE AS bound_ok FROM events GROUP BY event_type"
+        ),
         "media_pipeline": (
             "WITH media AS ("
             "  SELECT doc_id AS media_id,"

@@ -235,3 +235,123 @@ def build_cms(keys_df: DataFrame, key_name: str = "key", params: CmsParams = Cms
         to_bytes=lambda s: s.to_bytes(),
         from_bytes=lambda b: CountMin.from_bytes(params, b),
     )
+
+
+# ---------------------------------------------------------------------------
+# grouped sketch aggregation (mergeable UDAF shape, per group key)
+# ---------------------------------------------------------------------------
+
+def _grouped_states(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    make,
+    add,
+    merge,
+    to_bytes,
+    from_bytes,
+    finish_schema: StructType,
+    finish,
+) -> DataFrame:
+    """Per-group mergeable sketch aggregation — the true-UDAF plan shape:
+
+        scan → mapInPandas PARTIAL (one state per (partition, group)) →
+        groupBy(group) FINAL merge → finish columns
+
+    Only KB-sized serialized states cross the shuffle, one per
+    (input partition, group) — never raw rows. This is the grouped analog
+    of ``_tree_build`` (which handles the global, no-key case) and the plan
+    a 10^12-row corpus needs for per-slice statistics.
+    """
+    gfields = [df.schema[c] for c in group_cols]
+    partial_schema = StructType(list(gfields) + [StructField("state", BinaryType(), False)])
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accs: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for g, sub in pdf.groupby(group_cols, sort=False):
+                k = g if isinstance(g, tuple) else (g,)
+                st = accs.get(k)
+                if st is None:
+                    st = accs[k] = make()
+                add(st, sub[value_col].to_numpy())
+        if accs:
+            yield pd.DataFrame(
+                [dict(zip(group_cols, k)) | {"state": to_bytes(s)} for k, s in accs.items()]
+            )
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = make()
+        for b in pdf["state"]:
+            acc = merge(acc, from_bytes(bytes(b)))
+        row = {c: pdf[c].iloc[0] for c in group_cols}
+        row.update(finish(acc))
+        return pd.DataFrame([row])
+
+    sel = df.select(*group_cols, value_col)
+    return (
+        sel.mapInPandas(partials, partial_schema)
+        .groupBy(*group_cols)
+        .applyInPandas(final, finish_schema)
+    )
+
+
+def grouped_hll(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    params: HllParams = HllParams(),
+) -> DataFrame:
+    """Count-distinct estimate per group (HLL registers merged register-max).
+    Returns group_cols + ``n_distinct_est`` double. Error: 1.04/sqrt(m)."""
+    from pyspark.sql.types import DoubleType
+
+    gfields = [df.schema[c] for c in group_cols]
+    out_schema = StructType(
+        list(gfields) + [StructField("n_distinct_est", DoubleType(), False)]
+    )
+    return _grouped_states(
+        df, group_cols, key_col,
+        make=lambda: HyperLogLog(params),
+        add=lambda s, k: s.add(k),
+        merge=lambda a, b: a.merge(b),
+        to_bytes=lambda s: s.to_bytes(),
+        from_bytes=lambda b: HyperLogLog.from_bytes(params, b),
+        finish_schema=out_schema,
+        finish=lambda s: {"n_distinct_est": float(s.estimate())},
+    )
+
+
+def grouped_tdigest_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+    params=None,
+) -> DataFrame:
+    """Per-group approximate quantiles via mergeable t-digests. Returns
+    group_cols + one ``q_<percent>`` double column per requested quantile."""
+    from pyspark.sql.types import DoubleType
+
+    from sparkfuse.tdigest import TDigest, TDigestParams
+
+    params = params or TDigestParams()
+    qnames = [f"q_{str(q).replace('.', '_')}" for q in quantiles]
+    gfields = [df.schema[c] for c in group_cols]
+    out_schema = StructType(
+        list(gfields) + [StructField(n, DoubleType(), True) for n in qnames]
+    )
+    return _grouped_states(
+        df, group_cols, value_col,
+        make=lambda: TDigest(params),
+        add=lambda s, v: s.add(v.astype(np.float64)),
+        merge=lambda a, b: a.merge(b),
+        to_bytes=lambda s: s.to_bytes(),
+        from_bytes=lambda b: TDigest.from_bytes(params, b),
+        finish_schema=out_schema,
+        finish=lambda s: {
+            n: float(s.quantile(q)) for n, q in zip(qnames, quantiles)
+        },
+    )

@@ -122,3 +122,54 @@ def test_entry_hll_cms_against_exact(spark):
         assert ok is True
         assert est[uid] >= truth[uid]
         assert est[uid] - truth[uid] <= CmsParams().eps * n_total * 3
+
+
+# ---------------------------------------------------------------------------
+# grouped sketch aggregation (per-group mergeable states)
+# ---------------------------------------------------------------------------
+
+def test_grouped_hll_matches_exact_within_bound(spark):
+    from pyspark.sql import functions as F
+
+    from sparkfuse.sketches import HllParams, grouped_hll
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    params = HllParams()
+    est = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in grouped_hll(events, ["event_type"], "user_id", params).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    sigma = 1.04 / (params.m ** 0.5)
+    for g, n in exact.items():
+        assert abs(est[g] - n) <= 4 * sigma * n + 1.0, (g, est[g], n)
+
+
+def test_grouped_tdigest_rank_error(spark):
+    import numpy as np
+
+    from sparkfuse.sketches import grouped_tdigest_quantiles
+
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    got = {
+        r["event_type"]: (r["q_0_5"], r["q_0_9"])
+        for r in grouped_tdigest_quantiles(
+            events, ["event_type"], "value", [0.5, 0.9]
+        ).collect()
+    }
+    rows = events.select("event_type", "value").collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["event_type"], []).append(r["value"])
+    for g, vals in by_g.items():
+        v = np.sort(np.array(vals, dtype=np.float64))
+        for q, est in zip((0.5, 0.9), got[g]):
+            # rank of the estimate within 1.5% of the target quantile
+            rank = np.searchsorted(v, est) / len(v)
+            assert abs(rank - q) < 0.015, (g, q, est, rank)
