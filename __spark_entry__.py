@@ -669,6 +669,43 @@ def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via the pigeonhole multi-index (k+1 bands:
+    LOSSLESS — a pair within hamming k matches exactly in ≥1 band), exact
+    bit_count verify, all JVM. Oracle invariant: the exact doc count (SQL
+    recomputes) + lossless_ok asserting banded pairs ≡ brute-force all-pairs
+    hamming ≤ k computed in-query."""
+    from sparkfuse.textops import hamming64, simhash64, simhash_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    k = 6
+    banded = simhash_near_dups(docs, "doc_id", "text", max_hamming=k)
+    sims = simhash64(docs, "doc_id", "text")
+    a = sims.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa"))
+    b = sims.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("_sa"), F.col("_sb")) <= k)
+        .select("id_a", "id_b")
+    )
+    n_banded = banded.agg(F.count(F.lit(1)).alias("nb"))
+    n_matched = banded.join(brute, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("nm")
+    )
+    n_brute = brute.agg(F.count(F.lit(1)).alias("nx"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n_docs.crossJoin(n_banded).crossJoin(n_matched).crossJoin(n_brute)
+        .select(
+            "n_docs",
+            ((F.col("nb") == F.col("nx")) & (F.col("nm") == F.col("nx"))).alias(
+                "lossless_ok"
+            ),
+        )
+    )
+
+
 def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED mergeable sketch aggregation (the true-UDAF shape: partial
     HLL states per (partition, group), register-max merge per group — only
@@ -742,6 +779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "neardup_components": q_neardup_components,
     "media_pipeline": q_media_pipeline,
     "hll_by_group": q_hll_by_group,
+    "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "winnow_fingerprints": q_winnow_fps,
     "bpe_tok_stats": q_bpe_tok_stats,
     "event_rollup": q_event_rollup,
@@ -883,6 +921,9 @@ def oracle_sql() -> dict[str, str]:
         "hll_by_group": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, "
             "TRUE AS bound_ok FROM events GROUP BY event_type"
+        ),
+        "simhash_near_dup_pairs": (
+            "SELECT COUNT(*) AS n_docs, TRUE AS lossless_ok FROM documents"
         ),
         "media_pipeline": (
             "WITH media AS ("

@@ -179,6 +179,73 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """EXACT SimHash near-duplicate pairs (id_a < id_b, hamming distance of
+    the 64-bit fingerprints ≤ ``max_hamming``) — the pairs operator of the
+    SimHash rung of the dedup ladder, entirely JVM-side.
+
+    Candidate generation is the pigeonhole multi-index (Manku et al., WWW
+    2007): split the 64 bits into ``max_hamming + 1`` bands; two
+    fingerprints within hamming k differ in ≤ k bands, so they MATCH
+    EXACTLY in at least one band. Banding is therefore lossless — unlike
+    minhash/sign-LSH there is no recall knob; the band self-join finds
+    every qualifying pair and the exact ``bit_count(xor)`` filter keeps
+    only true ones. Candidates per band bucket grow with corpus-wide
+    fingerprint collisions on ~16-bit slices; ``max_bucket_size`` (same
+    guard as the LSH generators — then NOT lossless) bounds boilerplate
+    blowup, and exact-dedup first removes the identical-text mass.
+
+    Plan: simhash64 (explode + 64 partial-agg bit votes) → band slices
+    (shift/mask codegen) → explode bands → self-join on (band, slice) →
+    exact hamming verify. No Python anywhere.
+    """
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    width = 64 // n_bands
+    sims = simhash64(df, id_col, text_col)
+    band_structs = []
+    for b in range(n_bands):
+        lo = b * width
+        # last band absorbs the remainder bits
+        w = 64 - lo if b == n_bands - 1 else width
+        # w == 64 (single band): the mask is all ones = -1 in two's
+        # complement ((1<<64)-1 does not fit a long literal)
+        mask = F.lit(-1 if w >= 64 else (1 << w) - 1).cast("long")
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftrightunsigned("simhash", lo).bitwiseAND(mask).alias("v"),
+            )
+        )
+    bands = sims.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "simhash", "bk.b", "bk.v")
+    if max_bucket_size is not None:
+        from sparkfuse.keys import cap_group_size
+
+        bands = cap_group_size(bands, ["b", "v"], max_bucket_size)
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "b", "v"
+    )
+    bb = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "b", "v"
+    )
+    return (
+        a.join(bb, ["b", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(hamming64(F.col("_sa"), F.col("_sb")) <= max_hamming)
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
 # BPE-ish pretokenizer regex (GPT-2-style segment classes: optional leading
 # space + letter run / digit run / punctuation run, else whitespace run).
 # Deliberately lookahead-free so Spark's Java regex and DuckDB's RE2 agree

@@ -315,6 +315,46 @@ def test_vertical_tab_cross_engine_parity(spark):
     assert got_lang == want_lang
 
 
+def test_simhash_near_dups_lossless_vs_brute_force(spark, docs):
+    # pigeonhole banding is LOSSLESS: banded pairs == brute-force all-pairs
+    # hamming <= k, for every k tested
+    from sparkfuse.textops import hamming64, simhash_near_dups
+
+    sims = simhash64(docs, "doc_id", "text").cache()
+    a = sims.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa"))
+    b = sims.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb"))
+    for k in (0, 3, 7):
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(hamming64(F.col("_sa"), F.col("_sb")) <= k)
+            .collect()
+        }
+        banded = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_dups(docs, "doc_id", "text", max_hamming=k).collect()
+        }
+        assert banded == brute, (k, len(banded), len(brute))
+    sims.unpersist()
+
+
+def test_simhash_near_dups_finds_planted_pairs(spark):
+    from sparkfuse.textops import simhash_near_dups
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "totally different content about columnar shuffle readers and codecs"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups(docs, "doc_id", "text", max_hamming=0).collect()
+    }
+    assert (0, 1) in got and not any(2 in p for p in got)
+
+
 def test_cosine_pairs_ignores_zero_norm_vectors(spark):
     from sparkfuse.similarity import cosine_pairs
 
