@@ -161,6 +161,28 @@ def q_bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.join(build_keys, "c_custkey", "left_semi").select("c_custkey")
 
 
+def q_budgeted_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-budgeted MIXED-WIDTH forest (per-shard width allocation under a
+    total payload byte budget — the Bloom-collection space-budget problem,
+    VLDB'24, adapted to the fuse family): exact membership is width-
+    independent (zero-FN prescreen + exact confirm), so the plain IN-
+    subquery oracle holds for any allocation. Budget chosen so shards come
+    out genuinely mixed (8- and 16-bit)."""
+    from sparkfuse.forest import build_forest_budgeted
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("key"))
+    floor_df = build_forest(keys, shard_bits=2)
+    floor = sum(len(r["payload"]) for r in floor_df.select("payload").collect())
+    forest = Forest.from_df(
+        build_forest_budgeted(keys, budget_bytes=int(floor * 1.5), shard_bits=2)
+    )
+    return exact_member_semi_join(
+        customer, "c_custkey", orders, "o_custkey", forest, spark
+    ).select("c_custkey")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact text dedup (C9 pruneDuplicates at table scale): canonical doc
     per distinct text (min doc_id), via partial+final hash aggregate."""
@@ -749,6 +771,7 @@ def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuse8_members": q_fuse8_members,
+    "budgeted_members": q_budgeted_members,
     "fuse16_members": q_fuse16_members,
     "fuse32_members": q_fuse32_members,
     "xor8_members": q_xor8_members,
@@ -794,6 +817,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "fuse8_members": (
+            "SELECT c_custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "budgeted_members": (
             "SELECT c_custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),

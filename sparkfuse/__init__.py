@@ -50,6 +50,8 @@ _SPARK_LAYER = {
     "Forest": ("sparkfuse.forest", "Forest"),
     "build_forest": ("sparkfuse.forest", "build_forest"),
     "build_forest_resumable": ("sparkfuse.forest", "build_forest_resumable"),
+    "build_forest_budgeted": ("sparkfuse.forest", "build_forest_budgeted"),
+    "plan_budgeted_widths": ("sparkfuse.forest", "plan_budgeted_widths"),
     "write_forest": ("sparkfuse.forest", "write_forest"),
     "approx_contains": ("sparkfuse.probe", "approx_contains"),
     "approx_contains_routed": ("sparkfuse.probe", "approx_contains_routed"),

@@ -139,15 +139,20 @@ def _kernel_factory(spec: ForestSpec):
         keys = to_u64(pdf["key"].to_numpy())
         shard = int(pdf["shard"].iloc[0]) if "shard" in pdf else 0
         nkeys = len(np.unique(keys))
-        filt, payload, iterations, dt = _build_one(keys, spec)
+        kspec = spec
+        if "width" in pdf:  # per-shard width override (budgeted forests)
+            from dataclasses import replace
+
+            kspec = replace(spec, width=int(pdf["width"].iloc[0]))
+        filt, payload, iterations, dt = _build_one(keys, kspec)
         return pd.DataFrame(
             {
                 "shard": [shard],
-                "kind": [spec.kind],
-                "width": [spec.width],
-                "arity": [spec.arity],
-                "shard_bits": [spec.shard_bits],
-                "route": [spec.route],
+                "kind": [kspec.kind],
+                "width": [kspec.width],
+                "arity": [kspec.arity],
+                "shard_bits": [kspec.shard_bits],
+                "route": [kspec.route],
                 "seed": [np.uint64(filt.seed).astype(np.int64)],
                 "nkeys": [nkeys],
                 "iterations": [iterations],
@@ -193,6 +198,104 @@ def build_forest(
                       route=route)
     sharded = keys_df.withColumn("shard", shard_column("key", shard_bits, route))
     return sharded.groupBy("shard").applyInPandas(_kernel_factory(spec), FOREST_SCHEMA)
+
+
+def plan_budgeted_widths(
+    shard_counts: dict[int, int], budget_bytes: int, arity: int = 3
+) -> dict[int, int]:
+    """Per-shard fingerprint width (8/16/32) under a TOTAL payload budget —
+    minimizes expected false positives assuming probe traffic proportional
+    to shard size (uniform hash routing makes the two proportional).
+
+    Greedy: everyone starts at width 8 (fpp 2^-8); while budget remains,
+    upgrade the LARGEST un-upgraded shard 8→16, then 16→32 (FP-reduction
+    per added byte is width-independent under proportional traffic, so
+    upgrade order only affects seams — biggest-first upgrades the most
+    probes per decision). Deterministic (ties break on shard id). If even
+    all-8 exceeds the budget, raises — a fuse filter's size is fixed by its
+    key count, so there is nothing left to shrink (use more shards +
+    sampling upstream instead).
+
+    (The shape follows the Bloom-collection space-budget problem, VLDB'24
+    "Optimizing Collections of Bloom Filters within a Space Budget" —
+    adapted to the fuse family where the only size knob is width.)
+    """
+    from sparkfuse.params import fuse_parameters
+    from sparkfuse.serialize import _FUSE_HEADER
+
+    def payload_bytes(n: int, width: int) -> int:
+        p = fuse_parameters(max(n, 1), arity=arity)
+        return _FUSE_HEADER.size + p.array_length * (width // 8)
+
+    widths = {s: 8 for s in shard_counts}
+    spent = sum(payload_bytes(n, 8) for n in shard_counts.values())
+    if spent > budget_bytes:
+        raise ValueError(
+            f"budget {budget_bytes} B below the all-width-8 floor {spent} B "
+            f"({len(shard_counts)} shards); fuse size is fixed by key count — "
+            "reduce keys upstream or raise the budget"
+        )
+    order = sorted(shard_counts, key=lambda s: (-shard_counts[s], s))
+    for target in (16, 32):
+        for s in order:
+            extra = payload_bytes(shard_counts[s], target) - payload_bytes(
+                shard_counts[s], widths[s]
+            )
+            if widths[s] == target // 2 and spent + extra <= budget_bytes:
+                widths[s] = target
+                spent += extra
+    return widths
+
+
+def build_forest_budgeted(
+    keys_df: DataFrame,
+    budget_bytes: int,
+    shard_bits: int,
+    arity: int = 3,
+    key_name: str = "key",
+    route: str = "xxh64",
+    pre_dedup: bool = False,
+) -> DataFrame:
+    """Mixed-width fuse forest under a total payload byte budget: per-shard
+    key counts (one aggregate; only (shard, count) rows reach the driver)
+    feed ``plan_budgeted_widths``, and each shard builds at its own width.
+    Zero-FN and exactness contracts are width-independent, so every exact
+    query (semi-join/anti-join oracle) holds unchanged; only the fpp of the
+    prescreen varies per shard."""
+    keys_df = keys_df.select(F.col(key_name).alias("key"))
+    if pre_dedup:
+        keys_df = dedup_keys(keys_df)
+    sharded = keys_df.withColumn("shard", shard_column("key", shard_bits, route))
+    # approx_count_distinct is HLL++ over xxhash64 — the SAME hash family the
+    # shard routing uses, so within a shard every key shares the hash's top
+    # bits and the HLL register index collapses (measured: 68 estimated vs
+    # 7547 actual). Rehashing with a different seed decorrelates the two.
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in sharded.groupBy("shard")
+        .agg(
+            F.approx_count_distinct(
+                F.xxhash64(F.col("key"), F.lit(0x5EED)), 0.02
+            ).alias("n")
+        )
+        .collect()
+    }
+    # plan on INFLATED estimates (2.5x the 2% rsd) so an HLL under-estimate
+    # cannot make the real payload cross the budget — the planner is the
+    # conservative side of the approximate count
+    counts = {s: int(n * 1.05) + 1 for s, n in counts.items()}
+    widths = plan_budgeted_widths(counts, budget_bytes, arity)
+    spark = keys_df.sparkSession
+    widths_df = spark.createDataFrame(
+        [(s, w) for s, w in sorted(widths.items())], "shard long, width int"
+    )
+    spec = ForestSpec(kind="fuse", width=8, arity=arity, shard_bits=shard_bits,
+                      route=route)
+    return (
+        sharded.join(F.broadcast(widths_df), "shard")
+        .groupBy("shard")
+        .applyInPandas(_kernel_factory(spec), FOREST_SCHEMA)
+    )
 
 
 def write_forest(forest_df: DataFrame, path: str, mode: str = "append") -> None:
@@ -303,20 +406,27 @@ class Forest:
             deduped.append(r)
         rows = deduped
         self.filters = {}
+        self.widths = {}
         kinds = set()
+        widths = set()
         bits = set()
         for r in rows:
-            kinds.add((r["kind"], r["width"], r["arity"], r["route"]))
+            kinds.add((r["kind"], r["arity"], r["route"]))
+            widths.add(r["width"])
             bits.add(r["shard_bits"])
             if r["kind"] == "fuse":
                 filt = load_fuse_bytes(bytes(r["payload"]), width=r["width"], arity=r["arity"])
             else:
                 filt = load_xor_bytes(bytes(r["payload"]))
             self.filters[int(r["shard"])] = filt
+            self.widths[int(r["shard"])] = int(r["width"])
+        # widths MAY vary per shard (budgeted forests); kind/arity/route/
+        # shard_bits must not — they change the routing/probe math itself
         if len(kinds) != 1 or len(bits) != 1:
             raise ValueError(f"inhomogeneous forest: kinds={kinds} shard_bits={bits}")
-        (self.kind, self.width, self.arity, self.route), = kinds
+        (self.kind, self.arity, self.route), = kinds
         (self.shard_bits,) = bits
+        self.width = max(widths)  # widest member (informational)
         self.nkeys = sum(r["nkeys"] for r in rows)
         self.size_in_bytes = sum(len(r["payload"]) for r in rows)
 
@@ -333,33 +443,41 @@ class Forest:
         return state
 
     def _packed(self):
-        """Lazily concatenate all shard fingerprint arrays into ONE array
-        plus per-shard parameter vectors, so a probe batch routes with pure
-        gathers — no per-shard loop, no argsort. Slot_global = offset[shard]
-        + slot_local; per-element layout params come from tiny gathers.
-        """
+        """Lazily concatenate shard fingerprint arrays into ONE array PER
+        WIDTH GROUP plus per-shard parameter vectors, so a probe batch
+        routes with pure gathers — no per-shard loop, no argsort.
+        Slot_global = offset[shard] + slot_local; per-element layout params
+        come from tiny gathers. A shard belongs to exactly one width group
+        (mixed widths exist only in budgeted forests; the common
+        uniform-width forest has a single group — identical cost to the
+        old single-pack layout)."""
         if getattr(self, "_pack_cache", None) is not None:
             return self._pack_cache
         space = 1 << max(self.shard_bits, 0)
-        offsets = np.full(space, -1, dtype=np.int64)
-        seeds = np.zeros(space, dtype=np.uint64)
-        p1 = np.zeros(space, dtype=np.uint64)  # fuse: scl   | xor: block_len
-        p2 = np.zeros(space, dtype=np.uint32)  # fuse: seg   | xor: unused
-        p3 = np.zeros(space, dtype=np.uint32)  # fuse: mask  | xor: unused
-        fps = []
-        pos = 0
-        for s, f in sorted(self.filters.items()):
-            offsets[s] = pos
-            seeds[s] = np.uint64(f.seed)
-            if self.kind == "fuse":
-                p1[s] = np.uint64(f.segment_count_length)
-                p2[s] = np.uint32(f.segment_length)
-                p3[s] = np.uint32(f.segment_length_mask)
-            else:
-                p1[s] = np.uint64(f.block_length)
-            fps.append(f.fingerprints)
-            pos += len(f.fingerprints)
-        self._pack_cache = (offsets, seeds, p1, p2, p3, np.concatenate(fps))
+        groups = []
+        for width in sorted(set(self.widths.values())):
+            offsets = np.full(space, -1, dtype=np.int64)
+            seeds = np.zeros(space, dtype=np.uint64)
+            p1 = np.zeros(space, dtype=np.uint64)  # fuse: scl | xor: block_len
+            p2 = np.zeros(space, dtype=np.uint32)  # fuse: seg | xor: unused
+            p3 = np.zeros(space, dtype=np.uint32)  # fuse: mask| xor: unused
+            fps = []
+            pos = 0
+            for s, f in sorted(self.filters.items()):
+                if self.widths[s] != width:
+                    continue
+                offsets[s] = pos
+                seeds[s] = np.uint64(f.seed)
+                if self.kind == "fuse":
+                    p1[s] = np.uint64(f.segment_count_length)
+                    p2[s] = np.uint32(f.segment_length)
+                    p3[s] = np.uint32(f.segment_length_mask)
+                else:
+                    p1[s] = np.uint64(f.block_length)
+                fps.append(f.fingerprints)
+                pos += len(f.fingerprints)
+            groups.append((offsets, seeds, p1, p2, p3, np.concatenate(fps)))
+        self._pack_cache = groups
         return self._pack_cache
 
     def contains_np(self, keys_i64: np.ndarray) -> np.ndarray:
@@ -373,44 +491,44 @@ class Forest:
             if filt is None:
                 return out
             return _probe_one(filt, keys)
-        offsets, seeds, p1, p2, p3, packed = self._packed()
         routed = xxh64_u64(keys) if self.route == "xxh64" else keys
         sh = (routed >> np.uint64(64 - self.shard_bits)).astype(np.int64)
-        off = offsets[sh]
-        valid = off >= 0
-        if not valid.any():
-            return out
-        k = keys[valid]
-        shv = sh[valid]
-        o = off[valid].astype(np.uint64)
-        h = murmur64(k + seeds[shv])  # mixsplit with per-element seed
-        f64 = h ^ (h >> np.uint64(32))
-        if self.kind == "fuse":
-            scl = p1[shv]
-            seg = p2[shv]
-            mask = p3[shv]
-            hi = h >> np.uint64(32)
-            lo = h & np.uint64(0xFFFFFFFF)
-            h0 = ((hi * scl) + ((lo * scl) >> np.uint64(32))) >> np.uint64(32)
-            shifts = (18, 0) if self.arity == 3 else (36, 18, 0)
-            h0_32 = h0.astype(np.uint32)
-            acc = f64.astype(packed.dtype) ^ packed[o + h0]
-            for lane, shf in enumerate(shifts, start=1):
-                sl = (h >> np.uint64(shf)).astype(np.uint32) & mask
-                loc = (h0_32 + np.uint32(lane) * seg) ^ sl
-                acc ^= packed[o + loc]
-            out[valid] = acc == 0
-        else:
-            blk = p1[shv]
-            r0 = ((h & np.uint64(0xFFFFFFFF)) * blk) >> np.uint64(32)
-            r1 = ((rotl64(h, 21) & np.uint64(0xFFFFFFFF)) * blk) >> np.uint64(32)
-            r2 = ((rotl64(h, 42) & np.uint64(0xFFFFFFFF)) * blk) >> np.uint64(32)
-            got = (
-                packed[o + r0]
-                ^ packed[o + blk + r1]
-                ^ packed[o + np.uint64(2) * blk + r2]
-            )
-            out[valid] = f64.astype(packed.dtype) == got
+        for offsets, seeds, p1, p2, p3, packed in self._packed():
+            off = offsets[sh]
+            valid = off >= 0
+            if not valid.any():
+                continue
+            k = keys[valid]
+            shv = sh[valid]
+            o = off[valid].astype(np.uint64)
+            h = murmur64(k + seeds[shv])  # mixsplit with per-element seed
+            f64 = h ^ (h >> np.uint64(32))
+            if self.kind == "fuse":
+                scl = p1[shv]
+                seg = p2[shv]
+                mask = p3[shv]
+                hi = h >> np.uint64(32)
+                lo = h & np.uint64(0xFFFFFFFF)
+                h0 = ((hi * scl) + ((lo * scl) >> np.uint64(32))) >> np.uint64(32)
+                shifts = (18, 0) if self.arity == 3 else (36, 18, 0)
+                h0_32 = h0.astype(np.uint32)
+                acc = f64.astype(packed.dtype) ^ packed[o + h0]
+                for lane, shf in enumerate(shifts, start=1):
+                    sl = (h >> np.uint64(shf)).astype(np.uint32) & mask
+                    loc = (h0_32 + np.uint32(lane) * seg) ^ sl
+                    acc ^= packed[o + loc]
+                out[valid] = acc == 0
+            else:
+                blk = p1[shv]
+                r0 = ((h & np.uint64(0xFFFFFFFF)) * blk) >> np.uint64(32)
+                r1 = ((rotl64(h, 21) & np.uint64(0xFFFFFFFF)) * blk) >> np.uint64(32)
+                r2 = ((rotl64(h, 42) & np.uint64(0xFFFFFFFF)) * blk) >> np.uint64(32)
+                got = (
+                    packed[o + r0]
+                    ^ packed[o + blk + r1]
+                    ^ packed[o + np.uint64(2) * blk + r2]
+                )
+                out[valid] = f64.astype(packed.dtype) == got
         return out
 
     def bits_per_entry(self) -> float:

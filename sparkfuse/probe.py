@@ -260,10 +260,12 @@ def exact_anti_join(
 def _forest_meta(forest_df: DataFrame) -> dict:
     """Read the forest's (tiny) layout metadata — NOT the payloads.
 
-    One row per distinct layout; a valid forest has exactly one.
+    kind/arity/shard_bits/route must be unique (they define the routing and
+    probe math); width MAY vary per shard (budgeted mixed-width forests) and
+    travels per-row through the cogroup instead.
     """
     rows = (
-        forest_df.select("kind", "width", "arity", "shard_bits", "route")
+        forest_df.select("kind", "arity", "shard_bits", "route")
         .dropDuplicates()
         .collect()
     )
@@ -300,7 +302,7 @@ def approx_contains_routed(
     import pyarrow as pa
 
     meta = _forest_meta(forest_df)
-    kind, width, arity = meta["kind"], meta["width"], meta["arity"]
+    kind, arity = meta["kind"], meta["arity"]
     shard_bits, route = meta["shard_bits"], meta["route"]
 
     cols = list(probe_df.columns)
@@ -329,7 +331,9 @@ def approx_contains_routed(
                 )
             (payload,) = payloads
             if kind == "fuse":
-                filt = load_fuse_bytes(payload, width=width, arity=arity)
+                widths = {int(w.as_py()) for w in forest_tbl.column("width")}
+                (shard_width,) = widths  # identical payloads ⇒ one width
+                filt = load_fuse_bytes(payload, width=shard_width, arity=arity)
             else:
                 filt = load_xor_bytes(payload)
             verdict = _probe_one(filt, to_u64(keys_np))
@@ -340,7 +344,7 @@ def approx_contains_routed(
 
     tagged = probe_df.withColumn("_sf_shard", shard_column(key, shard_bits, route))
     forest_keyed = forest_df.select(
-        F.col("shard").alias("_sf_shard"), "payload"
+        F.col("shard").alias("_sf_shard"), "width", "payload"
     )
     return (
         tagged.groupBy("_sf_shard")

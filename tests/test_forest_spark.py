@@ -320,6 +320,72 @@ def test_sink_probe_cache_invalidates_on_append(spark, tmp_path):
     full.unpersist()
 
 
+def test_plan_budgeted_widths_greedy_and_floor():
+    from sparkfuse.forest import plan_budgeted_widths
+    from sparkfuse.params import fuse_parameters
+
+    from sparkfuse.serialize import _FUSE_HEADER
+
+    counts = {0: 100_000, 1: 50_000, 2: 10_000}
+
+    def pb(n, w):
+        return _FUSE_HEADER.size + fuse_parameters(n).array_length * (w // 8)
+
+    floor = sum(pb(n, 8) for n in counts.values())
+    with pytest.raises(ValueError, match="floor"):
+        plan_budgeted_widths(counts, floor - 1)
+    # exactly the floor -> everyone at 8
+    assert plan_budgeted_widths(counts, floor) == {0: 8, 1: 8, 2: 8}
+    # room for ONE upgrade -> the largest shard goes to 16 first
+    w = plan_budgeted_widths(counts, floor + pb(100_000, 16) - pb(100_000, 8))
+    assert w == {0: 16, 1: 8, 2: 8}
+    # unbounded budget -> everyone at 32
+    assert plan_budgeted_widths(counts, 10**12) == {0: 32, 1: 32, 2: 32}
+    # deterministic
+    assert plan_budgeted_widths(counts, floor * 2) == plan_budgeted_widths(
+        counts, floor * 2
+    )
+
+
+def test_budgeted_forest_mixed_width_end_to_end(spark):
+    from sparkfuse.forest import build_forest_budgeted
+    from sparkfuse.params import fuse_parameters
+
+    keys = _keys_df(spark, 60_000)
+    # ~1.5x the all-8 floor: the larger half of the shards upgrade to 16,
+    # the rest stay at 8 -> genuinely mixed widths
+    floor = sum(
+        fuse_parameters(max(r["nkeys"], 1)).array_length
+        for r in build_forest(keys, shard_bits=3).select("nkeys").collect()
+    )
+    budget = int(floor * 1.5)
+    mixed_df = build_forest_budgeted(keys, budget_bytes=budget,
+                                     shard_bits=3).cache()
+    rows = mixed_df.collect()
+    widths = {r["shard"]: r["width"] for r in rows}
+    assert set(widths.values()) == {8, 16}, widths  # genuinely mixed
+    assert sum(len(r["payload"]) for r in rows) <= budget
+    forest = Forest(rows)
+    arr = np.array([r["key"] for r in keys.collect()], dtype=np.int64)
+    assert forest.contains_np(arr).all()  # zero FN regardless of widths
+    # wider shards -> strictly better aggregate fpp than an all-8 forest
+    all8 = Forest.from_df(build_forest(keys, shard_bits=3))
+    absent = np.arange(10**7, 10**7 + 200_000, dtype=np.int64)
+    assert forest.contains_np(absent).mean() < all8.contains_np(absent).mean()
+    # routed probe handles the mixed-width table, verdict-identical
+    probes = keys.unionByName(_keys_df(spark, 20_000, seed=99))
+    via_routed = {
+        r["key"]: r["m"]
+        for r in approx_contains_routed(probes, "key", mixed_df, out="m").collect()
+    }
+    via_bc = {
+        r["key"]: r["m"]
+        for r in approx_contains(probes, "key", forest, spark, out="m").collect()
+    }
+    assert via_routed == via_bc
+    mixed_df.unpersist()
+
+
 def test_exact_member_forest_all_regimes(spark, tmp_path):
     # planner-driven exact membership: identical result in every regime,
     # equal to the plain semi-join ground truth
