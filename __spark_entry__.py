@@ -172,9 +172,11 @@ def q_budgeted_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
+    from sparkfuse.probe import forest_payload_bytes
+
     keys = orders.select(F.col("o_custkey").alias("key"))
-    floor_df = build_forest(keys, shard_bits=2)
-    floor = sum(len(r["payload"]) for r in floor_df.select("payload").collect())
+    # payload bytes summed executor-side; blobs never reach the driver
+    floor = forest_payload_bytes(build_forest(keys, shard_bits=2))
     forest = Forest.from_df(
         build_forest_budgeted(keys, budget_bytes=int(floor * 1.5), shard_bits=2)
     )
@@ -701,8 +703,10 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     k = 6
-    banded = simhash_near_dups(docs, "doc_id", "text", max_hamming=k)
-    sims = simhash64(docs, "doc_id", "text")
+    # simhash64 is the expensive subtree (explode + 64 partial aggs): compute
+    # once, cache, and share it between the banded op and both brute sides
+    sims = simhash64(docs, "doc_id", "text").cache()
+    banded = simhash_near_dups(docs, "doc_id", "text", max_hamming=k, sims_df=sims)
     a = sims.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa"))
     b = sims.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb"))
     brute = (

@@ -291,8 +291,14 @@ def build_forest_budgeted(
     )
     spec = ForestSpec(kind="fuse", width=8, arity=arity, shard_bits=shard_bits,
                       route=route)
+    # LEFT join + width default: an inner join would silently DROP every key
+    # of a shard the planning pass didn't see (possible when keys_df has
+    # nondeterministic lineage or the source grew between the counts action
+    # and the build) — a zero-FN violation. Unplanned shards build at the
+    # floor width instead.
     return (
-        sharded.join(F.broadcast(widths_df), "shard")
+        sharded.join(F.broadcast(widths_df), "shard", "left")
+        .withColumn("width", F.coalesce(F.col("width"), F.lit(8)))
         .groupBy("shard")
         .applyInPandas(_kernel_factory(spec), FOREST_SCHEMA)
     )

@@ -92,6 +92,8 @@ def cap_group_size(df: DataFrame, cols: list[str], max_size: int) -> DataFrame:
     expensive) lineage that produced it."""
     from pyspark.sql.window import Window
 
+    if "_grp_n" in df.columns:
+        raise ValueError("input already has a '_grp_n' column (reserved)")
     w = Window.partitionBy(*cols)
     return (
         df.withColumn("_grp_n", F.count(F.lit(1)).over(w))

@@ -476,7 +476,8 @@ def exact_member_forest(
     forest_df: DataFrame,
     spark: SparkSession | None = None,
     sink_path: str | None = None,
-    **plan_kwargs,
+    broadcast_threshold: int | None = None,
+    replication_budget: int | None = None,
 ) -> DataFrame:
     """Exact membership with the prescreen strategy chosen by the
     ``probe_forest`` planner (broadcast / hybrid sink-load / routed), then
@@ -491,10 +492,7 @@ def exact_member_forest(
     probe then semi-joins once; routed dedups keys first so only 8-byte
     keys cross the shard shuffle (``exact_member_routed``)."""
     regime = _plan_probe_regime(
-        forest_df, spark,
-        plan_kwargs.get("broadcast_threshold"),
-        plan_kwargs.get("replication_budget"),
-        sink_path,
+        forest_df, spark, broadcast_threshold, replication_budget, sink_path
     )
     if regime == "broadcast":
         return exact_member_semi_join(

@@ -271,12 +271,17 @@ def _grouped_states(
         for pdf in batches:
             if not len(pdf):
                 continue
-            for g, sub in pdf.groupby(group_cols, sort=False):
+            # dropna=False: Spark's groupBy keeps a NULL group — silently
+            # dropping it here would delete a whole output row. NULL VALUES
+            # are skipped to match countDistinct/percentile null semantics.
+            for g, sub in pdf.groupby(group_cols, sort=False, dropna=False):
                 k = g if isinstance(g, tuple) else (g,)
                 st = accs.get(k)
                 if st is None:
-                    st = accs[k] = make()
-                add(st, sub[value_col].to_numpy())
+                    st = accs[k] = make()  # all-null groups keep their row
+                vals = sub[value_col].dropna().to_numpy()
+                if len(vals):
+                    add(st, vals)
         if accs:
             yield pd.DataFrame(
                 [dict(zip(group_cols, k)) | {"state": to_bytes(s)} for k, s in accs.items()]

@@ -185,6 +185,7 @@ def simhash_near_dups(
     text_col: str,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
+    sims_df: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT SimHash near-duplicate pairs (id_a < id_b, hamming distance of
     the 64-bit fingerprints ≤ ``max_hamming``) — the pairs operator of the
@@ -203,13 +204,15 @@ def simhash_near_dups(
 
     Plan: simhash64 (explode + 64 partial-agg bit votes) → band slices
     (shift/mask codegen) → explode bands → self-join on (band, slice) →
-    exact hamming verify. No Python anywhere.
+    exact hamming verify. No Python anywhere. Pass a precomputed (ideally
+    cached) ``sims_df`` — (id_col, simhash) — to share the fingerprint
+    subtree with other consumers instead of recomputing it.
     """
     n_bands = max_hamming + 1
     if not 1 <= n_bands <= 64:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
     width = 64 // n_bands
-    sims = simhash64(df, id_col, text_col)
+    sims = sims_df if sims_df is not None else simhash64(df, id_col, text_col)
     band_structs = []
     for b in range(n_bands):
         lo = b * width

@@ -173,3 +173,25 @@ def test_grouped_tdigest_rank_error(spark):
             # rank of the estimate within 1.5% of the target quantile
             rank = np.searchsorted(v, est) / len(v)
             assert abs(rank - q) < 0.015, (g, q, est, rank)
+
+
+def test_grouped_hll_null_group_and_null_values(spark):
+    # Spark groupBy keeps a NULL group; countDistinct ignores NULL values —
+    # the grouped sketch must match both semantics
+    from pyspark.sql import functions as F
+
+    from sparkfuse.sketches import grouped_hll
+
+    rows = [("a", 1), ("a", 2), (None, 3), (None, 3), ("b", None), ("b", 7)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    est = {
+        r["g"]: r["n_distinct_est"]
+        for r in grouped_hll(df, ["g"], "v").collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert set(est) == set(exact) == {"a", "b", None}
+    for g, n in exact.items():
+        assert abs(est[g] - n) <= 1.0, (g, est[g], n)
