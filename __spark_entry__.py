@@ -760,6 +760,18 @@ def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap near-dup pairs: docs sharing >= 40 winnowing
+    fingerprints (threshold above the fixture's template-boilerplate floor),
+    with the exact shared count — catches chunk-level copy-paste that
+    whole-doc Jaccard misses. Integer-exact, full SQL twin."""
+    from sparkfuse.textops import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", min_shared=40
+    )
+
+
 def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints (MOSS scheme), aggregated
     per doc as (n_fps, fp_xor) — integer-exact, so the SQL twin matches
@@ -808,6 +820,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_by_group": q_hll_by_group,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "winnow_fingerprints": q_winnow_fps,
+    "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "bpe_tok_stats": q_bpe_tok_stats,
     "event_rollup": q_event_rollup,
     "curation_pipeline": q_curation_pipeline,
@@ -972,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
             "         TRUE AS feat_dim_ok, TRUE AS feat_bounded"
         ),
         "winnow_fingerprints": _winnow_oracle(),
+        "winnow_overlap_pairs": _winnow_pairs_oracle(),
         "bpe_tok_stats": _bpe_oracle(),
         "event_rollup": (
             "SELECT user_id, COUNT(*) AS n_rows, "
@@ -1031,6 +1045,14 @@ def _bpe_oracle() -> str:
     from sparkfuse.textops import bpe_token_stats_oracle_sql
 
     return bpe_token_stats_oracle_sql("documents", "doc_id", "text")
+
+
+def _winnow_pairs_oracle() -> str:
+    from sparkfuse.textops import winnow_overlap_pairs_oracle_sql
+
+    return winnow_overlap_pairs_oracle_sql(
+        "documents", "doc_id", "text", min_shared=40
+    )
 
 
 def _winnow_oracle() -> str:

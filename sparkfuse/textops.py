@@ -351,6 +351,66 @@ def winnow_fingerprints(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    k: int = 5,
+    window: int = 4,
+    fp_cutoff: int | None = None,
+) -> DataFrame:
+    """SUBSTRING-overlap near-dup pairs: documents sharing >= ``min_shared``
+    winnowing fingerprints (id_a < id_b, with the exact shared count).
+
+    The substring rung of the dedup ladder: whole-doc shingle Jaccard misses
+    a copied paragraph inside two otherwise-different documents, but any
+    shared substring of length >= k+window-1 chars shares >= 1 winnow
+    fingerprint (the SIGMOD'03 guarantee), so chunk-level copy-paste surfaces
+    here. EXACT and SQL-expressible (the winnow twin recomputes the same
+    fingerprints), unlike the probabilistic LSH rungs.
+
+    Plan: per-row fingerprint projection (no shuffle) → inverted-index
+    self-join on fp → count shared per pair. ``fp_cutoff`` drops fingerprints
+    appearing in more than that many docs before the join (stop-fingerprint
+    pruning, same fan-out math as stop-shingles: a fingerprint in d docs
+    emits d(d-1)/2 pairs).
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, window).dropDuplicates()
+    if fp_cutoff is not None:
+        freq = fps.groupBy("fp").agg(F.count("*").alias("_df"))
+        fps = fps.join(freq.filter(F.col("_df") <= fp_cutoff), "fp", "left_semi")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def winnow_overlap_pairs_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    k: int = 5,
+    window: int = 4,
+) -> str:
+    """DuckDB twin of winnow_overlap_pairs (no cutoff — exactness first)."""
+    inner = winnow_fingerprints_oracle_sql(table, id_col, text_col, k, window)
+    return f"""
+WITH fps AS (SELECT DISTINCT * FROM ({inner}))
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       COUNT(*) AS n_shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.{id_col} < b.{id_col}
+GROUP BY a.{id_col}, b.{id_col}
+HAVING COUNT(*) >= {min_shared}
+"""
+
+
 def winnow_fingerprints_oracle_sql(
     table: str, id_col: str, text_col: str, k: int = 5, window: int = 4
 ) -> str:

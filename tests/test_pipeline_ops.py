@@ -315,6 +315,46 @@ def test_vertical_tab_cross_engine_parity(spark):
     assert got_lang == want_lang
 
 
+def test_winnow_overlap_catches_chunk_copy_paste(spark):
+    # two documents that differ almost everywhere but share one pasted
+    # paragraph: whole-doc shingle Jaccard stays below 1/2 (no ngram pair),
+    # while the shared substring guarantees shared winnow fingerprints
+    from fractions import Fraction
+
+    from sparkfuse.dedup import ngram_jaccard_pairs
+    from sparkfuse.textops import winnow_overlap_pairs
+
+    pasted = "this exact boilerplate disclaimer paragraph was copied verbatim between documents"
+    rows = [
+        (1, "first document discusses adaptive query execution plans at length. " + pasted),
+        (2, pasted + " second document about arrow batch pipelining and python workers entirely."),
+        (3, "zebra quartz kayak fjord glyph nymph vex jumbo wraith plink oxbow"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    jacc = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=Fraction(1, 2)
+        ).collect()
+    }
+    assert (1, 2) not in jacc  # invisible to whole-doc Jaccard
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_fps"]
+        for r in winnow_overlap_pairs(docs, "doc_id", "text", min_shared=3).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    assert not any(3 in p for p in got)
+    # stop-fingerprint cutoff path still returns the pair (its fingerprints
+    # appear in only 2 docs, below any sane cutoff)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(
+            docs, "doc_id", "text", min_shared=3, fp_cutoff=16
+        ).collect()
+    }
+    assert (1, 2) in capped
+
+
 def test_simhash_near_dups_lossless_vs_brute_force(spark, docs):
     # pigeonhole banding is LOSSLESS: banded pairs == brute-force all-pairs
     # hamming <= k, for every k tested
