@@ -318,6 +318,40 @@ def windowed_event_counts(
     )
 
 
+def windowed_distinct_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    rsd: float = 0.02,
+    extra_keys: tuple = (),
+) -> DataFrame:
+    """Watermarked per-window APPROXIMATE distinct counts (e.g. distinct
+    conv_ids per hour) — the bounded-state streaming complement to
+    ``streaming_first_seen`` (exact, Ω(distinct) state): state here is one
+    HLL++ sketch per open window (~KBs at rsd 2%), emitted once the
+    watermark closes the window, so it runs forever on an unbounded stream.
+
+    Uses the built-in ``approx_count_distinct`` (HLL++ partial aggregation —
+    the same mergeable-state plan shape as sparkfuse.sketches, executed
+    wholly inside Tungsten). No hash-correlation hazard here (CLAUDE.md):
+    the grouping key is the time window, not a slice of the key's own hash.
+    """
+    keys = [F.col(k) for k in extra_keys]
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), *keys)
+        .agg(F.approx_count_distinct(key_col, rsd).alias("n_distinct_est"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *extra_keys,
+            "n_distinct_est",
+        )
+    )
+
+
 def compact_forest(
     spark: SparkSession,
     keys_df: DataFrame,

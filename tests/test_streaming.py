@@ -117,6 +117,47 @@ def test_streaming_first_seen_exact_dedup(spark, tmp_path):
     assert got == want  # every distinct key exactly once, across batches
 
 
+def test_windowed_distinct_counts(spark, tmp_path):
+    """Per-window approximate distinct keys: bounded state (one HLL per open
+    window), exact-equal to COUNT(DISTINCT) at small cardinalities, emitted
+    once the watermark closes the window."""
+    import pandas as pd
+
+    from sparkfuse.streaming import windowed_distinct_counts
+
+    src = tmp_path / "wd_src"
+    src.mkdir()
+    h = lambda hour, m=0: pd.Timestamp(2024, 1, 1, hour, m)
+    # window [10,11): keys 1,1,2,3 (3 distinct); [11,12): 5,5 (1 distinct);
+    # a late 14:00 row pushes the watermark (12:00) past both windows
+    rows = pd.DataFrame(
+        {
+            "ts": [h(10, 5), h(10, 20), h(10, 40), h(10, 50),
+                   h(11, 10), h(11, 30), h(14, 0)],
+            "conv_id": [1, 1, 2, 3, 5, 5, 99],
+        }
+    )
+    rows["ts"] = rows["ts"].astype("datetime64[us]")
+    rows.to_parquet(src / "a.parquet", index=False)
+    stream = spark.readStream.schema("ts timestamp, conv_id long").parquet(str(src))
+    out = tmp_path / "wd_out"
+    q = (
+        windowed_distinct_counts(stream, "ts", "conv_id")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "wd_ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["window_start"].hour: r["n_distinct_est"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {10: 3, 11: 1}  # HLL exact at tiny cardinality; 14h open
+
+
 def test_windowed_counts_watermark_semantics(spark, tmp_path):
     """Watermarked tumbling windows: a window emits once the watermark passes
     its end; a row arriving after its window closed is DROPPED (late-data
