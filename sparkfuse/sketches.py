@@ -262,6 +262,17 @@ def _grouped_states(
     (input partition, group) — never raw rows. This is the grouped analog
     of ``_tree_build`` (which handles the global, no-key case) and the plan
     a 10^12-row corpus needs for per-slice statistics.
+
+    Cardinality regime: built for LOW-cardinality group keys (slices —
+    event types, languages, sources), where partitions × groups × KB-state
+    is tiny next to the rows it replaces. For high-cardinality grouping
+    (per-user), a fixed-KB state per (partition, group) EXCEEDS the rows it
+    summarizes — use the built-in ``approx_count_distinct`` in a plain
+    groupBy there (its HLL state starts sparse), or aggregate exactly.
+    The value of these from-scratch states over the built-in is that they
+    are persistable/resumable artifacts: write the partial-state table,
+    merge later, ship cross-system (north_rule: mergeable UDAFs from
+    scratch with checkpointable lineage).
     """
     gfields = [df.schema[c] for c in group_cols]
     partial_schema = StructType(list(gfields) + [StructField("state", BinaryType(), False)])
