@@ -175,7 +175,7 @@ def main_bench():
 
     with tempfile.TemporaryDirectory() as td:
         sink = os.path.join(td, "big_forest")
-        write_forest(big_forest, sink, mode="overwrite")
+        write_forest(big_forest, sink, mode="overwrite", cluster_by_shard=True)
         # min-of-3: the first run pays the per-worker sink load (and the
         # VM's frequency ramp) — steady state is what the row measures
         t, _ = _timed(
@@ -184,8 +184,22 @@ def main_bench():
             .count(),
             repeats=3,
         )
-    queries["probe_hybrid_10m"] = t
-    extra["probe_hybrid_keys_per_sec"] = n_routed / t
+        queries["probe_hybrid_10m"] = t
+        extra["probe_hybrid_keys_per_sec"] = n_routed / t
+
+        # routed-SINK probe on the same forest: keys shuffle by shard but
+        # each task reads only its shard filters — no forest shuffle, no
+        # cogroup sorts (the plan for forests past the replication budget)
+        from sparkfuse.probe import approx_contains_routed_sink
+
+        t, _ = _timed(
+            lambda: approx_contains_routed_sink(routed_probes, "key", sink, spark)
+            .filter(F.col("maybe_member"))
+            .count(),
+            repeats=4,  # first runs pay per-task sink reads + range sampling
+        )
+        queries["probe_routedsink_10m"] = t
+        extra["probe_routedsink_keys_per_sec"] = n_routed / t
     big_forest.unpersist()
 
     # SimHash near-dup pairs (pure JVM: 64 bit-vote aggs + pigeonhole band

@@ -304,11 +304,21 @@ def build_forest_budgeted(
     )
 
 
-def write_forest(forest_df: DataFrame, path: str, mode: str = "append") -> None:
+def write_forest(
+    forest_df: DataFrame, path: str, mode: str = "append",
+    cluster_by_shard: bool = False,
+) -> None:
     """Persist forest rows to the parquet sink (the cluster-native Save;
     per-shard appends are the checkpoint unit, SURVEY.md §3.1 stage 9).
     The content_sha256 column is the integrity check the reference README
-    recommends callers add (/root/reference/README.md:62)."""
+    recommends callers add (/root/reference/README.md:62).
+
+    cluster_by_shard: range-partition + sort by shard before writing, so
+    per-shard reads (``approx_contains_routed_sink``) prune row groups by
+    the shard column's min/max stats instead of scanning the whole sink —
+    worth it for big forests probed through the routed-sink path."""
+    if cluster_by_shard:
+        forest_df = forest_df.repartitionByRange("shard").sortWithinPartitions("shard")
     forest_df.write.mode(mode).parquet(path)
 
 

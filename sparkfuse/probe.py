@@ -353,6 +353,119 @@ def approx_contains_routed(
     )
 
 
+def _load_shard_filter_from_sink(path: str, plan_token: str, shard: int):
+    """Load ONE shard's filter from the forest sink, worker-side, cached per
+    (path, plan_token, shard). Parquet predicate pushdown on the shard
+    column prunes row groups (tight when the sink was written clustered by
+    shard — ``write_forest(cluster_by_shard=True)``)."""
+    import pyarrow.dataset as pads
+
+    cache_key = (path, plan_token, shard)
+    cached = _SINK_FOREST_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    filesystem, data_files, _ = _sink_fingerprint(path)
+    tbl = (
+        pads.dataset(data_files, filesystem=filesystem, format="parquet")
+        .to_table(
+            filter=pads.field("shard") == shard,
+            columns=["kind", "width", "arity", "payload", "content_sha256"],
+        )
+    )
+    if tbl.num_rows == 0:
+        filt = None  # absent shard probes False (partial forest)
+    else:
+        shas = set(tbl.column("content_sha256").to_pylist())
+        if len(shas) > 1:
+            raise ValueError(
+                f"conflicting payloads for shard {shard} in {path!r} (mixed "
+                "builds, or an epoch-appended sink — read those with "
+                "EpochForest)"
+            )
+        kind = tbl.column("kind")[0].as_py()
+        payload = tbl.column("payload")[0].as_py()
+        if kind == "fuse":
+            filt = load_fuse_bytes(
+                bytes(payload),
+                width=int(tbl.column("width")[0].as_py()),
+                arity=int(tbl.column("arity")[0].as_py()),
+            )
+        else:
+            filt = load_xor_bytes(bytes(payload))
+    # shard filters are small (~2 MB); keep more of them than whole forests
+    while len(_SINK_FOREST_CACHE) >= max(_SINK_CACHE_MAX, 64):
+        _SINK_FOREST_CACHE.pop(next(iter(_SINK_FOREST_CACHE)))
+    _SINK_FOREST_CACHE[cache_key] = filt
+    return filt
+
+
+def approx_contains_routed_sink(
+    probe_df: DataFrame,
+    key: str,
+    sink_path: str,
+    spark: SparkSession,
+    out: str = "maybe_member",
+) -> DataFrame:
+    """Routed probe for un-broadcastable forests WITH a readable sink: probes
+    repartition by shard (the only shuffle — 8-byte keys + shard ids) and
+    each task loads ONLY the shard filters it routes to, straight from the
+    sink (cached per worker). Compared to the cogroup routed path this
+    removes the forest side of the shuffle AND both cogroup sorts; at 1000
+    executors a shard's ~2 MB payload is read by the ~1 reducer that owns
+    its probe partition instead of travelling once per probe partition met.
+
+    Same verdict contract as ``approx_contains_routed`` (missing shards
+    probe False; mixed sinks fail loudly); requires kind/arity/shard_bits/
+    route to be uniform (width may vary — budgeted forests).
+    """
+    import pyarrow as pa
+
+    meta = _forest_meta(spark.read.parquet(sink_path))
+    shard_bits, route = meta["shard_bits"], meta["route"]
+    cols = list(probe_df.columns)
+    if out in cols:
+        raise ValueError(f"output column {out!r} already exists")
+    if "_sf_shard" in cols:
+        raise ValueError("probe_df already has a '_sf_shard' column (reserved)")
+    plan_token = __import__("os").urandom(8).hex()
+    out_schema = StructType(
+        list(probe_df.schema.fields) + [StructField(out, BooleanType(), False)]
+    )
+    key_idx = cols.index(key)
+
+    def probe_batches(batches):
+        for batch in batches:
+            keys_np = batch.column(key_idx).to_numpy(zero_copy_only=False)
+            shards = batch.column(len(cols)).to_numpy(zero_copy_only=False)
+            verdict = np.zeros(len(keys_np), dtype=bool)
+            for s in np.unique(shards):
+                filt = _load_shard_filter_from_sink(
+                    sink_path, plan_token, int(s)
+                )
+                if filt is None:
+                    continue
+                mask = shards == s
+                verdict[mask] = _probe_one(filt, to_u64(keys_np[mask]))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(len(cols))] + [pa.array(verdict)],
+                names=cols + [out],
+            )
+
+    tagged = probe_df.withColumn("_sf_shard", shard_column(key, shard_bits, route))
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # RANGE partitioning on the shard id, not hash: hashing S shard values
+    # into S partitions leaves ~1/e of them empty and the worst task holding
+    # 3 shards (measured 937k vs the balanced 312k keys) — range boundaries
+    # give ~one contiguous shard (range) per task, which also makes each
+    # task's sink reads contiguous row-group ranges under cluster_by_shard
+    rep = tagged.repartitionByRange(
+        min(parts, 1 << max(shard_bits, 0)), "_sf_shard"
+    )
+    # the generator consumes the trailing _sf_shard column and emits
+    # probe columns + verdict, so the declared schema has no shard column
+    return rep.mapInArrow(probe_batches, out_schema)
+
+
 def exact_member_routed(
     probe_df: DataFrame,
     probe_key: str,
@@ -437,6 +550,13 @@ def probe_forest(
         return approx_contains(probe_df, key, Forest.from_df(forest_df), spark, out=out)
     if regime == "hybrid":
         return approx_contains_sink(probe_df, key, sink_path, out=out)
+    if sink_path is not None:
+        # past the replication budget but sink-readable: route probes by
+        # shard and let each task read only ITS shard filters (no forest
+        # shuffle, no cogroup sorts)
+        return approx_contains_routed_sink(
+            probe_df, key, sink_path, spark or probe_df.sparkSession, out=out
+        )
     return approx_contains_routed(probe_df, key, forest_df, out=out)
 
 

@@ -426,6 +426,65 @@ def test_exact_member_forest_all_regimes(spark, tmp_path):
         assert got == want, name
 
 
+def test_routed_sink_probe_equals_broadcast(spark, tmp_path):
+    from sparkfuse.probe import approx_contains_routed_sink
+
+    keys = _keys_df(spark, 30_000)
+    sink = str(tmp_path / "forest")
+    write_forest(build_forest(keys, shard_bits=3), sink, cluster_by_shard=True)
+    forest = Forest.from_df(spark.read.parquet(sink))
+    probes = keys.unionByName(_keys_df(spark, 20_000, seed=5))
+    via_rs = {
+        r["key"]: r["m"]
+        for r in approx_contains_routed_sink(probes, "key", sink, spark, out="m").collect()
+    }
+    via_bc = {
+        r["key"]: r["m"]
+        for r in approx_contains(probes, "key", forest, spark, out="m").collect()
+    }
+    assert via_rs == via_bc  # verdict-identical incl. false positives
+
+
+def test_routed_sink_partial_forest_and_mixed_width(spark, tmp_path):
+    from sparkfuse.forest import build_forest_budgeted
+    from sparkfuse.params import fuse_parameters
+    from sparkfuse.probe import approx_contains_routed_sink
+
+    keys = _keys_df(spark, 40_000)
+    # mixed-width budgeted forest, with shard 0 withheld (partial sink)
+    floor = sum(
+        fuse_parameters(max(r["nkeys"], 1)).array_length
+        for r in build_forest(keys, shard_bits=2).select("nkeys").collect()
+    )
+    full = build_forest_budgeted(keys, budget_bytes=int(floor * 1.5), shard_bits=2).cache()
+    sink = str(tmp_path / "forest")
+    write_forest(full.filter(F.col("shard") != 0), sink)
+    flagged = approx_contains_routed_sink(keys, "key", sink, spark, out="m").collect()
+    full_forest = Forest.from_df(full)
+    # shard-0 keys probe False (absent); other shards zero-FN
+    from sparkfuse.hashing import to_u64, xxh64_u64
+    import numpy as np
+
+    for r in flagged:
+        shard = int(xxh64_u64(to_u64(np.array([r["key"]])))[0] >> np.uint64(62))
+        assert r["m"] == (shard != 0), (r, shard)
+    full.unpersist()
+
+
+def test_probe_forest_regime3_prefers_routed_sink(spark, tmp_path):
+    keys = _keys_df(spark, 10_000)
+    sink = str(tmp_path / "forest")
+    write_forest(build_forest(keys, shard_bits=1), sink)
+    forest_df = spark.read.parquet(sink)
+    df = probe_forest(
+        keys, "key", forest_df, spark,
+        broadcast_threshold=1, replication_budget=1, sink_path=sink,
+    )
+    plan = _plan_of(df)
+    assert "MapInArrow" in plan and "FlatMapCoGroups" not in plan
+    assert all(r["maybe_member"] for r in df.collect())
+
+
 def test_sink_fingerprint_detects_inplace_rewrite(tmp_path):
     # same file name + same byte size, different content: the cache key
     # must still change (mtime is part of the fingerprint), or reused
