@@ -624,6 +624,21 @@ def exact_member_forest(
         pre = approx_contains_sink(probe_df, probe_key, sink_path, out="_maybe")
         pre = pre.filter(F.col("_maybe")).drop("_maybe")
         return pre.join(build_keys, on=probe_key, how="left_semi")
+    if sink_path is not None:
+        # routed regime with a readable sink: routed-sink prescreen on the
+        # deduped key column (same key-only-shuffle shape as
+        # exact_member_routed, minus the forest shuffle and sorts)
+        keys_only = probe_df.select(probe_key).dropDuplicates()
+        maybe = (
+            approx_contains_routed_sink(
+                keys_only, probe_key, sink_path,
+                spark or probe_df.sparkSession, out="_maybe",
+            )
+            .filter(F.col("_maybe"))
+            .drop("_maybe")
+        )
+        members = maybe.join(build_keys, on=probe_key, how="left_semi")
+        return probe_df.join(members, on=probe_key, how="left_semi")
     return exact_member_routed(probe_df, probe_key, build_df, build_key, forest_df)
 
 

@@ -414,6 +414,8 @@ def test_exact_member_forest_all_regimes(spark, tmp_path):
         "broadcast": dict(broadcast_threshold=nbytes + 1),
         "hybrid": dict(broadcast_threshold=1, replication_budget=nbytes + 1,
                        sink_path=sink),
+        "routed_sink": dict(broadcast_threshold=1, replication_budget=1,
+                            sink_path=sink),
         "routed": dict(broadcast_threshold=1, replication_budget=1),
     }
     for name, kw in regimes.items():
