@@ -29,11 +29,14 @@ Three probe modes over a built Forest:
   1000 executors that's 100 GB of reads vs 80 GB of shuffle — and the reads
   are cold-cache-only while the shuffle repeats per query, so the hybrid
   wins everywhere the forest fits executor memory.
+* ``approx_contains_routed_sink`` — the routed path when the forest has a
+  readable sink: probes range-partition by shard and each task loads only
+  ITS shard filters from the sink (no forest shuffle, no cogroup sorts).
 * ``probe_forest`` — the planner: three regimes by forest payload bytes —
   ≤ broadcast threshold → driver broadcast; ≤ replication budget (default
-  512m, conf ``sparkfuse.probe.replicationBudget``) → hybrid replication
-  (sink-load when a ``sink_path`` is given, torrent broadcast otherwise);
-  else → shard-routed cogroup.
+  512m, conf ``sparkfuse.probe.replicationBudget``) AND sink given →
+  hybrid replication; else → routed (routed-sink when a ``sink_path`` is
+  given, shard-routed cogroup otherwise).
 """
 
 from __future__ import annotations
@@ -353,18 +356,42 @@ def approx_contains_routed(
     )
 
 
+# Shard filters are ~2 MB each, whole forests much bigger: separate cache
+# with its own cap so routed-sink and hybrid probes never thrash each other.
+_SHARD_FILTER_CACHE: dict = {}
+_SHARD_CACHE_MAX = 128
+# Per-(path, plan_token) memo of the sink listing: one LIST per worker per
+# query, shared across every shard load of that query.
+_SINK_LISTING_MEMO: dict = {}
+
+
 def _load_shard_filter_from_sink(path: str, plan_token: str, shard: int):
-    """Load ONE shard's filter from the forest sink, worker-side, cached per
-    (path, plan_token, shard). Parquet predicate pushdown on the shard
-    column prunes row groups (tight when the sink was written clustered by
-    shard — ``write_forest(cluster_by_shard=True)``)."""
+    """Load ONE shard's filter from the forest sink, worker-side.
+
+    Two cache layers (the _load_forest_from_sink scheme): (path, plan_token,
+    shard) memoizes within one query — including the ABSENT-shard None
+    result, so a partial forest costs one read, not one per batch — and
+    (content key, shard) persists across queries, reloading only when the
+    sink's file listing (names+sizes+mtimes) changes. Parquet predicate
+    pushdown on the shard column prunes row groups (tight when the sink was
+    written clustered — ``write_forest(cluster_by_shard=True)``)."""
     import pyarrow.dataset as pads
 
-    cache_key = (path, plan_token, shard)
-    cached = _SINK_FOREST_CACHE.get(cache_key)
-    if cached is not None:
-        return cached
-    filesystem, data_files, _ = _sink_fingerprint(path)
+    memo_key = (path, plan_token, shard)
+    if memo_key in _SHARD_FILTER_CACHE:
+        return _SHARD_FILTER_CACHE[memo_key]
+    listing = _SINK_LISTING_MEMO.get((path, plan_token))
+    if listing is None:
+        listing = _sink_fingerprint(path)
+        while len(_SINK_LISTING_MEMO) >= 8:
+            _SINK_LISTING_MEMO.pop(next(iter(_SINK_LISTING_MEMO)))
+        _SINK_LISTING_MEMO[(path, plan_token)] = listing
+    filesystem, data_files, content_key = listing
+    content_shard_key = (content_key, shard)
+    if content_shard_key in _SHARD_FILTER_CACHE:
+        filt = _SHARD_FILTER_CACHE[content_shard_key]
+        _SHARD_FILTER_CACHE[memo_key] = filt
+        return filt
     tbl = (
         pads.dataset(data_files, filesystem=filesystem, format="parquet")
         .to_table(
@@ -392,10 +419,10 @@ def _load_shard_filter_from_sink(path: str, plan_token: str, shard: int):
             )
         else:
             filt = load_xor_bytes(bytes(payload))
-    # shard filters are small (~2 MB); keep more of them than whole forests
-    while len(_SINK_FOREST_CACHE) >= max(_SINK_CACHE_MAX, 64):
-        _SINK_FOREST_CACHE.pop(next(iter(_SINK_FOREST_CACHE)))
-    _SINK_FOREST_CACHE[cache_key] = filt
+    while len(_SHARD_FILTER_CACHE) >= _SHARD_CACHE_MAX:
+        _SHARD_FILTER_CACHE.pop(next(iter(_SHARD_FILTER_CACHE)))
+    _SHARD_FILTER_CACHE[content_shard_key] = filt
+    _SHARD_FILTER_CACHE[memo_key] = filt
     return filt
 
 
@@ -466,6 +493,27 @@ def approx_contains_routed_sink(
     return rep.mapInArrow(probe_batches, out_schema)
 
 
+def _exact_member_keyed(
+    probe_df: DataFrame,
+    probe_key: str,
+    build_df: DataFrame,
+    build_key: str,
+    prescreen,
+) -> DataFrame:
+    """Shared shape of the keyed exact-membership plans: dedup the probe KEY
+    column (only 8-byte keys cross the prescreen shuffle), prescreen it with
+    ``prescreen(keys_only) -> flagged-with-_maybe``, exact-confirm survivors
+    against the build keys, then semi-join the original probe rows. The
+    survivor set is ~(members + fpp·non-members), which AQE typically
+    broadcasts for the final semi-join. Result is exact (zero-FN prescreen +
+    exact confirm), so a plain SQL ``IN`` subquery is a valid oracle."""
+    keys_only = probe_df.select(probe_key).dropDuplicates()
+    maybe = prescreen(keys_only).filter(F.col("_maybe")).drop("_maybe")
+    build_keys = build_df.select(F.col(build_key).alias(probe_key)).dropDuplicates()
+    members = maybe.join(build_keys, on=probe_key, how="left_semi")
+    return probe_df.join(members, on=probe_key, how="left_semi")
+
+
 def exact_member_routed(
     probe_df: DataFrame,
     probe_key: str,
@@ -473,25 +521,13 @@ def exact_member_routed(
     build_key: str,
     forest_df: DataFrame,
 ) -> DataFrame:
-    """Exact membership for un-broadcastable forests: routed prescreen on the
-    deduped 8-byte KEY column only, exact-confirm survivors against the build
-    keys, then semi-join the original probe rows.
-
-    Only key bytes cross the shard shuffle; the survivor set is ~(members +
-    fpp·non-members), which AQE typically broadcasts for the final semi-join.
-    Result is exact (zero-FN prescreen + exact confirm), so a plain SQL
-    ``IN`` subquery is a valid oracle — same contract as
-    ``exact_member_semi_join``.
-    """
-    keys_only = probe_df.select(probe_key).dropDuplicates()
-    maybe = (
-        approx_contains_routed(keys_only, probe_key, forest_df, out="_maybe")
-        .filter(F.col("_maybe"))
-        .drop("_maybe")
+    """Exact membership for un-broadcastable forests: routed-cogroup
+    prescreen through ``_exact_member_keyed`` — same contract as
+    ``exact_member_semi_join``."""
+    return _exact_member_keyed(
+        probe_df, probe_key, build_df, build_key,
+        lambda keys: approx_contains_routed(keys, probe_key, forest_df, out="_maybe"),
     )
-    build_keys = build_df.select(F.col(build_key).alias(probe_key)).dropDuplicates()
-    members = maybe.join(build_keys, on=probe_key, how="left_semi")
-    return probe_df.join(members, on=probe_key, how="left_semi")
 
 
 def forest_payload_bytes(forest_df: DataFrame) -> int:
@@ -532,9 +568,13 @@ def probe_forest(
        driver-memory cost the executor-sized budget does not police.
        (To trade driver memory for probe speed anyway, raise
        broadcast_threshold explicitly.)
-    3. else: shard-routed cogroup — the only no-driver plan when the forest
-       exceeds executor memory (or has no readable sink); pays one
-       8-byte-per-key probe shuffle.
+    3. else: routed. With a ``sink_path``, the routed-SINK path (probes
+       range-partition by shard, each task reads only its shard filters —
+       no forest shuffle, no cogroup sorts); without one, the shard-routed
+       cogroup against the forest TABLE. Both pay the same 8-byte-per-key
+       probe shuffle. To force the cogroup path despite having a sink
+       (e.g. cold object storage while forest_df is cached), pass
+       ``sink_path=None``.
 
     Set either threshold to -1 to disable that regime.
 
@@ -625,20 +665,15 @@ def exact_member_forest(
         pre = pre.filter(F.col("_maybe")).drop("_maybe")
         return pre.join(build_keys, on=probe_key, how="left_semi")
     if sink_path is not None:
-        # routed regime with a readable sink: routed-sink prescreen on the
-        # deduped key column (same key-only-shuffle shape as
-        # exact_member_routed, minus the forest shuffle and sorts)
-        keys_only = probe_df.select(probe_key).dropDuplicates()
-        maybe = (
-            approx_contains_routed_sink(
-                keys_only, probe_key, sink_path,
+        # routed regime with a readable sink: routed-sink prescreen (same
+        # key-only-shuffle shape, minus the forest shuffle and sorts)
+        return _exact_member_keyed(
+            probe_df, probe_key, build_df, build_key,
+            lambda keys: approx_contains_routed_sink(
+                keys, probe_key, sink_path,
                 spark or probe_df.sparkSession, out="_maybe",
-            )
-            .filter(F.col("_maybe"))
-            .drop("_maybe")
+            ),
         )
-        members = maybe.join(build_keys, on=probe_key, how="left_semi")
-        return probe_df.join(members, on=probe_key, how="left_semi")
     return exact_member_routed(probe_df, probe_key, build_df, build_key, forest_df)
 
 

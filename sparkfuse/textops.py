@@ -374,9 +374,16 @@ def winnow_overlap_pairs(
     self-join on fp → count shared per pair. ``fp_cutoff`` drops fingerprints
     appearing in more than that many docs before the join (stop-fingerprint
     pruning, same fan-out math as stop-shingles: a fingerprint in d docs
-    emits d(d-1)/2 pairs).
+    emits d(d-1)/2 pairs). Ids are assumed unique (one row per document —
+    duplicate ids are collapsed arbitrarily; dedup upstream for defined
+    behavior).
     """
-    fps = winnow_fingerprints(df, id_col, text_col, k, window).dropDuplicates()
+    # winnow_fingerprints already emits per-row DISTINCT fingerprints, so
+    # (id, fp) rows are unique whenever ids are unique — dedup only the tiny
+    # id column instead of shuffling the whole exploded fingerprint table
+    fps = winnow_fingerprints(
+        df.dropDuplicates([id_col]), id_col, text_col, k, window
+    )
     if fp_cutoff is not None:
         freq = fps.groupBy("fp").agg(F.count("*").alias("_df"))
         fps = fps.join(freq.filter(F.col("_df") <= fp_cutoff), "fp", "left_semi")
