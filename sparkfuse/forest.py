@@ -261,7 +261,13 @@ def build_forest_budgeted(
     feed ``plan_budgeted_widths``, and each shard builds at its own width.
     Zero-FN and exactness contracts are width-independent, so every exact
     query (semi-join/anti-join oracle) holds unchanged; only the fpp of the
-    prescreen varies per shard."""
+    prescreen varies per shard.
+
+    NOT resume-stable as-is: the width plan derives from approximate counts
+    that can differ between runs, so a resumed build could pick different
+    widths for the missing shards. For resumable budgeted builds persist the
+    planned widths (a tiny dict) with the job state and rebuild from it
+    instead of re-planning."""
     keys_df = keys_df.select(F.col(key_name).alias("key"))
     if pre_dedup:
         keys_df = dedup_keys(keys_df)
