@@ -732,6 +732,19 @@ def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the filter's marquee pipeline use: corpus
+    docs sharing any 13-gram with a benchmark set (here: the first 20 docs,
+    so contamination is planted by construction). Fuse prescreen (zero FN ⇒
+    nothing escapes) + exact string confirm ⇒ the SQL n-gram-intersection
+    oracle is exact."""
+    from sparkfuse.decontam import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 20).select("text")
+    return contamination_check(docs, "doc_id", "text", bench, "text", n=13, spark=spark)
+
+
 def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED mergeable sketch aggregation (the true-UDAF shape: partial
     HLL states per (partition, group), register-max merge per group — only
@@ -819,6 +832,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_pipeline": q_media_pipeline,
     "hll_by_group": q_hll_by_group,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
+    "contamination_check": q_contamination_check,
     "winnow_fingerprints": q_winnow_fps,
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "bpe_tok_stats": q_bpe_tok_stats,
@@ -969,6 +983,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup_pairs": (
             "SELECT COUNT(*) AS n_docs, TRUE AS lossless_ok FROM documents"
         ),
+        "contamination_check": _contamination_oracle(),
         "media_pipeline": (
             "WITH media AS ("
             "  SELECT doc_id AS media_id,"
@@ -1012,6 +1027,15 @@ def _knn_oracle() -> str:
     from sparkfuse.similarity import knn_topk_oracle_sql
 
     return knn_topk_oracle_sql("embeddings", "vec_id", "embedding", list(range(10)), k=5)
+
+
+def _contamination_oracle() -> str:
+    from sparkfuse.decontam import contamination_oracle_sql
+
+    return contamination_oracle_sql(
+        "documents", "doc_id", "text",
+        "SELECT text FROM documents WHERE doc_id < 20", "text", n=13,
+    )
 
 
 def _components_oracle() -> str:

@@ -66,6 +66,7 @@ _SPARK_LAYER = {
     "exact_dedup": ("sparkfuse.dedup", "exact_dedup"),
     "cosine_lsh_pairs": ("sparkfuse.similarity", "cosine_lsh_pairs"),
     "connected_components": ("sparkfuse.graph", "connected_components"),
+    "contamination_check": ("sparkfuse.decontam", "contamination_check"),
     "get_spark": ("sparkfuse.session", "get_spark"),
 }
 

@@ -1,0 +1,101 @@
+"""Benchmark decontamination: flag corpus documents containing evaluation
+n-grams — the approximate-membership filter's marquee application in
+training-data pipelines, composed from the library's own parts.
+
+Shape (the reason this library exists at 100 TB): the benchmark side is
+small (thousands of eval documents → millions of n-grams), the corpus side
+is the 10^12-document training set. A filter forest built over the benchmark
+n-gram hashes prescreens the corpus's exploded n-grams BEFORE any shuffle —
+zero false negatives means no contamination escapes, and the ~0.4% false
+positives are removed by an exact string confirm against the (broadcastable)
+benchmark n-gram set. The corpus-side shuffle therefore carries only
+(true matches + fpp·grams) instead of every n-gram of every document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkfuse.dedup import shingles_col
+from sparkfuse.forest import Forest, build_forest
+from sparkfuse.probe import approx_contains_udf
+
+
+def contamination_check(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_text: str,
+    bench_df: DataFrame,
+    bench_text: str,
+    n: int = 13,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """(corpus_id, n_contaminated_grams) for every corpus document sharing at
+    least one word n-gram with the benchmark set. EXACT: the fuse prescreen
+    (zero FN) is confirmed by a string-level semi-join against the benchmark
+    n-grams, so a plain SQL n-gram-intersection query is a valid oracle.
+
+    n = 13 is the common eval-decontamination window (matches the published
+    practice of 13-gram overlap checks); lower it for short documents.
+    """
+    bench_grams = (
+        bench_df.select(F.explode(shingles_col(bench_text, n)).alias("gram"))
+        .dropDuplicates()
+    )
+    forest = Forest.from_df(
+        build_forest(bench_grams.select(F.xxhash64("gram").alias("key")))
+    )
+    corpus_grams = corpus.select(
+        F.col(corpus_id), F.explode(shingles_col(corpus_text, n)).alias("gram")
+    )
+    pre = corpus_grams.filter(
+        approx_contains_udf(forest, spark)(F.xxhash64("gram"))
+    )
+    confirmed = pre.join(bench_grams, "gram", "left_semi")
+    return confirmed.groupBy(corpus_id).agg(
+        F.countDistinct("gram").alias("n_contaminated_grams")
+    )
+
+
+def contamination_oracle_sql(
+    corpus_table: str,
+    corpus_id: str,
+    corpus_text: str,
+    bench_sql: str,
+    bench_text: str,
+    n: int = 13,
+) -> str:
+    """DuckDB twin: exact n-gram intersection (brute force — the oracle can
+    afford it at sf0.01). ``bench_sql`` is a SELECT producing the benchmark
+    rows."""
+    from sparkfuse.textops import TOKEN_SPLIT
+
+    def grams() -> str:
+        g = " || ' ' || ".join(f"ts[i+{j}]" for j in range(n))
+        return f"list_distinct([{g} for i in range(1, len(ts) - {n - 2})])"
+
+    return f"""
+WITH bench AS ({bench_sql}),
+bg AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM (
+    SELECT {grams()} AS gs FROM (
+      SELECT string_split_regex(trim({bench_text}), '{TOKEN_SPLIT}') AS ts
+      FROM bench WHERE len(string_split_regex(trim({bench_text}), '{TOKEN_SPLIT}')) >= {n}
+    ) _
+  ) _
+),
+cg AS (
+  SELECT {corpus_id}, unnest(gs) AS gram FROM (
+    SELECT {corpus_id}, {grams()} AS gs FROM (
+      SELECT {corpus_id},
+             string_split_regex(trim({corpus_text}), '{TOKEN_SPLIT}') AS ts
+      FROM {corpus_table}
+      WHERE len(string_split_regex(trim({corpus_text}), '{TOKEN_SPLIT}')) >= {n}
+    ) _
+  ) _
+)
+SELECT {corpus_id}, COUNT(DISTINCT cg.gram) AS n_contaminated_grams
+FROM (SELECT DISTINCT * FROM cg) cg JOIN bg USING (gram)
+GROUP BY {corpus_id}
+"""

@@ -315,6 +315,33 @@ def test_vertical_tab_cross_engine_parity(spark):
     assert got_lang == want_lang
 
 
+def test_contamination_check_planted(spark):
+    # a corpus doc embedding a benchmark question verbatim is flagged with
+    # the exact overlapping-gram count; clean docs are absent
+    from sparkfuse.decontam import contamination_check
+
+    bench_q = ("what is the airspeed velocity of an unladen swallow "
+               "carrying a coconut across the english channel")
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text before the leak. " + bench_q + " trailing words."),
+            (2, "a completely clean training document about shuffle metrics "
+                "and adaptive execution with plenty of ordinary tokens here"),
+            (3, bench_q),  # verbatim copy
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_q,)], "text string")
+    got = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in contamination_check(
+            corpus, "doc_id", "text", bench, "text", n=13, spark=spark
+        ).collect()
+    }
+    # bench_q has 16 tokens -> 4 distinct 13-grams; both leaky docs carry all
+    assert got == {1: 4, 3: 4}
+
+
 def test_winnow_overlap_catches_chunk_copy_paste(spark):
     # two documents that differ almost everywhere but share one pasted
     # paragraph: whole-doc shingle Jaccard stays below 1/2 (no ngram pair),
