@@ -204,9 +204,23 @@ def main_bench():
         extra["probe_routedsink_keys_per_sec"] = n_routed / t
     big_forest.unpersist()
 
+    # decontamination: fuse-prescreened 13-gram overlap vs a 100-doc
+    # benchmark — the prescreen filters the exploded grams BEFORE the first
+    # exchange (PLANS.md §14)
+    from sparkfuse.decontam import contamination_check
+
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench_docs = docs_df.filter(F.col("doc_id") < 100).select("text")
+    t, _ = _timed(
+        lambda: contamination_check(
+            docs_df, "doc_id", "text", bench_docs, "text", n=13, spark=spark
+        ).count(),
+        repeats=2,
+    )
+    queries["contamination_13gram"] = t
+
     # SimHash near-dup pairs (pure JVM: 64 bit-vote aggs + pigeonhole band
     # join + bit_count verify — no Python anywhere in the plan)
-    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     t, n_sh = _timed(
         lambda: simhash_near_dups(docs_df, "doc_id", "text", max_hamming=6).count(),
         repeats=2,
