@@ -51,6 +51,7 @@ _SPARK_LAYER = {
     "build_forest": ("sparkfuse.forest", "build_forest"),
     "build_forest_resumable": ("sparkfuse.forest", "build_forest_resumable"),
     "build_forest_budgeted": ("sparkfuse.forest", "build_forest_budgeted"),
+    "build_forest_budgeted_resumable": ("sparkfuse.forest", "build_forest_budgeted_resumable"),
     "plan_budgeted_widths": ("sparkfuse.forest", "plan_budgeted_widths"),
     "write_forest": ("sparkfuse.forest", "write_forest"),
     "approx_contains": ("sparkfuse.probe", "approx_contains"),

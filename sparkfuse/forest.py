@@ -255,6 +255,7 @@ def build_forest_budgeted(
     key_name: str = "key",
     route: str = "xxh64",
     pre_dedup: bool = False,
+    widths: dict[int, int] | None = None,
 ) -> DataFrame:
     """Mixed-width fuse forest under a total payload byte budget: per-shard
     key counts (one aggregate; only (shard, count) rows reach the driver)
@@ -263,34 +264,37 @@ def build_forest_budgeted(
     query (semi-join/anti-join oracle) holds unchanged; only the fpp of the
     prescreen varies per shard.
 
-    NOT resume-stable as-is: the width plan derives from approximate counts
-    that can differ between runs, so a resumed build could pick different
-    widths for the missing shards. For resumable budgeted builds persist the
-    planned widths (a tiny dict) with the job state and rebuild from it
-    instead of re-planning."""
+    ``widths``: explicit width plan (shard → 8/16/32), skipping the count +
+    plan pass. Resume-stable builds require it: the auto plan derives from
+    approximate counts that can differ between runs, so a resumed build
+    could pick different widths for the missing shards —
+    ``build_forest_budgeted_resumable`` persists the plan next to the sink
+    and reuses it."""
     keys_df = keys_df.select(F.col(key_name).alias("key"))
     if pre_dedup:
         keys_df = dedup_keys(keys_df)
     sharded = keys_df.withColumn("shard", shard_column("key", shard_bits, route))
-    # approx_count_distinct is HLL++ over xxhash64 — the SAME hash family the
-    # shard routing uses, so within a shard every key shares the hash's top
-    # bits and the HLL register index collapses (measured: 68 estimated vs
-    # 7547 actual). Rehashing with a different seed decorrelates the two.
-    counts = {
-        int(r["shard"]): int(r["n"])
-        for r in sharded.groupBy("shard")
-        .agg(
-            F.approx_count_distinct(
-                F.xxhash64(F.col("key"), F.lit(0x5EED)), 0.02
-            ).alias("n")
-        )
-        .collect()
-    }
-    # plan on INFLATED estimates (2.5x the 2% rsd) so an HLL under-estimate
-    # cannot make the real payload cross the budget — the planner is the
-    # conservative side of the approximate count
-    counts = {s: int(n * 1.05) + 1 for s, n in counts.items()}
-    widths = plan_budgeted_widths(counts, budget_bytes, arity)
+    if widths is None:
+        # approx_count_distinct is HLL++ over xxhash64 — the SAME hash family
+        # the shard routing uses, so within a shard every key shares the
+        # hash's top bits and the HLL register index collapses (measured: 68
+        # estimated vs 7547 actual). Rehashing with a different seed
+        # decorrelates the two.
+        counts = {
+            int(r["shard"]): int(r["n"])
+            for r in sharded.groupBy("shard")
+            .agg(
+                F.approx_count_distinct(
+                    F.xxhash64(F.col("key"), F.lit(0x5EED)), 0.02
+                ).alias("n")
+            )
+            .collect()
+        }
+        # plan on INFLATED estimates (2.5x the 2% rsd) so an HLL
+        # under-estimate cannot make the real payload cross the budget —
+        # the planner is the conservative side of the approximate count
+        counts = {s: int(n * 1.05) + 1 for s, n in counts.items()}
+        widths = plan_budgeted_widths(counts, budget_bytes, arity)
     spark = keys_df.sparkSession
     widths_df = spark.createDataFrame(
         [(s, w) for s, w in sorted(widths.items())], "shard long, width int"
@@ -382,6 +386,110 @@ def build_forest_resumable(
         _kernel_factory(spec), FOREST_SCHEMA
     )
     write_forest(missing, path)
+    return spark.read.parquet(path)
+
+
+def build_forest_budgeted_resumable(
+    keys_df: DataFrame,
+    path: str,
+    spark: SparkSession,
+    budget_bytes: int,
+    shard_bits: int,
+    **build_kwargs,
+) -> DataFrame:
+    """Resumable budgeted build: the width plan is computed ONCE, persisted
+    as ``_sparkfuse_widths.json`` next to the sink, and every resume reuses
+    it — so a killed-and-resumed build produces shards byte-identical to a
+    fresh full build despite the plan deriving from approximate counts
+    (the same determinism contract as ``build_forest_resumable``). Missing
+    shards are discovered by anti-joining the sink, exactly like the
+    uniform-width resumable path.
+
+    Local/NFS sink paths only for the plan file (same caveat as the
+    streaming layout guard); for object-store sinks persist the plan with
+    your job state and pass it via ``widths=`` on build_forest_budgeted.
+    """
+    import json
+    import os
+
+    if "://" in path:
+        raise ValueError(
+            f"sink {path!r} is a scheme-qualified URI: the width-plan file "
+            "cannot be co-located; persist the plan in your job state and "
+            "call build_forest_budgeted(widths=...) instead"
+        )
+    os.makedirs(path, exist_ok=True)
+    plan_path = os.path.join(path, "_sparkfuse_widths.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            saved = json.load(f)
+        if saved["shard_bits"] != shard_bits or saved["budget_bytes"] != budget_bytes:
+            raise ValueError(
+                f"sink {path!r} was planned with shard_bits="
+                f"{saved['shard_bits']}, budget={saved['budget_bytes']}; "
+                f"got shard_bits={shard_bits}, budget={budget_bytes} — "
+                "resuming under a different layout/budget would mix plans. "
+                "Use the original parameters or a fresh sink."
+            )
+        widths = {int(s): int(w) for s, w in saved["widths"].items()}
+    else:
+        key_name = build_kwargs.get("key_name", "key")
+        route = build_kwargs.get("route", "xxh64")
+        arity = build_kwargs.get("arity", 3)
+        sharded = keys_df.select(F.col(key_name).alias("key")).withColumn(
+            "shard", shard_column("key", shard_bits, route)
+        )
+        counts = {
+            int(r["shard"]): int(r["n"])
+            for r in sharded.groupBy("shard")
+            .agg(
+                F.approx_count_distinct(
+                    F.xxhash64(F.col("key"), F.lit(0x5EED)), 0.02
+                ).alias("n")
+            )
+            .collect()
+        }
+        counts = {s: int(n * 1.05) + 1 for s, n in counts.items()}
+        widths = plan_budgeted_widths(counts, budget_bytes, arity)
+        with open(plan_path, "w") as f:
+            json.dump(
+                {
+                    "shard_bits": shard_bits,
+                    "budget_bytes": budget_bytes,
+                    "widths": {str(s): w for s, w in widths.items()},
+                },
+                f,
+            )
+    # the sink dir always exists here (it holds the plan file), so "fresh"
+    # is detected by the absence of data files, not by a read failure —
+    # any read error over actual data files must propagate
+    has_data = any(
+        not f.startswith(("_", ".")) for f in os.listdir(path)
+    )
+    done = (
+        spark.read.parquet(path).select("shard").dropDuplicates()
+        if has_data
+        else None
+    )
+    build_keys = keys_df
+    kwargs = dict(build_kwargs)
+    if done is not None and not done.isEmpty():
+        # filter the KEYS of already-built shards out below the kernel
+        # (filtering the kernel OUTPUT would re-run and discard every shard)
+        key_name = kwargs.pop("key_name", "key")
+        route = kwargs.get("route", "xxh64")
+        sharded_keys = keys_df.select(F.col(key_name).alias("key")).withColumn(
+            "shard", shard_column("key", shard_bits, route)
+        )
+        build_keys = sharded_keys.join(
+            F.broadcast(done), "shard", "left_anti"
+        ).drop("shard")
+        if build_keys.isEmpty():
+            return spark.read.parquet(path)
+    built = build_forest_budgeted(
+        build_keys, budget_bytes, shard_bits, widths=widths, **kwargs
+    )
+    write_forest(built, path)
     return spark.read.parquet(path)
 
 

@@ -386,6 +386,53 @@ def test_budgeted_forest_mixed_width_end_to_end(spark):
     mixed_df.unpersist()
 
 
+def test_budgeted_resumable_resume_equals_fresh(spark, tmp_path):
+    from sparkfuse.forest import build_forest_budgeted, build_forest_budgeted_resumable
+    from sparkfuse.params import fuse_parameters
+
+    keys = _keys_df(spark, 40_000)
+    floor = sum(
+        fuse_parameters(max(r["nkeys"], 1)).array_length
+        for r in build_forest(keys, shard_bits=2).select("nkeys").collect()
+    )
+    budget = int(floor * 1.5)
+    path = str(tmp_path / "forest")
+    # fresh full reference via the resumable entry point on a clean sink
+    fresh = {
+        r["shard"]: (r["width"], r["content_sha256"])
+        for r in build_forest_budgeted_resumable(
+            keys, path, spark, budget_bytes=budget, shard_bits=2
+        ).collect()
+    }
+    assert len({w for w, _ in fresh.values()}) > 1  # mixed plan persisted
+    # simulate a killed job: keep only shards 0-1 plus the plan file
+    import shutil
+
+    partial_dir = tmp_path / "forest2"
+    shutil.copytree(tmp_path / "forest", partial_dir)
+    # rebuild partial sink: wipe parquet, keep plan, append shards < 2
+    for f in partial_dir.iterdir():
+        if not f.name.startswith("_sparkfuse_widths"):
+            f.unlink() if f.is_file() else shutil.rmtree(f)
+    partial = build_forest_budgeted(
+        keys, budget, shard_bits=2,
+        widths={int(s): w for s, (w, _) in fresh.items()},
+    ).filter(F.col("shard") < 2)
+    write_forest(partial, str(partial_dir))
+    resumed = {
+        r["shard"]: (r["width"], r["content_sha256"])
+        for r in build_forest_budgeted_resumable(
+            keys, str(partial_dir), spark, budget_bytes=budget, shard_bits=2
+        ).collect()
+    }
+    assert resumed == fresh  # byte-identical despite the kill
+    # mismatched budget against the persisted plan fails loudly
+    with pytest.raises(ValueError, match="planned with"):
+        build_forest_budgeted_resumable(
+            keys, path, spark, budget_bytes=budget + 1, shard_bits=2
+        )
+
+
 def test_exact_member_forest_all_regimes(spark, tmp_path):
     # planner-driven exact membership: identical result in every regime,
     # equal to the plain semi-join ground truth
