@@ -39,9 +39,12 @@ def contamination_check(
     n = 13 is the common eval-decontamination window (matches the published
     practice of 13-gram overlap checks); lower it for short documents.
     """
+    # cached: the benchmark explode+dedup shuffle feeds BOTH the forest
+    # build and the confirm join — without the cache it would run twice
     bench_grams = (
         bench_df.select(F.explode(shingles_col(bench_text, n)).alias("gram"))
         .dropDuplicates()
+        .cache()
     )
     forest = Forest.from_df(
         build_forest(bench_grams.select(F.xxhash64("gram").alias("key")))
@@ -52,7 +55,11 @@ def contamination_check(
     pre = corpus_grams.filter(
         approx_contains_udf(forest, spark)(F.xxhash64("gram"))
     )
-    confirmed = pre.join(bench_grams, "gram", "left_semi")
+    # explicit broadcast: benchmark gram sets can exceed the 10 MB
+    # auto-broadcast threshold (millions of ~80-byte strings) and a silent
+    # sort-merge fallback would re-shuffle the prescreen survivors — the
+    # exact plan shape PLANS.md §14 documents as load-bearing
+    confirmed = pre.join(F.broadcast(bench_grams), "gram", "left_semi")
     return confirmed.groupBy(corpus_id).agg(
         F.countDistinct("gram").alias("n_contaminated_grams")
     )

@@ -247,6 +247,30 @@ def plan_budgeted_widths(
     return widths
 
 
+def _plan_widths(sharded: DataFrame, budget_bytes: int, arity: int) -> dict[int, int]:
+    """Per-shard counts → width plan, shared by the direct and resumable
+    budgeted builds so the two can never silently desynchronize.
+
+    approx_count_distinct is HLL++ over xxhash64 — the SAME hash family the
+    shard routing uses, so within a shard every key shares the hash's top
+    bits and the HLL register index collapses (measured: 68 estimated vs
+    7547 actual). Rehashing with a different seed decorrelates the two.
+    Counts are INFLATED (2.5x the 2% rsd) so an HLL under-estimate cannot
+    make the real payload cross the budget."""
+    counts = {
+        int(r["shard"]): int(r["n"])
+        for r in sharded.groupBy("shard")
+        .agg(
+            F.approx_count_distinct(
+                F.xxhash64(F.col("key"), F.lit(0x5EED)), 0.02
+            ).alias("n")
+        )
+        .collect()
+    }
+    counts = {s: int(n * 1.05) + 1 for s, n in counts.items()}
+    return plan_budgeted_widths(counts, budget_bytes, arity)
+
+
 def build_forest_budgeted(
     keys_df: DataFrame,
     budget_bytes: int,
@@ -275,26 +299,15 @@ def build_forest_budgeted(
         keys_df = dedup_keys(keys_df)
     sharded = keys_df.withColumn("shard", shard_column("key", shard_bits, route))
     if widths is None:
-        # approx_count_distinct is HLL++ over xxhash64 — the SAME hash family
-        # the shard routing uses, so within a shard every key shares the
-        # hash's top bits and the HLL register index collapses (measured: 68
-        # estimated vs 7547 actual). Rehashing with a different seed
-        # decorrelates the two.
-        counts = {
-            int(r["shard"]): int(r["n"])
-            for r in sharded.groupBy("shard")
-            .agg(
-                F.approx_count_distinct(
-                    F.xxhash64(F.col("key"), F.lit(0x5EED)), 0.02
-                ).alias("n")
+        widths = _plan_widths(sharded, budget_bytes, arity)
+    else:
+        bad = {w for w in widths.values() if w not in (8, 16, 32)}
+        if bad:
+            raise ValueError(
+                f"explicit width plan contains invalid widths {sorted(bad)} "
+                "(must be 8, 16 or 32) — failing at the driver instead of "
+                "deep inside the build kernel"
             )
-            .collect()
-        }
-        # plan on INFLATED estimates (2.5x the 2% rsd) so an HLL
-        # under-estimate cannot make the real payload cross the budget —
-        # the planner is the conservative side of the approximate count
-        counts = {s: int(n * 1.05) + 1 for s, n in counts.items()}
-        widths = plan_budgeted_widths(counts, budget_bytes, arity)
     spark = keys_df.sparkSession
     widths_df = spark.createDataFrame(
         [(s, w) for s, w in sorted(widths.items())], "shard long, width int"
@@ -420,52 +433,48 @@ def build_forest_budgeted_resumable(
         )
     os.makedirs(path, exist_ok=True)
     plan_path = os.path.join(path, "_sparkfuse_widths.json")
-    if os.path.exists(plan_path):
-        with open(plan_path) as f:
-            saved = json.load(f)
-        if saved["shard_bits"] != shard_bits or saved["budget_bytes"] != budget_bytes:
-            raise ValueError(
-                f"sink {path!r} was planned with shard_bits="
-                f"{saved['shard_bits']}, budget={saved['budget_bytes']}; "
-                f"got shard_bits={shard_bits}, budget={budget_bytes} — "
-                "resuming under a different layout/budget would mix plans. "
-                "Use the original parameters or a fresh sink."
-            )
-        widths = {int(s): int(w) for s, w in saved["widths"].items()}
-    else:
-        key_name = build_kwargs.get("key_name", "key")
-        route = build_kwargs.get("route", "xxh64")
-        arity = build_kwargs.get("arity", 3)
-        sharded = keys_df.select(F.col(key_name).alias("key")).withColumn(
-            "shard", shard_column("key", shard_bits, route)
-        )
-        counts = {
-            int(r["shard"]): int(r["n"])
-            for r in sharded.groupBy("shard")
-            .agg(
-                F.approx_count_distinct(
-                    F.xxhash64(F.col("key"), F.lit(0x5EED)), 0.02
-                ).alias("n")
-            )
-            .collect()
-        }
-        counts = {s: int(n * 1.05) + 1 for s, n in counts.items()}
-        widths = plan_budgeted_widths(counts, budget_bytes, arity)
-        with open(plan_path, "w") as f:
-            json.dump(
-                {
-                    "shard_bits": shard_bits,
-                    "budget_bytes": budget_bytes,
-                    "widths": {str(s): w for s, w in widths.items()},
-                },
-                f,
-            )
+    key_name = build_kwargs.get("key_name", "key")
+    route = build_kwargs.get("route", "xxh64")
+    arity = build_kwargs.get("arity", 3)
     # the sink dir always exists here (it holds the plan file), so "fresh"
     # is detected by the absence of data files, not by a read failure —
     # any read error over actual data files must propagate
     has_data = any(
         not f.startswith(("_", ".")) for f in os.listdir(path)
     )
+    params = {"shard_bits": shard_bits, "budget_bytes": budget_bytes,
+              "route": route, "arity": arity}
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            saved = json.load(f)
+        mismatched = {
+            k: (saved.get(k), v) for k, v in params.items() if saved.get(k) != v
+        }
+        if mismatched:
+            raise ValueError(
+                f"sink {path!r} was planned with different parameters: "
+                f"{mismatched} (saved, requested). Resuming under a "
+                "different layout/budget/route/arity would mix incompatible "
+                "shards. Use the original parameters or a fresh sink."
+            )
+        widths = {int(s): int(w) for s, w in saved["widths"].items()}
+    elif has_data:
+        raise ValueError(
+            f"sink {path!r} holds forest data but no _sparkfuse_widths.json: "
+            "re-planning from approximate counts could pick different widths "
+            "for the missing shards and silently mix plans. Restore the plan "
+            "file, or rebuild via build_forest_budgeted(widths=...) with the "
+            "plan persisted in your job state."
+        )
+    else:
+        sharded = keys_df.select(F.col(key_name).alias("key")).withColumn(
+            "shard", shard_column("key", shard_bits, route)
+        )
+        widths = _plan_widths(sharded, budget_bytes, arity)
+        with open(plan_path, "w") as f:
+            json.dump(
+                params | {"widths": {str(s): w for s, w in widths.items()}}, f
+            )
     done = (
         spark.read.parquet(path).select("shard").dropDuplicates()
         if has_data

@@ -426,11 +426,24 @@ def test_budgeted_resumable_resume_equals_fresh(spark, tmp_path):
         ).collect()
     }
     assert resumed == fresh  # byte-identical despite the kill
-    # mismatched budget against the persisted plan fails loudly
+    # mismatched budget OR route against the persisted plan fails loudly
     with pytest.raises(ValueError, match="planned with"):
         build_forest_budgeted_resumable(
             keys, path, spark, budget_bytes=budget + 1, shard_bits=2
         )
+    with pytest.raises(ValueError, match="planned with"):
+        build_forest_budgeted_resumable(
+            keys, path, spark, budget_bytes=budget, shard_bits=2, route="raw"
+        )
+    # a sink with data but NO plan file refuses to guess a new plan
+    (partial_dir / "_sparkfuse_widths.json").unlink()
+    with pytest.raises(ValueError, match="no _sparkfuse_widths"):
+        build_forest_budgeted_resumable(
+            keys, str(partial_dir), spark, budget_bytes=budget, shard_bits=2
+        )
+    # explicit invalid widths fail at the driver
+    with pytest.raises(ValueError, match="invalid widths"):
+        build_forest_budgeted(keys, budget, shard_bits=2, widths={0: 64})
 
 
 def test_exact_member_forest_all_regimes(spark, tmp_path):
