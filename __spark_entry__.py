@@ -483,15 +483,17 @@ def q_stream_compact_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming epoch forest, compacted, then probed: orders keys arrive as
     two micro-batch files, stream_forest appends per-epoch shard filters,
     compact_forest rebuilds one forest over the deduped keys, and membership
-    prescreens through BOTH the streamed EpochForest and the compacted
-    forest (each zero-FN, so the conjunction is zero-FN) before the exact
-    confirm — the streamed sink is load-bearing in the result path, so a
-    broken stream surfaces as an oracle mismatch. Deterministic builds make
-    the whole chain oracle-checkable with the same IN-subquery SQL."""
+    prescreens through BOTH the streamed epoch sink (probed WORKER-side via
+    approx_contains_epoch_sink — no driver collect of epoch rows) and the
+    compacted forest (each zero-FN, so the conjunction is zero-FN) before
+    the exact confirm — the streamed sink is load-bearing in the result
+    path, so a broken stream surfaces as an oracle mismatch. Deterministic
+    builds make the whole chain oracle-checkable with the same IN-subquery
+    SQL."""
     import tempfile
 
-    from sparkfuse.probe import approx_contains_udf
-    from sparkfuse.streaming import EpochForest, compact_forest, stream_forest
+    from sparkfuse.probe import approx_contains_epoch_sink, approx_contains_udf
+    from sparkfuse.streaming import compact_forest, stream_forest
 
     base = tempfile.mkdtemp(prefix="sparkfuse_stream_q_")
     src = f"{base}/src"
@@ -520,14 +522,16 @@ def q_stream_compact_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted = compact_forest(
         spark, keys, f"{base}/forest", f"{base}/compacted", shard_bits=2
     )
-    epoch_forest = EpochForest.load(spark, f"{base}/forest", shard_bits=2)
     forest = Forest.from_df(compacted)
     # probe keys hash the same way the stream hashed build keys (xxhash64)
     probe_key = F.xxhash64("c_custkey")
-    pre = customer.filter(
-        approx_contains_udf(epoch_forest, spark)(probe_key)  # streamed epochs
-    ).filter(
-        approx_contains_udf(forest, spark)(probe_key)  # compacted rebuild
+    pre = (
+        approx_contains_epoch_sink(  # streamed epochs, loaded worker-side
+            customer, probe_key, f"{base}/forest", shard_bits=2, out="_ef"
+        )
+        .filter(F.col("_ef"))
+        .drop("_ef")
+        .filter(approx_contains_udf(forest, spark)(probe_key))  # compacted
     )
     build_keys = orders.select(F.col("o_custkey").alias("c_custkey")).dropDuplicates()
     return pre.join(build_keys, "c_custkey", "left_semi").select("c_custkey")

@@ -39,23 +39,39 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
 
 
-def _timed(fn, repeats: int = 1):
-    """min-of-N wall time (this VM ramps CPU frequency: single shots vary
-    2-4x; the min is the stable statistic — see BENCH/BASELINE.md)."""
-    best, out = None, None
+def _timed(fn, repeats: int = 1, warmup: int = 0):
+    """(min, median) wall time of ``repeats`` runs after ``warmup`` untimed
+    executions. This VM ramps CPU frequency AND the first execution of a plan
+    shape pays one-off costs (python-worker fork, sink loads, range sampling),
+    so r3's repeats=2-no-warmup protocol recorded cold starts as steady state
+    (probe_routed_10m 6.06 s recorded vs 1.8-1.9 s steady — VERDICT r3 #1).
+    The min is the cross-round statistic; the median makes drift visible."""
+    import statistics
+
+    for _ in range(warmup):
+        fn()
+    times, out = [], None
     for _ in range(repeats):
         t0 = time.perf_counter()
         out = fn()
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    return best, out
+        times.append(time.perf_counter() - t0)
+    return min(times), statistics.median(times), out
 
 
 def main_bench():
     spark = get_spark("sparkfuse-bench", cores=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     queries: dict[str, float] = {}
+    medians: dict[str, float] = {}
     extra: dict[str, float] = {}
+
+    def bench_row(name: str, fn, repeats: int = 2, warmup: int = 1):
+        """One public-record row: warm the exact plan shape once untimed,
+        then record min (queries) and median (queries_median)."""
+        t, med, out = _timed(fn, repeats=repeats, warmup=warmup)
+        queries[name] = t
+        medians[name] = med
+        return t, out
 
     # warm-up: fork python workers + JIT the plan shapes once, so the first
     # timed query measures the operator, not session cold-start
@@ -77,28 +93,27 @@ def main_bench():
     keys = extract_keys(lineitem, "l_orderkey", "l_linenumber").cache()
     n_keys = keys.count()
 
-    t, forest = _timed(
+    t, forest = bench_row(
+        "forest_build_fuse8",
         lambda: Forest.from_df(
             build_forest(keys, kind="fuse", width=8, min_shards=CPUS)
         ),
-        repeats=2,
     )
-    queries["forest_build_fuse8"] = t
     extra["build_keys_per_sec_fuse8"] = n_keys / t
     extra["bits_per_entry_fuse8"] = forest.bits_per_entry()
 
-    t, xforest = _timed(
+    t, xforest = bench_row(
+        "forest_build_xor8",
         lambda: Forest.from_df(build_forest(keys, kind="xor", width=8, min_shards=CPUS)),
-        repeats=2,
     )
-    queries["forest_build_xor8"] = t
     extra["build_keys_per_sec_xor8"] = n_keys / t
 
     n_probes = 10_000_000
     probes = spark.range(n_probes).select(F.xxhash64("id").alias("key"))
     probe_udf = approx_contains_udf(forest, spark)
-    t, n_hits = _timed(lambda: probes.filter(probe_udf(F.col("key"))).count(), repeats=2)
-    queries["probe_10m_fuse8"] = t
+    t, n_hits = bench_row(
+        "probe_10m_fuse8", lambda: probes.filter(probe_udf(F.col("key"))).count()
+    )
     extra["probe_keys_per_sec"] = n_probes / t
     # the probe keys are disjoint from the lineitem-derived build keys, so
     # the hit rate IS the measured false-positive rate (zero-FN is separately
@@ -106,13 +121,12 @@ def main_bench():
     extra["fpp_fuse8_pct"] = 100.0 * n_hits / n_probes
 
     # Arrow-native probe (mapInArrow, no pandas wrap) — the keys-only fast path
-    t, _ = _timed(
+    t, _ = bench_row(
+        "probe_10m_arrow",
         lambda: approx_contains_arrow(probes, "key", forest, spark, out="m")
         .filter(F.col("m"))
         .count(),
-        repeats=2,
     )
-    queries["probe_10m_arrow"] = t
     extra["probe_arrow_keys_per_sec"] = n_probes / t
 
     customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
@@ -120,20 +134,21 @@ def main_bench():
     cforest = Forest.from_df(
         build_forest(orders.select(F.col("o_custkey").alias("key")), shard_bits=2)
     )
-    t, _ = _timed(
+    t, _ = bench_row(
+        "exact_semi_join",
         lambda: exact_member_semi_join(
             customer, "c_custkey", orders, "o_custkey", cforest, spark
         ).count(),
-        repeats=2,
     )
-    queries["exact_semi_join"] = t
 
-    t, bloom = _timed(lambda: build_bloom(keys, n_estimate=n_keys, fpp=0.004), repeats=2)
-    queries["bloom_build"] = t
+    t, bloom = bench_row(
+        "bloom_build", lambda: build_bloom(keys, n_estimate=n_keys, fpp=0.004)
+    )
     extra["build_keys_per_sec_bloom"] = n_keys / t
     extra["bits_per_entry_bloom"] = bloom.bits_per_entry(n_keys)
 
-    t, _ = _timed(
+    t, _ = bench_row(
+        "transcripts_dedup_build",
         lambda: Forest.from_df(
             build_forest(
                 extract_keys(synth_transcripts(spark, 200_000), "text"),
@@ -141,9 +156,7 @@ def main_bench():
                 pre_dedup=True,
             )
         ),
-        repeats=2,
     )
-    queries["transcripts_dedup_build"] = t
 
     # routed probe: forest deliberately sized PAST the 10 MB default
     # autoBroadcastJoinThreshold (12M keys -> ~13.6 MB fuse8 payload), probed
@@ -156,13 +169,15 @@ def main_bench():
     assert nbytes > 10 * 1024 * 1024, nbytes
     n_routed = 10_000_000
     routed_probes = spark.range(n_routed).select(F.xxhash64("id").alias("key"))
-    t, _ = _timed(
+    # repeats=4 + warm-up: the r3 record's repeats=2-no-warmup on this row
+    # captured cold-start (6.06 s recorded vs 1.8-1.9 s steady — VERDICT r3)
+    t, _ = bench_row(
+        "probe_routed_10m",
         lambda: approx_contains_routed(routed_probes, "key", big_forest)
         .filter(F.col("maybe_member"))
         .count(),
-        repeats=2,
+        repeats=4,
     )
-    queries["probe_routed_10m"] = t
     extra["probe_routed_keys_per_sec"] = n_routed / t
     extra["routed_forest_mb"] = nbytes / 1024 / 1024
 
@@ -178,15 +193,14 @@ def main_bench():
     with tempfile.TemporaryDirectory() as td:
         sink = os.path.join(td, "big_forest")
         write_forest(big_forest, sink, mode="overwrite", cluster_by_shard=True)
-        # min-of-3: the first run pays the per-worker sink load (and the
-        # VM's frequency ramp) — steady state is what the row measures
-        t, _ = _timed(
+        # warm-up pays the per-worker sink load once; timed runs are steady
+        t, _ = bench_row(
+            "probe_hybrid_10m",
             lambda: approx_contains_sink(routed_probes, "key", sink)
             .filter(F.col("maybe_member"))
             .count(),
             repeats=3,
         )
-        queries["probe_hybrid_10m"] = t
         extra["probe_hybrid_keys_per_sec"] = n_routed / t
 
         # routed-SINK probe on the same forest: keys shuffle by shard but
@@ -194,15 +208,51 @@ def main_bench():
         # cogroup sorts (the plan for forests past the replication budget)
         from sparkfuse.probe import approx_contains_routed_sink
 
-        t, _ = _timed(
+        t, _ = bench_row(
+            "probe_routedsink_10m",
             lambda: approx_contains_routed_sink(routed_probes, "key", sink, spark)
             .filter(F.col("maybe_member"))
             .count(),
-            repeats=4,  # first runs pay per-task sink reads + range sampling
+            repeats=4,  # warm-up pays per-task sink reads + range sampling
         )
-        queries["probe_routedsink_10m"] = t
         extra["probe_routedsink_keys_per_sec"] = n_routed / t
     big_forest.unpersist()
+
+    # space-BUDGETED mixed-width forest: plan per-shard widths under a byte
+    # budget (1.6x the analytic all-8 floor -> genuinely mixed 8/16), build,
+    # then probe through the routed path (mixed widths probe per width group)
+    from sparkfuse.forest import build_forest_budgeted
+    from sparkfuse.params import fuse_parameters
+    from sparkfuse.serialize import _FUSE_HEADER
+
+    b_bits = 5
+    per_shard = 12_000_000 // (1 << b_bits)
+    floor = (1 << b_bits) * (
+        _FUSE_HEADER.size + fuse_parameters(per_shard).array_length
+    )
+    budgeted = None
+
+    def build_budgeted():
+        nonlocal budgeted
+        if budgeted is not None:
+            budgeted.unpersist()
+        budgeted = build_forest_budgeted(
+            big_keys, budget_bytes=int(floor * 1.6), shard_bits=b_bits
+        ).cache()
+        assert forest_payload_bytes(budgeted) > 0  # materialize
+        return budgeted
+
+    t, _ = bench_row("budgeted_build_12m", build_budgeted)
+    extra["budgeted_build_keys_per_sec"] = 12_000_000 / t
+    t, _ = bench_row(
+        "probe_budgeted_10m",
+        lambda: approx_contains_routed(routed_probes, "key", budgeted)
+        .filter(F.col("maybe_member"))
+        .count(),
+        repeats=4,
+    )
+    extra["probe_budgeted_keys_per_sec"] = n_routed / t
+    budgeted.unpersist()
 
     # decontamination: fuse-prescreened 13-gram overlap vs a 100-doc
     # benchmark — the prescreen filters the exploded grams BEFORE the first
@@ -211,21 +261,23 @@ def main_bench():
 
     docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     bench_docs = docs_df.filter(F.col("doc_id") < 100).select("text")
-    t, _ = _timed(
-        lambda: contamination_check(
+
+    def run_contamination():
+        res = contamination_check(
             docs_df, "doc_id", "text", bench_docs, "text", n=13, spark=spark
-        ).count(),
-        repeats=2,
-    )
-    queries["contamination_13gram"] = t
+        )
+        n = res.count()
+        res._sparkfuse_bench_grams.unpersist()  # caller-owned cache
+        return n
+
+    t, _ = bench_row("contamination_13gram", run_contamination, repeats=4)
 
     # SimHash near-dup pairs (pure JVM: 64 bit-vote aggs + pigeonhole band
     # join + bit_count verify — no Python anywhere in the plan)
-    t, n_sh = _timed(
+    t, n_sh = bench_row(
+        "simhash_pairs",
         lambda: simhash_near_dups(docs_df, "doc_id", "text", max_hamming=6).count(),
-        repeats=2,
     )
-    queries["simhash_pairs"] = t
     extra["simhash_pairs_found"] = float(n_sh)
 
     # near-dup scale preset on a boilerplate-skewed corpus (PLANS.md par.5a):
@@ -248,11 +300,10 @@ def main_bench():
         ")) AS r"
     ).select("r.doc_id", "r.text")
     corpus = uniques.unionByName(planted)
-    t, n_pairs = _timed(
+    t, n_pairs = bench_row(
+        "ngram_neardup_scale",
         lambda: ngram_jaccard_pairs(corpus, "doc_id", "text", scale=True).count(),
-        repeats=2,
     )
-    queries["ngram_neardup_scale"] = t
     extra["ngram_scale_pairs"] = float(n_pairs)
 
     keys.unpersist()
@@ -264,6 +315,7 @@ def main_bench():
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {k: round(v, 3) for k, v in queries.items()},
+                "queries_median": {k: round(v, 3) for k, v in medians.items()},
                 "sf": SF,
                 "extra": {k: round(v, 2) for k, v in extra.items()},
             }
@@ -303,7 +355,7 @@ def main_scaling():
         for _ in range(repeats):
             def run():
                 return [r.asDict() for r in build_forest(keys, shard_bits=6).collect()]
-            tb, rows = _timed(run)
+            tb, _, rows = _timed(run)
             # keep the lineage of the FASTEST repeat so the per-shard
             # contention evidence and build_sec describe the same run
             if not t_build or tb < min(t_build):
@@ -312,7 +364,7 @@ def main_scaling():
             t_build.append(tb)
         probe_udf = approx_contains_udf(forest, spark)
         for _ in range(repeats):
-            tp, _ = _timed(
+            tp, _, _ = _timed(
                 lambda: probes.filter(probe_udf(F.col("key"))).count()
             )
             t_probe.append(tp)

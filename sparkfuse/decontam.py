@@ -38,6 +38,14 @@ def contamination_check(
 
     n = 13 is the common eval-decontamination window (matches the published
     practice of 13-gram overlap checks); lower it for short documents.
+
+    Cache ownership: the deduped benchmark n-gram frame is ``.cache()``-ed
+    because it feeds BOTH the forest build and the confirm join. The cache is
+    CALLER-OWNED — it is exposed on the returned DataFrame as
+    ``result._sparkfuse_bench_grams``; long-lived sessions issuing many
+    contamination checks should ``result._sparkfuse_bench_grams.unpersist()``
+    after materializing the aggregate (bench.py does). Left cached it is
+    reclaimed only when the DataFrame is garbage-collected.
     """
     # cached: the benchmark explode+dedup shuffle feeds BOTH the forest
     # build and the confirm join — without the cache it would run twice
@@ -60,9 +68,11 @@ def contamination_check(
     # sort-merge fallback would re-shuffle the prescreen survivors — the
     # exact plan shape PLANS.md §14 documents as load-bearing
     confirmed = pre.join(F.broadcast(bench_grams), "gram", "left_semi")
-    return confirmed.groupBy(corpus_id).agg(
+    out = confirmed.groupBy(corpus_id).agg(
         F.countDistinct("gram").alias("n_contaminated_grams")
     )
+    out._sparkfuse_bench_grams = bench_grams  # caller-owned cache handle
+    return out
 
 
 def contamination_oracle_sql(

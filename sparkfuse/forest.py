@@ -219,6 +219,14 @@ def plan_budgeted_widths(
     (The shape follows the Bloom-collection space-budget problem, VLDB'24
     "Optimizing Collections of Bloom Filters within a Space Budget" —
     adapted to the fuse family where the only size knob is width.)
+
+    The budget is BEST-EFFORT, not a hard ceiling: the plan estimates each
+    payload from ``fuse_parameters(n)``, but a shard whose build falls back
+    to the segment-length-halving retry (or whose HLL count under-estimated
+    past the 1.05 planning inflation) can come out larger than estimated.
+    Zero-FN is unaffected either way. Callers that must enforce the ceiling
+    should recheck ``forest_payload_bytes`` post-build (see
+    ``test_budgeted_*`` for the pattern).
     """
     from sparkfuse.params import fuse_parameters
     from sparkfuse.serialize import _FUSE_HEADER

@@ -220,6 +220,74 @@ def approx_contains_sink(
     return df.withColumn(out, probe_sink.asNondeterministic()(col))
 
 
+def _load_epoch_forest_from_sink(path: str, plan_token: str, shard_bits: int):
+    """Load (or fetch cached) an EpochForest from an epoch-appended streaming
+    sink, inside the Python worker process — the same two-layer cache scheme
+    as ``_load_forest_from_sink``. ``shard_bits`` joins the cache key because
+    it changes the (epoch, shard) decomposition of the tagged shard ids."""
+    import pyarrow.dataset as pads
+
+    from sparkfuse.streaming import EpochForest
+
+    memo_key = (path, plan_token, "epoch", shard_bits)
+    cached = _SINK_FOREST_CACHE.get(memo_key)
+    if cached is not None:
+        return cached
+    filesystem, data_files, base_key = _sink_fingerprint(path)
+    content_key = (base_key, "epoch", shard_bits)
+    ef = _SINK_FOREST_CACHE.get(content_key)
+    if ef is None:
+        tbl = pads.dataset(
+            data_files, filesystem=filesystem, format="parquet"
+        ).to_table()
+        ef = EpochForest(tbl.to_pylist(), shard_bits)
+    while len(_SINK_FOREST_CACHE) >= _SINK_CACHE_MAX:
+        _SINK_FOREST_CACHE.pop(next(iter(_SINK_FOREST_CACHE)))
+    _SINK_FOREST_CACHE[content_key] = ef
+    _SINK_FOREST_CACHE[memo_key] = ef
+    return ef
+
+
+def approx_contains_epoch_sink(
+    df: DataFrame,
+    key: str | Column,
+    sink_path: str,
+    shard_bits: int,
+    out: str = "maybe_member",
+) -> DataFrame:
+    """Driver-free probe over an epoch-appended STREAMING forest sink: each
+    Python worker loads the epoch rows from ``sink_path`` itself (process-
+    cached on the sink's file listing, so a newly appended epoch invalidates)
+    and ORs the per-epoch verdicts for the key's shard — contains = "seen in
+    ANY epoch", the EpochForest merge rule.
+
+    This is the scale-safe replacement for ``EpochForest.load`` (which
+    collects every epoch's filter rows TO THE DRIVER and ships them by
+    closure — bounded for compacted sinks, but a long-running uncompacted
+    stream accumulates one row per (epoch, shard) and re-centralizes the
+    probe path on the driver). Here the driver never touches a payload and
+    probe keys never shuffle, exactly like ``approx_contains_sink``; the
+    epoch sink version is pinned once per query per worker (plan token).
+
+    ``shard_bits`` must be the value the stream was built with
+    (``stream_forest(..., shard_bits=)``) — the epoch tag lives in the
+    shard column's high bits, so a wrong value mis-decomposes the layout.
+    """
+    import os as _os
+
+    col = F.col(key) if isinstance(key, str) else key
+    plan_token = _os.urandom(8).hex()  # fixed at plan time, ships in closure
+
+    @F.pandas_udf(BooleanType())
+    def probe_epochs(keys: pd.Series) -> pd.Series:
+        ef = _load_epoch_forest_from_sink(sink_path, plan_token, shard_bits)
+        return pd.Series(ef.contains_np(keys.to_numpy()))
+
+    # asNondeterministic: same Catalyst predicate-pinning rationale as
+    # approx_contains_udf (PLANS.md §2).
+    return df.withColumn(out, probe_epochs.asNondeterministic()(col))
+
+
 def exact_member_semi_join(
     probe_df: DataFrame,
     probe_key: str,
@@ -479,7 +547,13 @@ def approx_contains_routed_sink(
             )
 
     tagged = probe_df.withColumn("_sf_shard", shard_column(key, shard_bits, route))
-    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # shuffle.partitions may be non-numeric on platforms that auto-tune it
+    # (e.g. "auto" under Databricks AQE auto-optimized shuffle) — fall back
+    # to the cluster's default parallelism rather than raising
+    try:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        parts = spark.sparkContext.defaultParallelism
     # RANGE partitioning on the shard id, not hash: hashing S shard values
     # into S partitions leaves ~1/e of them empty and the worst task holding
     # 3 shards (measured 937k vs the balanced 312k keys) — range boundaries

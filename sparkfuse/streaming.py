@@ -114,6 +114,12 @@ class EpochForest:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, shard_bits: int) -> "EpochForest":
+        """DRIVER-side load: collects one row per (epoch, shard) to the
+        driver and probes via closure broadcast. Fine for compacted sinks
+        (bounded epoch count); for long-running uncompacted streams the
+        row count grows without bound and the driver becomes the ceiling —
+        probe those through ``probe.approx_contains_epoch_sink``, which
+        loads the sink worker-side (no driver bytes, no key shuffle)."""
         return cls(spark.read.parquet(path).collect(), shard_bits)
 
     def contains_np(self, keys_i64):
@@ -335,8 +341,10 @@ def windowed_distinct_counts(
 
     Uses the built-in ``approx_count_distinct`` (HLL++ partial aggregation —
     the same mergeable-state plan shape as sparkfuse.sketches, executed
-    wholly inside Tungsten). No hash-correlation hazard here (CLAUDE.md):
-    the grouping key is the time window, not a slice of the key's own hash.
+    wholly inside Tungsten). No hash-correlation hazard here (unlike
+    grouping by a shard id sliced from the key's own xxhash64, which
+    collapses the HLL estimate — see forest._plan_widths): the grouping key
+    is the time window, not a slice of the key's own hash.
     """
     keys = [F.col(k) for k in extra_keys]
     return (

@@ -297,6 +297,44 @@ def test_first_seen_repeat_batches_write_no_state(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 5000
 
 
+def test_epoch_sink_probe_driver_free(spark, tmp_path):
+    """approx_contains_epoch_sink probes an UNCOMPACTED multi-epoch sink
+    with zero driver-side collects: verdicts are identical (incl. false
+    positives) to the EpochForest closure-broadcast path, and appending a
+    new epoch invalidates the worker cache on the next query."""
+    from sparkfuse.probe import approx_contains, approx_contains_epoch_sink
+    from sparkfuse.streaming import EpochForest, forest_append_batch
+
+    path = str(tmp_path / "ef_sink")
+    a = spark.range(0, 3000).select(F.col("id").alias("k"))
+    b = spark.range(3000, 6000).select(F.col("id").alias("k"))
+    forest_append_batch(a, 0, path, ["k"], shard_bits=2)
+    forest_append_batch(b, 1, path, ["k"], shard_bits=2)
+
+    probes = (
+        spark.range(9000)
+        .select(F.xxhash64("id").alias("key"), (F.col("id") < 6000).alias("member"))
+    )
+    got = approx_contains_epoch_sink(probes, "key", path, shard_bits=2)
+    rows = {r["key"]: r for r in got.collect()}
+    # zero FN over both epochs
+    assert all(r["maybe_member"] for r in rows.values() if r["member"])
+    # verdict-identical to the driver-broadcast EpochForest path (incl. FPs)
+    ref = EpochForest.load(spark, path, shard_bits=2)
+    ref_rows = {
+        r["key"]: r["maybe_member"]
+        for r in approx_contains(probes, "key", ref, spark).collect()
+    }
+    assert {k: r["maybe_member"] for k, r in rows.items()} == ref_rows
+
+    # append epoch 2 -> the file-listing fingerprint invalidates worker
+    # caches, so a fresh query sees the new keys as members
+    c = spark.range(6000, 9000).select(F.col("id").alias("k"))
+    forest_append_batch(c, 2, path, ["k"], shard_bits=2)
+    got2 = approx_contains_epoch_sink(probes, "key", path, shard_bits=2)
+    assert got2.filter(~F.col("maybe_member")).count() == 0  # all 9000 member
+
+
 def test_epoch_forest_probe_udf(spark, tmp_path):
     """EpochForest duck-types contains_np, so the column-level probe UDF
     (and therefore exact joins) work over a streamed forest too."""
