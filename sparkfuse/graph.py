@@ -35,10 +35,27 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 25,
+    method: str = "hashmin",
 ) -> DataFrame:
     """(id, comp) for every id appearing in ``pairs``; comp = min id in the
     node's connected component. Deterministic (pure min fixpoint).
+
+    method:
+      * ``"hashmin"`` (default) — plain label propagation, one join + one
+        min-aggregate per round, O(diameter) rounds. The right default for
+        near-dup graphs (stars and shallow chains).
+      * ``"jump"`` — hash-min plus POINTER JUMPING each round: after
+        propagating, every label is replaced by its label's label
+        (comp := label(comp), a self-join on the label table), doubling the
+        reach per round — O(log diameter) rounds. Use for graphs with long
+        chains that would exhaust an O(d) round budget (a 100-node path
+        converges in ~7 jumping rounds vs ~99 propagation rounds). Costs one
+        extra join + checkpoint per round, so hash-min stays the default
+        where diameters are small. Both methods reach the identical fixpoint
+        (min reachable id — property-tested against union-find).
     """
+    if method not in ("hashmin", "jump"):
+        raise ValueError(f"method must be 'hashmin' or 'jump', got {method!r}")
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     )
@@ -60,8 +77,20 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
+        if method == "jump":
+            # comp := label(comp). Every comp value is itself a node id (the
+            # min id reached so far), so its row exists; the left join +
+            # coalesce only guards the invariant, and least() is monotone —
+            # labels never increase, preserving the min fixpoint.
+            jump_to = new_labels.select(
+                F.col("id").alias("comp"), F.col("comp").alias("_jump")
+            )
+            new_labels = new_labels.join(jump_to, "comp", "left").select(
+                "id",
+                F.coalesce(F.least("comp", "_jump"), F.col("comp")).alias("comp"),
+            )
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("comp", "_old"), "id"

@@ -2,15 +2,22 @@
 
 Media travel as opaque ``binary`` payloads plus a typed metadata struct —
 the Spark-side schema, partition sizing, Arrow batch shape, and UDF
-signatures here are real and tested; the actual codec work is stubbed
-because no image/audio libraries ship in this container:
+signatures are real and tested. Codec coverage is split by what this
+container can genuinely parse:
 
-  * ``decode_image`` raises NotImplementedError (clearly marked stub) unless
-    a codec callback is injected;
-  * ``fake_feature_extract`` is the deterministic stand-in used by tests and
-    benchmarks — it derives a feature vector from the payload bytes alone,
-    so the full pipeline (scan → mapInPandas batches → feature column →
-    similarity search) runs end-to-end without codecs.
+  * REAL decoders (stdlib-only, no new dependencies): ``decode_wav_pcm16``
+    parses RIFF/WAVE via Python's ``wave`` module; ``decode_ppm`` is a
+    handwritten binary-P6 Netpbm parser. ``media_decode_stats`` drives them
+    distributed (Arrow-batched mapInPandas; payloads never leave the
+    executor) and is oracle-checked end-to-end (entry ``media_decode``).
+  * STUBBED formats: ``decode_image`` on JPEG/PNG/etc raises
+    NotImplementedError (no codec library ships here) — inject a real
+    decoder via ``extract_features(decoder=...)`` in a production image.
+    PPM payloads decode for real through the same entry point.
+  * ``fake_feature_extract`` is the deterministic stand-in featurizer used
+    by tests and benchmarks — it derives a feature vector from the payload
+    bytes alone, so the full pipeline (scan → mapInPandas batches → feature
+    column → similarity search) runs end-to-end on any payload.
 
 Batch sizing note: media rows are big (MBs), so the Arrow batch row-count
 (spark.sql.execution.arrow.maxRecordsPerBatch) is NOT the right lever —
@@ -98,13 +105,97 @@ def synth_media(spark: SparkSession, n: int, payload_bytes: int = 4096, seed: in
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """STUB: image decoding requires a codec library not present in this
-    container. Inject a real decoder via ``extract_features(decoder=...)``
-    in a production image."""
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono 16-bit PCM WAV bytes via the stdlib ``wave`` writer — a real
+    RIFF/WAVE container, byte-compatible with any external WAV reader."""
+    import io
+    import wave
+
+    s = np.ascontiguousarray(np.asarray(samples, dtype=np.int16))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(int(sample_rate))
+        w.writeframes(s.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """(samples int16, sample_rate) parsed from RIFF/WAVE bytes with the
+    stdlib ``wave`` module — a REAL container parse (chunk walk, fmt
+    validation), not a stub. Mono 16-bit PCM only; other layouts raise with
+    a clear message instead of mis-decoding."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError(
+                f"decode_wav_pcm16 supports mono 16-bit PCM; got "
+                f"{w.getnchannels()} channel(s) x {8 * w.getsampwidth()}-bit"
+            )
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    return np.frombuffer(frames, dtype=np.int16), int(rate)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary Netpbm P6 bytes from an (H, W, 3) uint8 array."""
+    a = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) uint8 pixels, got shape {a.shape}")
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 pixels from binary Netpbm P6 bytes — a handwritten
+    parser of the real format: magic, whitespace- and comment-tolerant
+    header (``#`` to end-of-line), maxval check, exactly one whitespace byte
+    before the raster."""
+    buf = bytes(payload)
+    if buf[:2] != b"P6":
+        raise ValueError("not a binary P6 PPM (bad magic)")
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if i < len(buf) and buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(int(buf[i:j]))
+        i = j
+    w, h, maxval = toks
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    i += 1  # the single whitespace byte after maxval
+    raster = buf[i : i + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError(
+            f"PPM raster truncated: expected {w * h * 3} bytes, got {len(raster)}"
+        )
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_image(payload: bytes):
+    """Image decode entry point: binary-P6 PPM decodes FOR REAL
+    (``decode_ppm``); compressed formats (JPEG/PNG/...) raise
+    NotImplementedError because no codec library ships in this container —
+    inject one via ``extract_features(decoder=...)`` in a production
+    image."""
+    if bytes(payload[:2]) == b"P6":
+        return decode_ppm(payload)
     raise NotImplementedError(
-        "image decode stub: no codec library in this environment; "
-        "pass decoder= to extract_features"
+        "no codec library in this environment for compressed image formats; "
+        "pass decoder= to extract_features (PPM decodes natively)"
     )
 
 
@@ -155,6 +246,120 @@ def media_repartition_by_bytes(
     total = stats["total"] or 0
     n_parts = max(1, int(total / (target_mb * 1024 * 1024)))
     return media_df.repartition(n_parts, "media_id")
+
+
+def synth_codec_media(ids_df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL-format media table over an id column: even ids
+    become mono 16-bit PCM WAV payloads (stdlib ``wave`` writer), odd ids
+    binary-P6 PPM payloads. The sample/pixel patterns are simple integer
+    arithmetic so an external oracle can recompute the decoded content
+    exactly — the contract ``media_decode_stats``'s entry query is checked
+    against:
+
+      WAV  (id even): rate 8000 Hz, n = 80 + id % 50 frames,
+                      sample[k] = (id + 7k) % 512 - 256
+      PPM  (id odd):  w = 4 + id % 9, h = 3 + id % 5,
+                      pixel[y][x][c] = (id + x + 2y + 3c) % 256
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                mid = int(i)
+                if mid % 2 == 0:
+                    n = 80 + mid % 50
+                    samples = ((mid + 7 * np.arange(n)) % 512 - 256).astype(np.int16)
+                    payload = encode_wav_pcm16(samples, 8000)
+                    kind, mime = "audio", "audio/wav"
+                    wh = (None, None)
+                    duration_ms = int(round(n * 1000 / 8000))
+                else:
+                    w, h = 4 + mid % 9, 3 + mid % 5
+                    x = np.arange(w)[None, :, None]
+                    y = np.arange(h)[:, None, None]
+                    c = np.arange(3)[None, None, :]
+                    px = ((mid + x + 2 * y + 3 * c) % 256).astype(np.uint8)
+                    payload = encode_ppm(px)
+                    kind, mime = "image", "image/x-portable-pixmap"
+                    wh = (w, h)
+                    duration_ms = None
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": kind,
+                        "mime": mime,
+                        "payload": payload,
+                        "meta": {
+                            "width": wh[0],
+                            "height": wh[1],
+                            "duration_ms": duration_ms,
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids_df.select(F.col(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+_DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_samples", LongType(), False),    # audio frames; 0 for images
+        StructField("sample_rate", LongType(), False),  # audio only; 0 for images
+        StructField("width", LongType(), False),        # image only; 0 for audio
+        StructField("height", LongType(), False),       # image only; 0 for audio
+        StructField("checksum", LongType(), False),     # sum of decoded values
+        StructField("peak", LongType(), False),         # max decoded value
+    ]
+)
+
+
+def media_decode_stats(media_df: DataFrame) -> DataFrame:
+    """Decode every payload with the REAL stdlib codecs and emit exact
+    integer stats over the DECODED content (not the container bytes):
+    audio → (n_samples, sample_rate, sum, max of int16 samples); image →
+    (width, height, sum, max of uint8 raster). Inapplicable dimensions are
+    0, not NULL, so downstream value-compares stay total-orderable.
+    Arrow-batched mapInPandas;
+    payloads never leave the executor. Dispatch is by mime; formats without
+    an in-container codec raise (same contract as ``decode_image``)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                p = bytes(payload)
+                if mime == "audio/wav":
+                    samples, rate = decode_wav_pcm16(p)
+                    s64 = samples.astype(np.int64)
+                    peak = int(s64.max()) if len(s64) else 0
+                    rows.append(
+                        (int(mid), "audio", len(samples), rate, 0, 0,
+                         int(s64.sum()), peak)
+                    )
+                elif mime == "image/x-portable-pixmap":
+                    px = decode_ppm(p).astype(np.int64)
+                    h, w, _ = px.shape
+                    rows.append(
+                        (int(mid), "image", 0, 0, w, h,
+                         int(px.sum()), int(px.max()))
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"no in-container codec for mime {mime!r}"
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _DECODE_STATS_SCHEMA.fields]
+            )
+
+    return media_df.select("media_id", "mime", "payload").mapInPandas(
+        kernel, _DECODE_STATS_SCHEMA
+    )
 
 
 def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -762,3 +762,40 @@ def test_retry_lineage_recorded(spark):
     row = build_forest(df, shard_bits=0).first()
     assert row["iterations"] == 2  # retry visible in the forest lineage
     assert row["nkeys"] == 91
+
+
+def test_exact_semi_join_sort_merge_fallback_plan(spark):
+    """PLANS.md §2 claims exact_member_semi_join falls back to sort-merge
+    when the build-key set exceeds the broadcast threshold, with the Arrow
+    prescreen staying on the PROBE side only. Pin both: (a) results are
+    identical to a plain semi join under threshold=-1, (b) the plan shows a
+    SortMergeJoin and exactly ONE ArrowEvalPython node (the
+    asNondeterministic pin prevents Catalyst copying the predicate through
+    the equi-join onto the build side)."""
+    probe = spark.range(20_000).select(F.col("id").alias("k"))
+    build = spark.range(0, 20_000, 2).select(F.col("id").alias("bk"))
+    forest = Forest.from_df(
+        build_forest(build.select(F.col("bk").alias("key")), shard_bits=1)
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        res = exact_member_semi_join(probe, "k", build, "bk", forest, spark)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert plan.count("ArrowEvalPython") == 1, plan
+        got = sorted(r["k"] for r in res.collect())
+        want = sorted(
+            r["k"]
+            for r in probe.join(
+                build.select(F.col("bk").alias("k")), "k", "left_semi"
+            ).collect()
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # and in the default broadcast regime the prescreen is still unique
+    res2 = exact_member_semi_join(probe, "k", build, "bk", forest, spark)
+    plan2 = res2._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("ArrowEvalPython") == 1, plan2

@@ -51,6 +51,27 @@ def test_long_path_needs_diameter_rounds(spark):
     assert set(labels.values()) == {0}
 
 
+def test_jump_converges_in_log_rounds(spark):
+    # a 50-node path (diameter 49) is unlabelable for hash-min under a
+    # 7-round budget, but pointer jumping doubles reach per round:
+    # ceil(log2(49)) + 1 = 7 changing rounds suffice
+    path = [(i, i + 1) for i in range(49)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs(spark, path), max_rounds=7)
+    labels = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            _pairs(spark, path), max_rounds=7, method="jump"
+        ).collect()
+    }
+    assert labels == {i: 0 for i in range(50)}
+
+
+def test_jump_rejects_unknown_method(spark):
+    with pytest.raises(ValueError, match="method"):
+        connected_components(_pairs(spark, [(1, 2)]), method="nope")
+
+
 def test_matches_recursive_cte_oracle(spark, tmp_path):
     import duckdb
 
@@ -99,11 +120,15 @@ def test_random_graphs_match_union_find(spark, seed, n_nodes, n_edges):
         a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
         if a != b:
             edges.append((min(a, b), max(a, b)))
-    got = {
-        r["id"]: r["comp"]
-        for r in connected_components(_pairs(spark, edges)).collect()
-    }
-    assert got == _union_find_labels(edges)
+    want = _union_find_labels(edges)
+    for method in ("hashmin", "jump"):
+        got = {
+            r["id"]: r["comp"]
+            for r in connected_components(
+                _pairs(spark, edges), method=method
+            ).collect()
+        }
+        assert got == want, method
 
 
 def test_curate_components_collapses_chain(spark):
