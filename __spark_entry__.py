@@ -537,6 +537,80 @@ def q_stream_compact_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.join(build_keys, "c_custkey", "left_semi").select("c_custkey")
 
 
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation over a DETERMINISTIC
+    arrival fixture (one availableNow run per arrived file against a shared
+    checkpoint — the technique from test_windowed_counts_watermark_semantics
+    that guarantees cross-batch watermark behavior):
+
+      run 1: "main" events (event_id % 7 != 0) at hour (event_id % 12) + :30
+             on 2024-01-01 → watermark after the run = 09:30;
+      run 2: LATE copies (event_id % 7 == 0) at 01:30 — their window closed
+             at watermark 09:30, so every one is DROPPED — plus a sentinel
+             at 30:30 advancing the watermark to 28:30;
+      run 3: a second sentinel (31:30) triggers the final batch, emitting
+             the remaining main windows; neither sentinel's own window is
+             ever passed by the watermark, so neither emits.
+
+    Final append-mode output is therefore exactly the per-hour counts of the
+    main rows — the GROUP-BY-window SQL twin — and that equality holds ONLY
+    if late-drop, window-close, and open-window non-emission all behave:
+    any leak of the late rows or sentinels breaks the hash match. Window
+    identity is reported as hours-since-2024-01-01T00:00Z via
+    unix_timestamp, so the check is session-timezone-independent."""
+    import tempfile
+
+    from sparkfuse.streaming import windowed_event_counts
+
+    base = tempfile.mkdtemp(prefix="sparkfuse_window_q_")
+    src, ck, out = f"{base}/src", f"{base}/ck", f"{base}/out"
+    base_epoch = 1704067200  # 2024-01-01 00:00:00 UTC
+    events = _t(spark, sf_dir, "events")
+
+    def write_batch(name: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(f"{src}/{name}")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema("ts timestamp").parquet(f"{src}/batch_*")
+        q = (
+            windowed_event_counts(stream, "ts", "1 hour", "2 hours")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    main = events.filter(F.col("event_id") % 7 != 0).select(
+        F.timestamp_seconds(
+            F.lit(base_epoch + 1800) + (F.col("event_id") % 12) * 3600
+        ).alias("ts")
+    )
+    late = events.filter(F.col("event_id") % 7 == 0).select(
+        F.timestamp_seconds(F.lit(base_epoch + 3600 + 1800)).alias("ts")
+    )
+    sentinel_1 = spark.range(1).select(
+        F.timestamp_seconds(F.lit(base_epoch + 30 * 3600 + 1800)).alias("ts")
+    )
+    sentinel_2 = spark.range(1).select(
+        F.timestamp_seconds(F.lit(base_epoch + 31 * 3600 + 1800)).alias("ts")
+    )
+    write_batch("batch_a", main)
+    run_once()
+    write_batch("batch_b", late.unionByName(sentinel_1))
+    run_once()
+    write_batch("batch_c", sentinel_2)
+    run_once()
+    return spark.read.parquet(out).select(
+        ((F.unix_timestamp("window_start") - base_epoch) / 3600)
+        .cast("long")
+        .alias("window_hour"),
+        "n_events",
+    )
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation: exact dedup (128-bit fingerprints) -> quality gate
     -> transitive near-dup clustering (connected components; one canonical
@@ -858,6 +932,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_overlap_pairs": q_winnow_overlap_pairs,
     "bpe_tok_stats": q_bpe_tok_stats,
     "event_rollup": q_event_rollup,
+    "windowed_event_counts": q_windowed_event_counts,
     "curation_pipeline": q_curation_pipeline,
 }
 
@@ -1066,6 +1141,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, COUNT(*) AS n_rows, "
             "string_agg(props, '|' ORDER BY ts, event_id, props) AS content "
             "FROM events GROUP BY user_id"
+        ),
+        # the final append-mode output equals the plain GROUP BY over the
+        # on-time rows ONLY if watermark late-drop, window-close emission,
+        # and open-window non-emission all behave (see q_windowed_event_counts)
+        "windowed_event_counts": (
+            "SELECT CAST(event_id % 12 AS BIGINT) AS window_hour, "
+            "COUNT(*) AS n_events FROM events "
+            "WHERE event_id % 7 <> 0 GROUP BY event_id % 12"
         ),
         "curation_pipeline": _curation_oracle(),
     }

@@ -58,6 +58,7 @@ _SPARK_LAYER = {
     "approx_contains_routed": ("sparkfuse.probe", "approx_contains_routed"),
     "approx_contains_sink": ("sparkfuse.probe", "approx_contains_sink"),
     "approx_contains_routed_sink": ("sparkfuse.probe", "approx_contains_routed_sink"),
+    "approx_contains_epoch_sink": ("sparkfuse.probe", "approx_contains_epoch_sink"),
     "exact_member_semi_join": ("sparkfuse.probe", "exact_member_semi_join"),
     "exact_member_routed": ("sparkfuse.probe", "exact_member_routed"),
     "exact_member_forest": ("sparkfuse.probe", "exact_member_forest"),

@@ -494,6 +494,16 @@ def _load_shard_filter_from_sink(path: str, plan_token: str, shard: int):
     return filt
 
 
+def _shuffle_partition_count(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, tolerating platforms where
+    the conf is non-numeric (e.g. "auto" under auto-optimized shuffle) by
+    falling back to the cluster's default parallelism."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def approx_contains_routed_sink(
     probe_df: DataFrame,
     key: str,
@@ -547,13 +557,7 @@ def approx_contains_routed_sink(
             )
 
     tagged = probe_df.withColumn("_sf_shard", shard_column(key, shard_bits, route))
-    # shuffle.partitions may be non-numeric on platforms that auto-tune it
-    # (e.g. "auto" under Databricks AQE auto-optimized shuffle) — fall back
-    # to the cluster's default parallelism rather than raising
-    try:
-        parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    except ValueError:
-        parts = spark.sparkContext.defaultParallelism
+    parts = _shuffle_partition_count(spark)
     # RANGE partitioning on the shard id, not hash: hashing S shard values
     # into S partitions leaves ~1/e of them empty and the worst task holding
     # 3 shards (measured 937k vs the balanced 312k keys) — range boundaries

@@ -799,3 +799,28 @@ def test_exact_semi_join_sort_merge_fallback_plan(spark):
     res2 = exact_member_semi_join(probe, "k", build, "bk", forest, spark)
     plan2 = res2._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("ArrowEvalPython") == 1, plan2
+
+
+def test_shuffle_partition_count_auto_fallback():
+    """Platforms that auto-tune shuffle partitions report a non-numeric conf
+    value ("auto"); the routed-sink partition planner must fall back to the
+    cluster's default parallelism instead of raising."""
+    from sparkfuse.probe import _shuffle_partition_count
+
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, k, d=None):
+            return self._v
+
+    class _SC:
+        defaultParallelism = 12
+
+    class _Spark:
+        def __init__(self, v):
+            self.conf = _Conf(v)
+            self.sparkContext = _SC()
+
+    assert _shuffle_partition_count(_Spark("64")) == 64
+    assert _shuffle_partition_count(_Spark("auto")) == 12
