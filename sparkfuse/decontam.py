@@ -42,10 +42,12 @@ def contamination_check(
     Cache ownership: the deduped benchmark n-gram frame is ``.cache()``-ed
     because it feeds BOTH the forest build and the confirm join. The cache is
     CALLER-OWNED — it is exposed on the returned DataFrame as
-    ``result._sparkfuse_bench_grams``; long-lived sessions issuing many
-    contamination checks should ``result._sparkfuse_bench_grams.unpersist()``
-    after materializing the aggregate (bench.py does). Left cached it is
-    reclaimed only when the DataFrame is garbage-collected.
+    ``result._sparkfuse_bench_grams``; call
+    ``result._sparkfuse_bench_grams.unpersist()`` after materializing the
+    aggregate (bench.py does). Spark's CacheManager pins cached relations
+    until an explicit unpersist/clearCache — garbage collection does NOT
+    release them — so a long-lived session that skips the unpersist
+    accumulates one pinned gram relation per call.
     """
     # cached: the benchmark explode+dedup shuffle feeds BOTH the forest
     # build and the confirm join — without the cache it would run twice

@@ -125,11 +125,14 @@ def approx_contains_arrow(
     return df.mapInArrow(probe_batches, out_schema)
 
 
-# Per-Python-worker forest cache for the hybrid sink-load probe. Keyed by
-# (path, file listing incl. sizes) so an appended/replaced sink is reloaded;
-# bounded so a worker holds at most a few forests.
+# Per-Python-worker forest cache for the worker-side sink-load probes
+# (hybrid Forest AND EpochForest variants share it). Keyed by (path, file
+# listing incl. sizes) so an appended/replaced sink is reloaded; bounded so
+# a worker holds at most a few forests. Sized for 4 live sinks x (content
+# key + per-query memo key) — a workload alternating across more sinks than
+# that will re-read from storage each query.
 _SINK_FOREST_CACHE: dict = {}
-_SINK_CACHE_MAX = 4  # 2 forests x (content key + per-query memo key)
+_SINK_CACHE_MAX = 8
 
 
 def _sink_fingerprint(path: str):
@@ -159,35 +162,40 @@ def _sink_fingerprint(path: str):
     return filesystem, [p for p, _, _ in files], (path, tuple(files))
 
 
-def _load_forest_from_sink(path: str, plan_token: str) -> Forest:
-    """Load (or fetch cached) the Forest from its parquet sink, inside the
-    Python worker process.
-
-    Two cache layers: (path, plan_token) memoizes WITHIN one query plan so
-    the sink listing runs once per worker per query (not once per Arrow
-    batch — at object-store latency a per-batch LIST would dominate); the
-    content-level (path, file listing) cache persists ACROSS queries so an
-    unchanged sink is never re-read, and a changed one (append, or in-place
-    rewrite — mtime is in the key) reloads on the next query.
-    """
+def _load_cached_from_sink(path: str, plan_token: str, key_suffix: tuple, build):
+    """Shared two-layer worker cache for whole-sink loads: (path, plan_token,
+    *suffix) memoizes WITHIN one query plan so the sink listing runs once per
+    worker per query (not once per Arrow batch — at object-store latency a
+    per-batch LIST would dominate); the content-level (file listing, *suffix)
+    key persists ACROSS queries so an unchanged sink is never re-read, and a
+    changed one (append, or in-place rewrite — mtime is in the key) reloads
+    on the next query. ``build(rows)`` constructs the probe handle from the
+    sink's row dicts."""
     import pyarrow.dataset as pads
 
-    memo_key = (path, plan_token)
+    memo_key = (path, plan_token, *key_suffix)
     cached = _SINK_FOREST_CACHE.get(memo_key)
     if cached is not None:
         return cached
-    filesystem, data_files, content_key = _sink_fingerprint(path)
-    forest = _SINK_FOREST_CACHE.get(content_key)
-    if forest is None:
+    filesystem, data_files, base_key = _sink_fingerprint(path)
+    content_key = (base_key, *key_suffix)
+    handle = _SINK_FOREST_CACHE.get(content_key)
+    if handle is None:
         tbl = pads.dataset(
             data_files, filesystem=filesystem, format="parquet"
         ).to_table()
-        forest = Forest(tbl.to_pylist())
+        handle = build(tbl.to_pylist())
     while len(_SINK_FOREST_CACHE) >= _SINK_CACHE_MAX:
         _SINK_FOREST_CACHE.pop(next(iter(_SINK_FOREST_CACHE)))
-    _SINK_FOREST_CACHE[content_key] = forest
-    _SINK_FOREST_CACHE[memo_key] = forest
-    return forest
+    _SINK_FOREST_CACHE[content_key] = handle
+    _SINK_FOREST_CACHE[memo_key] = handle
+    return handle
+
+
+def _load_forest_from_sink(path: str, plan_token: str) -> Forest:
+    """Worker-side Forest load from a parquet sink (see
+    ``_load_cached_from_sink`` for the cache contract)."""
+    return _load_cached_from_sink(path, plan_token, (), Forest)
 
 
 def approx_contains_sink(
@@ -221,31 +229,18 @@ def approx_contains_sink(
 
 
 def _load_epoch_forest_from_sink(path: str, plan_token: str, shard_bits: int):
-    """Load (or fetch cached) an EpochForest from an epoch-appended streaming
-    sink, inside the Python worker process — the same two-layer cache scheme
-    as ``_load_forest_from_sink``. ``shard_bits`` joins the cache key because
-    it changes the (epoch, shard) decomposition of the tagged shard ids."""
-    import pyarrow.dataset as pads
-
+    """Worker-side EpochForest load from an epoch-appended streaming sink —
+    same cache scheme as ``_load_forest_from_sink``. ``shard_bits`` joins
+    the cache key because it changes the (epoch, shard) decomposition; a
+    value that differs from the sink rows' recorded build value fails
+    loudly inside ``EpochForest.__init__`` (silent mis-routing would
+    produce false negatives)."""
     from sparkfuse.streaming import EpochForest
 
-    memo_key = (path, plan_token, "epoch", shard_bits)
-    cached = _SINK_FOREST_CACHE.get(memo_key)
-    if cached is not None:
-        return cached
-    filesystem, data_files, base_key = _sink_fingerprint(path)
-    content_key = (base_key, "epoch", shard_bits)
-    ef = _SINK_FOREST_CACHE.get(content_key)
-    if ef is None:
-        tbl = pads.dataset(
-            data_files, filesystem=filesystem, format="parquet"
-        ).to_table()
-        ef = EpochForest(tbl.to_pylist(), shard_bits)
-    while len(_SINK_FOREST_CACHE) >= _SINK_CACHE_MAX:
-        _SINK_FOREST_CACHE.pop(next(iter(_SINK_FOREST_CACHE)))
-    _SINK_FOREST_CACHE[content_key] = ef
-    _SINK_FOREST_CACHE[memo_key] = ef
-    return ef
+    return _load_cached_from_sink(
+        path, plan_token, ("epoch", shard_bits),
+        lambda rows: EpochForest(rows, shard_bits),
+    )
 
 
 def approx_contains_epoch_sink(

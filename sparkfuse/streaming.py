@@ -105,6 +105,20 @@ class EpochForest:
         mod = 1 << shard_bits
         for r in rows:
             d = r.asDict() if hasattr(r, "asDict") else dict(r)
+            # every sink row records the shard_bits it was BUILT with — a
+            # mismatched value here would mis-decompose the epoch tag
+            # (shard' = epoch * 2^bits + shard) and silently route probes to
+            # the wrong filters: reproduced 50% FALSE NEGATIVES at a
+            # one-bit mismatch. Fail loudly instead (the zero-FN invariant
+            # is the library's core contract).
+            if d["shard_bits"] != shard_bits:
+                raise ValueError(
+                    f"epoch sink was built with shard_bits={d['shard_bits']} "
+                    f"but this probe was given shard_bits={shard_bits}: the "
+                    "epoch/shard decomposition would be wrong and probes "
+                    "would silently return false negatives. Pass the "
+                    "stream_forest build value."
+                )
             epoch = d["shard"] >> shard_bits
             d = dict(d)
             d["shard"] = d["shard"] % mod

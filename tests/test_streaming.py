@@ -335,6 +335,29 @@ def test_epoch_sink_probe_driver_free(spark, tmp_path):
     assert got2.filter(~F.col("maybe_member")).count() == 0  # all 9000 member
 
 
+def test_epoch_forest_rejects_mismatched_shard_bits(spark, tmp_path):
+    """A shard_bits value that differs from the sink rows' recorded build
+    value mis-decomposes the epoch tag and silently mis-routes probes
+    (measured ~50% false negatives at a one-bit mismatch) — both the driver
+    path and the worker-side sink probe must fail loudly instead."""
+    from sparkfuse.probe import approx_contains_epoch_sink
+    from sparkfuse.streaming import EpochForest, forest_append_batch
+
+    path = str(tmp_path / "ef_mismatch")
+    keys = spark.range(2000).select(F.col("id").alias("k"))
+    forest_append_batch(keys, 0, path, ["k"], shard_bits=2)
+    for wrong in (1, 3):
+        with pytest.raises(ValueError, match="shard_bits"):
+            EpochForest.load(spark, path, shard_bits=wrong)
+        probes = spark.range(100).select(F.xxhash64("id").alias("key"))
+        with pytest.raises(Exception, match="shard_bits"):
+            approx_contains_epoch_sink(
+                probes, "key", path, shard_bits=wrong
+            ).collect()
+    # the correct value still works
+    assert EpochForest.load(spark, path, shard_bits=2).n_epochs == 1
+
+
 def test_epoch_forest_probe_udf(spark, tmp_path):
     """EpochForest duck-types contains_np, so the column-level probe UDF
     (and therefore exact joins) work over a streamed forest too."""
