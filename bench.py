@@ -306,6 +306,24 @@ def main_bench():
     )
     extra["ngram_scale_pairs"] = float(n_pairs)
 
+    # REAL media decode throughput: ~70 MB of genuine WAV/PPM payloads
+    # (stdlib wave writer / Netpbm bytes), decoded through the stdlib RIFF
+    # parser + handwritten P6 parser in Arrow-batched mapInPandas
+    from sparkfuse.multimodal import media_decode_stats, synth_codec_media
+
+    media = synth_codec_media(
+        spark.range(4_000).select(F.col("id").alias("media_id")), scale=16
+    ).cache()
+    media_bytes = media.agg(F.sum(F.octet_length("payload")).alias("b")).first()["b"]
+    t, _ = bench_row(
+        "media_decode_70mb",
+        lambda: media_decode_stats(media).agg(
+            F.sum("checksum").alias("c")
+        ).count(),
+    )
+    extra["media_decode_mb_per_sec"] = media_bytes / 1024 / 1024 / t
+    media.unpersist()
+
     keys.unpersist()
     total = sum(queries.values())
     print(

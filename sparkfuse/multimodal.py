@@ -248,18 +248,23 @@ def media_repartition_by_bytes(
     return media_df.repartition(n_parts, "media_id")
 
 
-def synth_codec_media(ids_df: DataFrame, id_col: str = "media_id") -> DataFrame:
+def synth_codec_media(
+    ids_df: DataFrame, id_col: str = "media_id", scale: int = 1
+) -> DataFrame:
     """Deterministic REAL-format media table over an id column: even ids
     become mono 16-bit PCM WAV payloads (stdlib ``wave`` writer), odd ids
     binary-P6 PPM payloads. The sample/pixel patterns are simple integer
     arithmetic so an external oracle can recompute the decoded content
     exactly — the contract ``media_decode_stats``'s entry query is checked
-    against:
+    against (at the default ``scale=1``):
 
-      WAV  (id even): rate 8000 Hz, n = 80 + id % 50 frames,
+      WAV  (id even): rate 8000 Hz, n = (80 + id % 50) * scale frames,
                       sample[k] = (id + 7k) % 512 - 256
-      PPM  (id odd):  w = 4 + id % 9, h = 3 + id % 5,
+      PPM  (id odd):  w = (4 + id % 9) * scale, h = (3 + id % 5) * scale,
                       pixel[y][x][c] = (id + x + 2y + 3c) % 256
+
+    ``scale`` multiplies payload sizes (bench-realistic media without
+    changing the per-element formulas).
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -268,14 +273,14 @@ def synth_codec_media(ids_df: DataFrame, id_col: str = "media_id") -> DataFrame:
             for i in pdf[id_col].to_numpy():
                 mid = int(i)
                 if mid % 2 == 0:
-                    n = 80 + mid % 50
+                    n = (80 + mid % 50) * scale
                     samples = ((mid + 7 * np.arange(n)) % 512 - 256).astype(np.int16)
                     payload = encode_wav_pcm16(samples, 8000)
                     kind, mime = "audio", "audio/wav"
                     wh = (None, None)
                     duration_ms = int(round(n * 1000 / 8000))
                 else:
-                    w, h = 4 + mid % 9, 3 + mid % 5
+                    w, h = (4 + mid % 9) * scale, (3 + mid % 5) * scale
                     x = np.arange(w)[None, :, None]
                     y = np.arange(h)[:, None, None]
                     c = np.arange(3)[None, None, :]

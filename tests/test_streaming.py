@@ -335,6 +335,41 @@ def test_epoch_sink_probe_driver_free(spark, tmp_path):
     assert got2.filter(~F.col("maybe_member")).count() == 0  # all 9000 member
 
 
+def test_epoch_fpp_grows_with_epochs_and_compaction_restores(spark, tmp_path):
+    """PLANS.md §15 cost model: k uncompacted epochs OR k filters, so fpp
+    grows ~k·2^-width — and compaction restores the single-filter rate.
+    Measured with 200k absent probes against 4 disjoint epochs."""
+    import pandas as pd
+
+    from sparkfuse.streaming import EpochForest, forest_append_batch
+
+    path = str(tmp_path / "fpp_sink")
+    n_per = 20_000
+    for e in range(4):
+        keys = spark.range(e * n_per, (e + 1) * n_per).select(F.col("id").alias("k"))
+        forest_append_batch(keys, e, path, ["k"], shard_bits=1)
+    ef = EpochForest.load(spark, path, shard_bits=1)
+    assert ef.n_epochs == 4
+    absent = np.array(
+        [r[0] for r in spark.range(10**9, 10**9 + 200_000)
+         .select(F.xxhash64("id")).collect()],
+        dtype=np.int64,
+    )
+    fpp_epochs = ef.contains_np(absent).mean()
+    # compacted twin over the SAME key set
+    all_keys = spark.range(4 * n_per).select(F.xxhash64("id").alias("key"))
+    compacted = compact_forest(
+        spark, all_keys, path, str(tmp_path / "fpp_compact"), shard_bits=1
+    )
+    fpp_single = Forest.from_df(compacted).contains_np(absent).mean()
+    # fuse8 single-filter fpp ≈ 0.4%; 4 epochs ≈ 4x (union bound, minus
+    # negligible overlap). Statistical bounds are loose but decisive:
+    assert 0.001 < fpp_single < 0.008, fpp_single
+    assert 2.5 * fpp_single < fpp_epochs < 6.0 * fpp_single, (
+        fpp_epochs, fpp_single,
+    )
+
+
 def test_epoch_forest_rejects_mismatched_shard_bits(spark, tmp_path):
     """A shard_bits value that differs from the sink rows' recorded build
     value mis-decomposes the epoch tag and silently mis-routes probes
