@@ -249,6 +249,7 @@ def approx_contains_epoch_sink(
     sink_path: str,
     shard_bits: int,
     out: str = "maybe_member",
+    replication_budget: int | None = None,
 ) -> DataFrame:
     """Driver-free probe over an epoch-appended STREAMING forest sink: each
     Python worker loads the epoch rows from ``sink_path`` itself (process-
@@ -267,10 +268,41 @@ def approx_contains_epoch_sink(
     ``shard_bits`` must be the value the stream was built with
     (``stream_forest(..., shard_bits=)``) — the epoch tag lives in the
     shard column's high bits, so a wrong value mis-decomposes the layout.
+
+    Scale guard: this path REPLICATES the whole epoch sink into every
+    Python worker (the hybrid-regime memory model), and an uncompacted
+    stream grows its sink without bound — so the sink's on-disk size is
+    checked at plan time against the replication budget
+    (``sparkfuse.probe.replicationBudget`` session conf, default 512m;
+    override per-call with ``replication_budget``, -1 disables). Exceeding
+    it raises with the remediation (``compact_forest``) instead of letting
+    every executor OOM mid-query.
     """
     import os as _os
 
     col = F.col(key) if isinstance(key, str) else key
+    budget = replication_budget
+    if budget is None:
+        raw = DEFAULT_REPLICATION_BUDGET
+        try:
+            raw = df.sparkSession.conf.get(
+                "sparkfuse.probe.replicationBudget", DEFAULT_REPLICATION_BUDGET
+            )
+        except Exception:  # pragma: no cover - sessionless frames
+            pass
+        budget = _parse_byte_string(raw)
+    if budget >= 0:
+        _, _, (_, files) = _sink_fingerprint(sink_path)
+        sink_bytes = sum(size for _, size, _ in files)
+        if sink_bytes > budget:
+            raise ValueError(
+                f"epoch sink {sink_path!r} is {sink_bytes} bytes, past the "
+                f"replication budget {budget}: every worker would load the "
+                "full epoch set. Compact the stream (compact_forest) — which "
+                "also restores the single-filter fpp — or raise "
+                "sparkfuse.probe.replicationBudget / pass replication_budget "
+                "(-1 disables)."
+            )
     plan_token = _os.urandom(8).hex()  # fixed at plan time, ships in closure
 
     @F.pandas_udf(BooleanType())

@@ -74,3 +74,33 @@ def test_fuse_duplicates_irrelevant(keys, extra):
     b, _ = build_fuse(list(set(dup)), width=8)
     assert a.seed == b.seed
     assert np.array_equal(a.fingerprints, b.fingerprints)
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-(2**15), max_value=2**15 - 1), min_size=0,
+        max_size=2000,
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@S
+def test_wav_roundtrip_total(samples, rate):
+    from sparkfuse.multimodal import decode_wav_pcm16, encode_wav_pcm16
+
+    s = np.array(samples, dtype=np.int16)
+    out, got_rate = decode_wav_pcm16(encode_wav_pcm16(s, rate))
+    assert got_rate == rate
+    assert (out == s).all()
+
+
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@S
+def test_ppm_roundtrip_total(h, w, seed):
+    from sparkfuse.multimodal import decode_ppm, encode_ppm
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(px)) == px).all()

@@ -393,6 +393,34 @@ def test_epoch_forest_rejects_mismatched_shard_bits(spark, tmp_path):
     assert EpochForest.load(spark, path, shard_bits=2).n_epochs == 1
 
 
+def test_epoch_sink_probe_enforces_replication_budget(spark, tmp_path):
+    """The epoch-sink probe replicates the whole sink per worker, and an
+    uncompacted stream grows without bound — an over-budget sink must fail
+    at plan time with the compaction remediation, not OOM executors."""
+    from sparkfuse.probe import approx_contains_epoch_sink
+    from sparkfuse.streaming import forest_append_batch
+
+    path = str(tmp_path / "budget_sink")
+    keys = spark.range(50_000).select(F.col("id").alias("k"))
+    forest_append_batch(keys, 0, path, ["k"], shard_bits=1)
+    probes = spark.range(100).select(F.xxhash64("id").alias("key"))
+    with pytest.raises(ValueError, match="compact"):
+        approx_contains_epoch_sink(
+            probes, "key", path, shard_bits=1, replication_budget=1024
+        )
+    # -1 disables; the default (512m) accommodates the tiny sink
+    assert (
+        approx_contains_epoch_sink(
+            probes, "key", path, shard_bits=1, replication_budget=-1
+        ).count()
+        == 100
+    )
+    assert (
+        approx_contains_epoch_sink(probes, "key", path, shard_bits=1).count()
+        == 100
+    )
+
+
 def test_epoch_forest_probe_udf(spark, tmp_path):
     """EpochForest duck-types contains_np, so the column-level probe UDF
     (and therefore exact joins) work over a streamed forest too."""
