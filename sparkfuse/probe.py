@@ -531,6 +531,37 @@ def _shuffle_partition_count(spark) -> int:
         return spark.sparkContext.defaultParallelism
 
 
+# parts -> tags, memoized per driver process (one tiny job per distinct parts)
+_PARTITION_TAG_CACHE: dict[int, list[int]] = {}
+
+
+def _partition_tags(spark: SparkSession, parts: int) -> list[int]:
+    """For each target partition id p in [0, parts): the smallest long t with
+    ``pmod(hash(t), parts) == p`` — so ``repartition(parts, lit(t))`` places a
+    row EXACTLY in partition p. SQL ``hash()`` is the same Murmur3(seed 42)
+    that HashPartitioning's partitionIdExpression uses, which is what makes
+    the inversion valid. One tiny bounded job, memoized per process; with
+    candidates ~40x parts the probability of an uncovered partition is
+    negligible (each candidate is ~uniform over parts), and a miss raises."""
+    cached = _PARTITION_TAG_CACHE.get(parts)
+    if cached is not None:
+        return cached
+    rows = (
+        spark.range(parts * 40)
+        .select(F.col("id"), F.pmod(F.hash("id"), F.lit(parts)).alias("p"))
+        .groupBy("p")
+        .agg(F.min("id").alias("t"))
+        .collect()
+    )
+    by_p = {int(r["p"]): int(r["t"]) for r in rows}
+    missing = [p for p in range(parts) if p not in by_p]
+    if missing:  # pragma: no cover - ~(1-1/parts)^(40*parts) ≈ e^-40
+        raise RuntimeError(f"no routing tag found for partitions {missing[:5]}")
+    tags = [by_p[p] for p in range(parts)]
+    _PARTITION_TAG_CACHE[parts] = tags
+    return tags
+
+
 def approx_contains_routed_sink(
     probe_df: DataFrame,
     key: str,
@@ -557,8 +588,11 @@ def approx_contains_routed_sink(
     cols = list(probe_df.columns)
     if out in cols:
         raise ValueError(f"output column {out!r} already exists")
-    if "_sf_shard" in cols:
-        raise ValueError("probe_df already has a '_sf_shard' column (reserved)")
+    for reserved in ("_sf_shard", "_sf_tag"):
+        if reserved in cols:
+            raise ValueError(
+                f"probe_df already has a {reserved!r} column (reserved)"
+            )
     plan_token = __import__("os").urandom(8).hex()
     out_schema = StructType(
         list(probe_df.schema.fields) + [StructField(out, BooleanType(), False)]
@@ -584,17 +618,27 @@ def approx_contains_routed_sink(
             )
 
     tagged = probe_df.withColumn("_sf_shard", shard_column(key, shard_bits, route))
-    parts = _shuffle_partition_count(spark)
-    # RANGE partitioning on the shard id, not hash: hashing S shard values
-    # into S partitions leaves ~1/e of them empty and the worst task holding
-    # 3 shards (measured 937k vs the balanced 312k keys) — range boundaries
-    # give ~one contiguous shard (range) per task, which also makes each
-    # task's sink reads contiguous row-group ranges under cluster_by_shard
-    rep = tagged.repartitionByRange(
-        min(parts, 1 << max(shard_bits, 0)), "_sf_shard"
-    )
-    # the generator consumes the trailing _sf_shard column and emits
-    # probe columns + verdict, so the declared schema has no shard column
+    n_shards = 1 << max(shard_bits, 0)
+    parts = min(_shuffle_partition_count(spark), n_shards)
+    # EXACT partition placement without sampling: naive hash-repartition on
+    # the shard id leaves ~1/e of partitions empty with the worst task
+    # holding 3 shards (measured 937k vs the balanced 312k keys), and
+    # repartitionByRange fixes that only by paying a SAMPLING pass over all
+    # probe keys per query (measured 0.71 s vs 0.53 s for the 10M-key
+    # shuffle alone, PLANS.md §13) — wasted, because the shard distribution
+    # is KNOWN (uniform top bits). Instead each shard maps analytically to
+    # target partition p = shard*parts div n_shards (contiguous ranges, so
+    # cluster_by_shard sink reads stay contiguous row-group ranges), and a
+    # precomputed routing tag with pmod(hash(tag), parts) == p makes the
+    # plain hash shuffle land it EXACTLY there (PLANS.md §17).
+    tags = _partition_tags(spark, parts)
+    tag_arr = F.array(*[F.lit(t).cast("long") for t in tags])
+    target = F.expr(f"_sf_shard * {parts} div {n_shards}")
+    rep = tagged.withColumn(
+        "_sf_tag", F.element_at(tag_arr, (target + 1).cast("int"))
+    ).repartition(parts, "_sf_tag")
+    # the generator consumes the trailing _sf_shard/_sf_tag columns and
+    # emits probe columns + verdict, so the declared schema has neither
     return rep.mapInArrow(probe_batches, out_schema)
 
 

@@ -824,3 +824,37 @@ def test_shuffle_partition_count_auto_fallback():
 
     assert _shuffle_partition_count(_Spark("64")) == 64
     assert _shuffle_partition_count(_Spark("auto")) == 12
+
+
+def test_routed_sink_tag_routing_exact_placement(spark):
+    """The routed-sink shuffle places each shard EXACTLY in its analytic
+    target partition (p = shard*parts div n_shards) via precomputed
+    inverse-hash routing tags — no sampling pass, no empty partitions, no
+    multi-shard-range tasks (PLANS.md §17)."""
+    from sparkfuse.keys import shard_column
+    from sparkfuse.probe import _partition_tags
+
+    parts, bits = 8, 3
+    tags = _partition_tags(spark, parts)
+    assert len(tags) == parts and len(set(tags)) == parts
+    tagged = (
+        spark.range(50_000)
+        .select(F.xxhash64("id").alias("key"))
+        .withColumn("_sf_shard", shard_column("key", bits, "xxh64"))
+    )
+    tag_arr = F.array(*[F.lit(t).cast("long") for t in tags])
+    target = F.expr(f"_sf_shard * {parts} div {1 << bits}")
+    rep = tagged.withColumn(
+        "_sf_tag", F.element_at(tag_arr, (target + 1).cast("int"))
+    ).repartition(parts, "_sf_tag")
+    dist = (
+        rep.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("_sf_shard").alias("lo"), F.max("_sf_shard").alias("hi"))
+        .collect()
+    )
+    assert len(dist) == parts  # no empty partitions
+    for r in dist:
+        # parts == n_shards here: exactly ONE shard per partition, and it is
+        # the analytically predicted one
+        assert r["lo"] == r["hi"] == r["pid"], dict(r.asDict())
