@@ -315,13 +315,14 @@ def main_bench():
         spark.range(4_000).select(F.col("id").alias("media_id")), scale=16
     ).cache()
     media_bytes = media.agg(F.sum(F.octet_length("payload")).alias("b")).first()["b"]
-    t, _ = bench_row(
+    t, checksum = bench_row(
         "media_decode_70mb",
-        lambda: media_decode_stats(media).agg(
-            F.sum("checksum").alias("c")
-        ).count(),
+        lambda: media_decode_stats(media)
+        .agg(F.sum("checksum").alias("c"))
+        .first()["c"],
     )
     extra["media_decode_mb_per_sec"] = media_bytes / 1024 / 1024 / t
+    extra["media_decode_checksum"] = float(checksum)  # cross-round content check
     media.unpersist()
 
     keys.unpersist()

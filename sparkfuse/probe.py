@@ -30,8 +30,10 @@ Three probe modes over a built Forest:
   are cold-cache-only while the shuffle repeats per query, so the hybrid
   wins everywhere the forest fits executor memory.
 * ``approx_contains_routed_sink`` — the routed path when the forest has a
-  readable sink: probes range-partition by shard and each task loads only
-  ITS shard filters from the sink (no forest shuffle, no cogroup sorts).
+  readable sink: probes shuffle once to analytically chosen partitions
+  (inverse-hash routing tags — contiguous shard ranges per task, no
+  sampling pass) and each task loads only ITS shard filters from the sink
+  (no forest shuffle, no cogroup sorts).
 * ``probe_forest`` — the planner: three regimes by forest payload bytes —
   ≤ broadcast threshold → driver broadcast; ≤ replication budget (default
   512m, conf ``sparkfuse.probe.replicationBudget``) AND sink given →
@@ -283,14 +285,10 @@ def approx_contains_epoch_sink(
     col = F.col(key) if isinstance(key, str) else key
     budget = replication_budget
     if budget is None:
-        raw = DEFAULT_REPLICATION_BUDGET
-        try:
-            raw = df.sparkSession.conf.get(
-                "sparkfuse.probe.replicationBudget", DEFAULT_REPLICATION_BUDGET
-            )
-        except Exception:  # pragma: no cover - sessionless frames
-            pass
-        budget = _parse_byte_string(raw)
+        # NOTE: compared against ON-DISK sink bytes here (cheap to list at
+        # plan time); the probe_forest planner compares the same knob to
+        # in-memory payload bytes — both proxies for worker residency
+        budget = _replication_budget(df.sparkSession)
     if budget >= 0:
         _, _, (_, files) = _sink_fingerprint(sink_path)
         sink_bytes = sum(size for _, size, _ in files)
@@ -618,28 +616,34 @@ def approx_contains_routed_sink(
             )
 
     tagged = probe_df.withColumn("_sf_shard", shard_column(key, shard_bits, route))
-    n_shards = 1 << max(shard_bits, 0)
-    parts = min(_shuffle_partition_count(spark), n_shards)
-    # EXACT partition placement without sampling: naive hash-repartition on
-    # the shard id leaves ~1/e of partitions empty with the worst task
-    # holding 3 shards (measured 937k vs the balanced 312k keys), and
-    # repartitionByRange fixes that only by paying a SAMPLING pass over all
-    # probe keys per query (measured 0.71 s vs 0.53 s for the 10M-key
-    # shuffle alone, PLANS.md §13) — wasted, because the shard distribution
-    # is KNOWN (uniform top bits). Instead each shard maps analytically to
-    # target partition p = shard*parts div n_shards (contiguous ranges, so
-    # cluster_by_shard sink reads stay contiguous row-group ranges), and a
-    # precomputed routing tag with pmod(hash(tag), parts) == p makes the
-    # plain hash shuffle land it EXACTLY there (PLANS.md §17).
-    tags = _partition_tags(spark, parts)
-    tag_arr = F.array(*[F.lit(t).cast("long") for t in tags])
-    target = F.expr(f"_sf_shard * {parts} div {n_shards}")
-    rep = tagged.withColumn(
-        "_sf_tag", F.element_at(tag_arr, (target + 1).cast("int"))
-    ).repartition(parts, "_sf_tag")
+    rep = _tag_route(tagged, spark, shard_bits)
     # the generator consumes the trailing _sf_shard/_sf_tag columns and
     # emits probe columns + verdict, so the declared schema has neither
     return rep.mapInArrow(probe_batches, out_schema)
+
+
+def _tag_route(tagged: DataFrame, spark: SparkSession, shard_bits: int) -> DataFrame:
+    """Shuffle a ``_sf_shard``-tagged frame so each shard lands EXACTLY in
+    its analytic target partition, without sampling: naive hash-repartition
+    on the shard id leaves ~1/e of partitions empty with the worst task
+    holding 3 shards (measured 937k vs the balanced 312k keys), and
+    repartitionByRange fixes that only by paying a SAMPLING pass over all
+    probe keys per query (measured 0.71 s vs 0.53 s for the 10M-key shuffle
+    alone, PLANS.md §13) — wasted, because the shard distribution is KNOWN
+    (uniform top bits). Each shard maps analytically to target partition
+    p = shard*parts div n_shards (contiguous ranges, so cluster_by_shard
+    sink reads stay contiguous row-group ranges), and a precomputed routing
+    tag with pmod(hash(tag), parts) == p makes the plain hash shuffle land
+    it EXACTLY there (PLANS.md §17; placement pinned by
+    test_routed_sink_tag_routing_exact_placement against THIS function)."""
+    n_shards = 1 << max(shard_bits, 0)
+    parts = min(_shuffle_partition_count(spark), n_shards)
+    tags = _partition_tags(spark, parts)
+    tag_arr = F.array(*[F.lit(t).cast("long") for t in tags])
+    target = F.expr(f"_sf_shard * {parts} div {n_shards}")
+    return tagged.withColumn(
+        "_sf_tag", F.element_at(tag_arr, (target + 1).cast("int"))
+    ).repartition(parts, "_sf_tag")
 
 
 def _exact_member_keyed(
@@ -690,6 +694,19 @@ def forest_payload_bytes(forest_df: DataFrame) -> int:
 DEFAULT_REPLICATION_BUDGET = "512m"
 
 
+def _replication_budget(spark) -> int:
+    """The ``sparkfuse.probe.replicationBudget`` session conf in bytes
+    (default 512m) — the single source of truth for both consumers: the
+    probe_forest planner (compares in-memory payload bytes) and the
+    epoch-sink guard (compares on-disk sink bytes)."""
+    raw = DEFAULT_REPLICATION_BUDGET
+    if spark is not None:
+        raw = spark.conf.get(
+            "sparkfuse.probe.replicationBudget", DEFAULT_REPLICATION_BUDGET
+        )
+    return _parse_byte_string(raw)
+
+
 def probe_forest(
     probe_df: DataFrame,
     key: str,
@@ -718,7 +735,7 @@ def probe_forest(
        (To trade driver memory for probe speed anyway, raise
        broadcast_threshold explicitly.)
     3. else: routed. With a ``sink_path``, the routed-SINK path (probes
-       range-partition by shard, each task reads only its shard filters —
+       tag-route by shard to exact partitions, each task reads only its shard filters —
        no forest shuffle, no cogroup sorts); without one, the shard-routed
        cogroup against the forest TABLE. Both pay the same 8-byte-per-key
        probe shuffle. To force the cogroup path despite having a sink
@@ -763,12 +780,7 @@ def _plan_probe_regime(
             raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
             broadcast_threshold = _parse_byte_string(raw)
     if replication_budget is None:
-        raw = DEFAULT_REPLICATION_BUDGET
-        if spark is not None:
-            raw = spark.conf.get(
-                "sparkfuse.probe.replicationBudget", DEFAULT_REPLICATION_BUDGET
-            )
-        replication_budget = _parse_byte_string(raw)
+        replication_budget = _replication_budget(spark)
     nbytes = forest_payload_bytes(forest_df)
     if broadcast_threshold >= 0 and nbytes <= broadcast_threshold:
         return "broadcast"

@@ -832,9 +832,9 @@ def test_routed_sink_tag_routing_exact_placement(spark):
     inverse-hash routing tags — no sampling pass, no empty partitions, no
     multi-shard-range tasks (PLANS.md §17)."""
     from sparkfuse.keys import shard_column
-    from sparkfuse.probe import _partition_tags
+    from sparkfuse.probe import _partition_tags, _tag_route
 
-    parts, bits = 8, 3
+    parts, bits = 8, 3  # test session runs shuffle.partitions=8 >= 2^bits
     tags = _partition_tags(spark, parts)
     assert len(tags) == parts and len(set(tags)) == parts
     tagged = (
@@ -842,11 +842,8 @@ def test_routed_sink_tag_routing_exact_placement(spark):
         .select(F.xxhash64("id").alias("key"))
         .withColumn("_sf_shard", shard_column("key", bits, "xxh64"))
     )
-    tag_arr = F.array(*[F.lit(t).cast("long") for t in tags])
-    target = F.expr(f"_sf_shard * {parts} div {1 << bits}")
-    rep = tagged.withColumn(
-        "_sf_tag", F.element_at(tag_arr, (target + 1).cast("int"))
-    ).repartition(parts, "_sf_tag")
+    # the PRODUCTION routing function, not a re-implementation
+    rep = _tag_route(tagged, spark, bits)
     dist = (
         rep.withColumn("pid", F.spark_partition_id())
         .groupBy("pid")
