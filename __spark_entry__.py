@@ -611,6 +611,151 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_checkpoint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointable multi-sketch profile over events (north_rule: sketch
+    library resumable from checkpoint with per-partition lineage+metrics).
+
+    Builds all five sketch kinds (HLL, CMS, t-digest, KLL, Bloom) as
+    per-shard states in a parquet sink, simulates a mid-build kill by
+    persisting only half the shards, resumes, and emits one boolean row per
+    invariant: resume completes the sink IDENTICAL to a fresh full build
+    (t-digest/KLL included — the kernel's in-shard sort plus KLL's
+    fixed-seed splitmix coin make even the order-sensitive kinds
+    deterministic), each finished estimate lands within its published
+    bound, CMS totals and t-digest/KLL counts are exact, Bloom has zero
+    false negatives over every inserted key, and the lineage metrics add up
+    to the input's non-null/null row counts. Every TRUE is load-bearing:
+    any kernel, merge-order, resume, or metrics regression flips a row and
+    the oracle hash mismatches."""
+    import math
+    import tempfile
+
+    import numpy as np
+
+    from sparkfuse.bloom import BloomParams
+    from sparkfuse.sketchsink import (
+        SketchSpec,
+        build_sketch_states,
+        build_sketch_states_resumable,
+        finish_sketch_states,
+        merge_sketch_states,
+        sketch_sink_metrics,
+        write_sketch_states,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    n_rows = events.count()
+    shard_bits = 4
+    specs = [
+        SketchSpec("users_hll", "hll", "user_id"),
+        SketchSpec("users_cms", "cms", "user_id"),
+        SketchSpec("value_td", "tdigest", "value", quantiles=(0.5, 0.9)),
+        SketchSpec("value_kll", "kll", "value", quantiles=(0.5,)),
+        # row count upper-bounds distinct users, so for_capacity(n_rows)
+        # can only oversize the filter (fpp <= target) — never undersize
+        SketchSpec(
+            "users_bloom", "bloom", "user_id", BloomParams.for_capacity(n_rows, 0.01)
+        ),
+    ]
+    base = tempfile.mkdtemp(prefix="sparkfuse_sketchsink_q_")
+    fresh, resumed = f"{base}/fresh", f"{base}/resumed"
+    write_sketch_states(
+        build_sketch_states(events, specs, shard_bits, "user_id"), fresh
+    )
+    # kill simulation: only the even shards committed before the "crash"
+    a = spark.read.parquet(fresh)
+    write_sketch_states(a.filter(F.col("shard") % 2 == 0), resumed)
+    sink = build_sketch_states_resumable(
+        events, resumed, spark, specs, shard_bits, "user_id"
+    )
+    cmp_cols = ["shard", "sketch", "state", "n_rows", "n_nulls"]
+    mismatches = (
+        a.select(cmp_cols).join(sink.select(cmp_cols), cmp_cols, "left_anti").count()
+        + sink.select(cmp_cols).join(a.select(cmp_cols), cmp_cols, "left_anti").count()
+    )
+
+    fin = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(sink, specs).collect()
+    }
+    exact_users = (
+        events.filter(F.col("user_id").isNotNull()).select("user_id").distinct().count()
+    )
+    n_users_nonnull = events.filter(F.col("user_id").isNotNull()).count()
+    n_vals = events.filter(F.col("value").isNotNull()).count()
+
+    est = fin[("users_hll", "n_distinct_est")]
+    hll_ok = abs(est - exact_users) / exact_users <= 4 * 1.04 / math.sqrt(1 << 14)
+
+    def rank_ok(name: str, q: float) -> bool:
+        v = fin[(name, f"q_{str(q).replace('.', '_')}")]
+        rank = (
+            events.filter(F.col("value").isNotNull())
+            .filter(F.col("value") <= v)
+            .count()
+            / n_vals
+        )
+        return abs(rank - q) <= 0.05
+
+    merged = merge_sketch_states(sink, specs)  # bounded: 2^4 x 5 KB-states
+    exact_counts = {
+        r["user_id"]: r["n"]
+        for r in events.filter(F.col("user_id") < 10)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cms = merged["users_cms"]
+    # the sink feeds hashed kinds xxhash64(col); mirror it bit-exactly for
+    # point queries (sparkfuse.hashing.xxh64_u64 == Spark's xxhash64 on longs)
+    from sparkfuse.hashing import to_u64, xxh64_u64
+
+    cms_est = cms.query(
+        xxh64_u64(to_u64(np.array(sorted(exact_counts), dtype=np.int64)))
+    )
+    eps_bound = 3 * cms.params.eps * n_users_nonnull
+    cms_points_ok = all(
+        exact_counts[u] <= e <= exact_counts[u] + eps_bound
+        for u, e in zip(sorted(exact_counts), cms_est)
+    )
+    distinct_keys = np.array(
+        [
+            r["key"]
+            for r in events.filter(F.col("user_id").isNotNull())
+            .select(F.xxhash64("user_id").alias("key"))
+            .dropDuplicates()
+            .collect()
+        ]
+    )
+    bloom_ok = bool(merged["users_bloom"].contains(distinct_keys).all())
+
+    m = {r["sketch"]: r for r in sketch_sink_metrics(sink).collect()}
+    metrics_ok = (
+        all(r["n_shards"] == (1 << shard_bits) for r in m.values())
+        and m["users_hll"]["n_rows"] == n_users_nonnull
+        and m["users_hll"]["n_nulls"] == n_rows - n_users_nonnull
+        and m["value_td"]["n_rows"] == n_vals
+        and m["value_td"]["n_nulls"] == n_rows - n_vals
+    )
+
+    checks = [
+        ("bloom_zero_fn", bloom_ok),
+        ("cms_points_bounded", bool(cms_points_ok)),
+        ("cms_total_exact", fin[("users_cms", "n_total")] == float(n_users_nonnull)),
+        ("hll_within_bound", bool(hll_ok)),
+        ("kll_rank_ok", rank_ok("value_kll", 0.5)),
+        ("metrics_consistent", bool(metrics_ok)),
+        ("resume_identical", mismatches == 0),
+        (
+            "sketch_n_exact",
+            fin[("value_td", "n")] == float(n_vals)
+            and fin[("value_kll", "n")] == float(n_vals),
+        ),
+        ("tdigest_ranks_ok", rank_ok("value_td", 0.5) and rank_ok("value_td", 0.9)),
+    ]
+    return spark.createDataFrame(checks, "invariant string, ok boolean")
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation: exact dedup (128-bit fingerprints) -> quality gate
     -> transitive near-dup clustering (connected components; one canonical
@@ -933,6 +1078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_tok_stats": q_bpe_tok_stats,
     "event_rollup": q_event_rollup,
     "windowed_event_counts": q_windowed_event_counts,
+    "sketch_checkpoint_profile": q_sketch_checkpoint_profile,
     "curation_pipeline": q_curation_pipeline,
 }
 
@@ -1149,6 +1295,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(event_id % 12 AS BIGINT) AS window_hour, "
             "COUNT(*) AS n_events FROM events "
             "WHERE event_id % 7 <> 0 GROUP BY event_id % 12"
+        ),
+        # every boolean is recomputed in-query against exact Spark-side
+        # references (same pattern as the sketch/LSH invariant rows); the
+        # oracle pins the full invariant list and that each one holds
+        "sketch_checkpoint_profile": (
+            "SELECT * FROM (VALUES "
+            "('bloom_zero_fn', TRUE), ('cms_points_bounded', TRUE), "
+            "('cms_total_exact', TRUE), ('hll_within_bound', TRUE), "
+            "('kll_rank_ok', TRUE), ('metrics_consistent', TRUE), "
+            "('resume_identical', TRUE), ('sketch_n_exact', TRUE), "
+            "('tdigest_ranks_ok', TRUE)) AS t(invariant, ok)"
         ),
         "curation_pipeline": _curation_oracle(),
     }

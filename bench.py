@@ -325,6 +325,33 @@ def main_bench():
     extra["media_decode_checksum"] = float(checksum)  # cross-round content check
     media.unpersist()
 
+    # checkpointable 5-sketch profile (HLL+CMS+Bloom over user_id,
+    # t-digest+KLL over value): one shuffle of (shard, value) pairs, one
+    # Arrow kernel pass per shard, distributed finish over KB states
+    from sparkfuse.bloom import BloomParams
+    from sparkfuse.sketchsink import (
+        SketchSpec,
+        build_sketch_states,
+        finish_sketch_states,
+    )
+
+    events_df = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_events = events_df.count()
+    sk_specs = [
+        SketchSpec("users_hll", "hll", "user_id"),
+        SketchSpec("users_cms", "cms", "user_id"),
+        SketchSpec("value_td", "tdigest", "value", quantiles=(0.5, 0.9, 0.99)),
+        SketchSpec("value_kll", "kll", "value", quantiles=(0.5, 0.9, 0.99)),
+        SketchSpec("users_bloom", "bloom", "user_id", BloomParams.for_capacity(n_events, 0.01)),
+    ]
+
+    def run_sketch_profile():
+        states = build_sketch_states(events_df, sk_specs, 5, "user_id")
+        return finish_sketch_states(states, sk_specs).count()
+
+    t, _ = bench_row("sketch_profile_5kind", run_sketch_profile, repeats=4)
+    extra["sketch_profile_rows_per_sec"] = n_events / t
+
     keys.unpersist()
     total = sum(queries.values())
     print(

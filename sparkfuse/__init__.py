@@ -70,6 +70,12 @@ _SPARK_LAYER = {
     "connected_components": ("sparkfuse.graph", "connected_components"),
     "contamination_check": ("sparkfuse.decontam", "contamination_check"),
     "get_spark": ("sparkfuse.session", "get_spark"),
+    "SketchSpec": ("sparkfuse.sketchsink", "SketchSpec"),
+    "build_sketch_states": ("sparkfuse.sketchsink", "build_sketch_states"),
+    "build_sketch_states_resumable": ("sparkfuse.sketchsink", "build_sketch_states_resumable"),
+    "finish_sketch_states": ("sparkfuse.sketchsink", "finish_sketch_states"),
+    "merge_sketch_states": ("sparkfuse.sketchsink", "merge_sketch_states"),
+    "sketch_sink_metrics": ("sparkfuse.sketchsink", "sketch_sink_metrics"),
 }
 
 

@@ -1,0 +1,225 @@
+"""Checkpointable sketch sink: resume ≡ fresh byte-identity, loud guards,
+estimate parity with the single-pass builders, lineage metrics."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfuse.bloom import BloomParams
+from sparkfuse.kll import KllParams
+from sparkfuse.sketches import CmsParams, HllParams, build_cms, build_hll
+from sparkfuse.sketchsink import (
+    SketchSpec,
+    build_sketch_states,
+    build_sketch_states_resumable,
+    finish_sketch_states,
+    merge_sketch_states,
+    sketch_sink_metrics,
+    write_sketch_states,
+)
+
+SHARD_BITS = 3
+N = 20_000
+N_USERS = 1_500
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    """Deterministic synthetic events: user_id skewed, value lognormal-ish,
+    every 13th user_id NULL, every 17th value NULL."""
+    df = (
+        spark.range(N)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 13 != 0, F.pmod(F.xxhash64("id"), F.lit(N_USERS)))
+            .alias("user_id"),
+            F.when(
+                F.col("id") % 17 != 0,
+                (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)) / 100.0),
+            ).alias("value"),
+        )
+    )
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def _specs():
+    return [
+        SketchSpec("users_hll", "hll", "user_id", HllParams(p=12)),
+        SketchSpec("users_cms", "cms", "user_id", CmsParams(depth=4, width=1 << 12)),
+        SketchSpec("value_td", "tdigest", "value", quantiles=(0.5, 0.9)),
+        SketchSpec("value_kll", "kll", "value", KllParams(k=160), quantiles=(0.5,)),
+        SketchSpec(
+            "users_bloom", "bloom", "user_id", BloomParams.for_capacity(N_USERS, 0.01)
+        ),
+    ]
+
+
+def _rows(df):
+    out = []
+    for r in df.collect():
+        d = r.asDict()
+        d["state"] = bytes(d["state"])
+        out.append(d)
+    return sorted(out, key=lambda d: (d["sketch"], d["shard"]))
+
+
+def test_resume_equals_fresh(spark, events, tmp_path):
+    """Kill-and-resume completes the sink byte-identical to a fresh build."""
+    specs = _specs()
+    fresh = str(tmp_path / "fresh")
+    resumed = str(tmp_path / "resumed")
+    full = build_sketch_states(events, specs, SHARD_BITS, "user_id")
+    write_sketch_states(full, fresh)
+    # simulate a kill after half the shards committed
+    half = spark.read.parquet(fresh).filter(F.col("shard") % 2 == 0)
+    write_sketch_states(half, resumed)
+    build_sketch_states_resumable(
+        events, resumed, spark, specs, SHARD_BITS, "user_id"
+    )
+    a = _rows(spark.read.parquet(fresh))
+    b = _rows(spark.read.parquet(resumed))
+    assert a == b
+    assert len(a) == (1 << SHARD_BITS) * len(specs)
+    # a second resume is a no-op (no duplicate shards appended)
+    build_sketch_states_resumable(
+        events, resumed, spark, specs, SHARD_BITS, "user_id"
+    )
+    assert _rows(spark.read.parquet(resumed)) == b
+
+
+def test_resume_fresh_path(spark, events, tmp_path):
+    """Resumable build against an absent sink is a plain full build."""
+    path = str(tmp_path / "sink")
+    specs = _specs()[:2]
+    out = build_sketch_states_resumable(
+        events, path, spark, specs, SHARD_BITS, "user_id"
+    )
+    assert out.count() == (1 << SHARD_BITS) * len(specs)
+
+
+def test_mismatched_resume_raises(spark, events, tmp_path):
+    """Layout/param drift between build and resume must fail loudly."""
+    path = str(tmp_path / "sink")
+    specs = _specs()[:2]
+    build_sketch_states_resumable(events, path, spark, specs, SHARD_BITS, "user_id")
+    with pytest.raises(ValueError, match="does not match"):
+        build_sketch_states_resumable(
+            events, path, spark, specs, SHARD_BITS + 1, "user_id"
+        )
+    with pytest.raises(ValueError, match="does not match"):
+        build_sketch_states_resumable(events, path, spark, specs, SHARD_BITS, "id")
+    changed = [SketchSpec("users_hll", "hll", "user_id", HllParams(p=10)), specs[1]]
+    with pytest.raises(ValueError, match="does not match"):
+        build_sketch_states_resumable(
+            events, path, spark, changed, SHARD_BITS, "user_id"
+        )
+
+
+def test_partial_shard_raises(spark, events, tmp_path):
+    """A shard missing some sketches (hand-edited / wrong-spec sink) is
+    corrupt for resume and must raise, not silently duplicate."""
+    path = str(tmp_path / "sink")
+    specs = _specs()[:3]
+    full = build_sketch_states(events, specs, SHARD_BITS, "user_id")
+    damaged = full.filter(
+        ~((F.col("shard") == 2) & (F.col("sketch") == "users_cms"))
+    )
+    write_sketch_states(damaged, path)
+    with pytest.raises(ValueError, match="partial shards"):
+        build_sketch_states_resumable(
+            events, path, spark, specs, SHARD_BITS, "user_id"
+        )
+
+
+def test_estimates_match_single_pass_builders(spark, events):
+    """Sharded-then-merged HLL/CMS states equal the single-pass builds
+    exactly (order-independent adds), and quantile sketches land within
+    published bounds of the exact quantiles."""
+    specs = _specs()
+    states = build_sketch_states(events, specs, SHARD_BITS, "user_id")
+    merged = merge_sketch_states(states, specs)
+
+    keys = events.filter(F.col("user_id").isNotNull()).select(
+        F.xxhash64("user_id").alias("key")
+    )
+    hll_direct = build_hll(keys, params=HllParams(p=12))
+    assert np.array_equal(merged["users_hll"].registers, hll_direct.registers)
+
+    cms_direct = build_cms(keys, params=CmsParams(depth=4, width=1 << 12))
+    assert np.array_equal(merged["users_cms"].table, cms_direct.table)
+
+    vals = np.array(
+        [
+            r["value"]
+            for r in events.filter(F.col("value").isNotNull()).collect()
+        ]
+    )
+    for name in ("value_td", "value_kll"):
+        est = merged[name].quantile(0.5)
+        rank = float((vals <= est).mean())
+        assert abs(rank - 0.5) < 0.05, (name, est, rank)
+
+    # bloom: zero false negatives over every distinct inserted key
+    distinct = np.array([r["key"] for r in keys.dropDuplicates().collect()])
+    assert bool(merged["users_bloom"].contains(distinct).all())
+
+
+def test_finish_is_distributed_and_deterministic(spark, events):
+    specs = _specs()
+    states = build_sketch_states(events, specs, SHARD_BITS, "user_id")
+    fin1 = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(states, specs).collect()
+    }
+    fin2 = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(states, specs).collect()
+    }
+    assert fin1 == fin2
+    exact_users = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    est = fin1[("users_hll", "n_distinct_est")]
+    assert abs(est - exact_users) / exact_users <= 4 * 1.04 / np.sqrt(1 << 12)
+    n_values = events.filter(F.col("value").isNotNull()).count()
+    assert fin1[("value_td", "n")] == float(n_values)
+    assert fin1[("value_kll", "n")] == float(n_values)
+    # CMS row-sum is the exact total weight added
+    assert fin1[("users_cms", "n_total")] == float(
+        events.filter(F.col("user_id").isNotNull()).count()
+    )
+
+
+def test_lineage_metrics(spark, events):
+    specs = _specs()[:3]
+    states = build_sketch_states(events, specs, SHARD_BITS, "user_id")
+    m = {r["sketch"]: r for r in sketch_sink_metrics(states).collect()}
+    n_user_nulls = events.filter(F.col("user_id").isNull()).count()
+    n_value_nulls = events.filter(F.col("value").isNull()).count()
+    assert m["users_hll"]["n_rows"] == N - n_user_nulls
+    assert m["users_hll"]["n_nulls"] == n_user_nulls
+    assert m["value_td"]["n_rows"] == N - n_value_nulls
+    assert m["value_td"]["n_nulls"] == n_value_nulls
+    assert all(r["n_shards"] == (1 << SHARD_BITS) for r in m.values())
+    # state sizes are the serialized artifacts, recorded per shard
+    assert m["users_hll"]["max_state_bytes"] == (1 << 12)
+
+
+def test_spec_validation():
+    from sparkfuse.sketchsink import _validate_specs
+
+    with pytest.raises(ValueError, match="bloom needs explicit params"):
+        _validate_specs([SketchSpec("b", "bloom", "c")])
+    with pytest.raises(ValueError, match="duplicate spec names"):
+        _validate_specs(
+            [SketchSpec("a", "hll", "c"), SketchSpec("a", "kll", "c")]
+        )
+    with pytest.raises(ValueError, match="unknown sketch kind"):
+        _validate_specs([SketchSpec("a", "bogus", "c")])
+    with pytest.raises(TypeError, match="params must be"):
+        _validate_specs([SketchSpec("a", "hll", "c", KllParams())])

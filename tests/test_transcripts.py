@@ -105,3 +105,46 @@ def test_spark_submit_job_and_resume(spark, tr, tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 4  # no duplicate shards appended
+
+
+def test_sketch_profile_job_and_resume(spark, tr, tmp_path):
+    """Run the sketch-profile spark-submit entry point, then re-run with
+    --resume: idempotent completion, identical finished estimates."""
+    src = str(tmp_path / "transcripts_sk")
+    tr.write.parquet(src)
+    sink = str(tmp_path / "sketch_sink")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spark_submit = os.path.join(
+        os.path.dirname(os.path.dirname(sys.executable)), "bin", "spark-submit"
+    )
+    if not os.path.exists(spark_submit):
+        import shutil
+
+        spark_submit = shutil.which("spark-submit")
+    assert spark_submit, "spark-submit not found"
+    cmd = [
+        spark_submit,
+        "--master", "local[4]",
+        "--py-files", f"{repo}/sparkfuse",
+        f"{repo}/jobs/sketch_profile_job.py",
+        "--input", src, "--sink", sink,
+        "--key-col", "conv_id", "--value-col", "text_len",
+        "--shard-bits", "3", "--resume",
+    ]
+    env = dict(os.environ, PYTHONPATH=repo)
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=env)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    rep1 = json.loads([l for l in r1.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep1["lineage"]["key_hll"]["n_shards"] == 8
+    exact_convs = tr.select("conv_id").distinct().count()
+    est = rep1["stats"]["key_hll.n_distinct_est"]
+    assert abs(est - exact_convs) / exact_convs < 0.05
+    assert rep1["stats"]["key_cms.n_total"] == tr.count()
+    # resume run: nothing to rebuild, sink unchanged, same estimates
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=env)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    rep2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
+    assert rep2["stats"] == rep1["stats"]
+    assert rep2["lineage"] == rep1["lineage"]
+    rows = spark.read.parquet(sink).groupBy("shard", "sketch").count().collect()
+    assert all(r["count"] == 1 for r in rows)  # no duplicate appends
