@@ -76,6 +76,8 @@ _SPARK_LAYER = {
     "finish_sketch_states": ("sparkfuse.sketchsink", "finish_sketch_states"),
     "merge_sketch_states": ("sparkfuse.sketchsink", "merge_sketch_states"),
     "sketch_sink_metrics": ("sparkfuse.sketchsink", "sketch_sink_metrics"),
+    "stream_sketch_states": ("sparkfuse.sketchsink", "stream_sketch_states"),
+    "compact_sketch_states": ("sparkfuse.sketchsink", "compact_sketch_states"),
 }
 
 

@@ -220,10 +220,23 @@ def _validate_specs(specs: list[SketchSpec]) -> None:
         _resolve_params(s)
 
 
+def _input_slots(specs: list[SketchSpec]) -> dict[tuple[bool, str], int]:
+    """Distinct (hashed?, column) inputs → projected slot index. Specs that
+    share an input (e.g. HLL+CMS+Bloom over one key column) share ONE
+    shuffled value column instead of duplicating it per spec."""
+    slots: dict[tuple[bool, str], int] = {}
+    for s in specs:
+        key = (s.kind in _HASHED_KINDS, s.col)
+        if key not in slots:
+            slots[key] = len(slots)
+    return slots
+
+
 def _projected(
     df: DataFrame, specs: list[SketchSpec], shard_bits: int, route_col: str
 ) -> DataFrame:
-    """shard + one (value, isnull) pair per spec, all JVM-side codegen.
+    """shard + one (value, isnull) pair per DISTINCT spec input, all
+    JVM-side codegen.
 
     Hashed kinds carry the xxhash64 as a non-null int64 column plus a
     separate null flag: letting NULL flow into the hashed column would make
@@ -231,22 +244,24 @@ def _projected(
     ``xxhash64(NULL)`` silently hashes to the seed — both wrong.
     """
     cols = [shard_column(route_col, shard_bits, "xxh64").cast("int").alias("shard")]
-    for i, s in enumerate(specs):
-        if s.kind in _HASHED_KINDS:
-            cols.append(F.xxhash64(s.col).alias(f"v_{i}"))
+    for (hashed, col), i in _input_slots(specs).items():
+        if hashed:
+            cols.append(F.xxhash64(col).alias(f"v_{i}"))
         else:
-            cols.append(F.col(s.col).cast("double").alias(f"v_{i}"))
-        cols.append(F.col(s.col).isNull().alias(f"z_{i}"))
+            cols.append(F.col(col).cast("double").alias(f"v_{i}"))
+        cols.append(F.col(col).isNull().alias(f"z_{i}"))
     return df.select(*cols)
 
 
 def _kernel_factory(specs: list[SketchSpec], shard_bits: int, route_col: str):
     resolved = [(s, _resolve_params(s), _params_json(_resolve_params(s))) for s in specs]
+    slots = _input_slots(specs)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["shard"].iloc[0])
         rows = []
-        for i, (spec, params, pjson) in enumerate(resolved):
+        for spec, params, pjson in resolved:
+            i = slots[(spec.kind in _HASHED_KINDS, spec.col)]
             isnull = pdf[f"z_{i}"].to_numpy()
             n_nulls = int(isnull.sum())
             if spec.kind in _HASHED_KINDS:
@@ -381,6 +396,13 @@ def build_sketch_states_resumable(
         )
         return spark.read.parquet(path)
 
+    if "epoch" in existing.columns:
+        raise ValueError(
+            f"sink {path!r} is a streaming epoch sink (has an 'epoch' "
+            "column): its exactly-once resume is managed by the streaming "
+            "checkpoint, not the batch resumable builder — resuming here "
+            "would mark every shard done and silently skip the new data"
+        )
     if not existing.limit(1).collect():
         # sink dir exists but holds no committed rows (e.g. a kill before
         # the first task commit): behaves exactly like a fresh build
@@ -413,24 +435,40 @@ def build_sketch_states_resumable(
     return spark.read.parquet(path)
 
 
+def _dedup_replayed(states: DataFrame) -> DataFrame:
+    """Epoch sinks (streaming) may hold byte-identical duplicate rows from a
+    replayed micro-batch (exactly-once via checkpoint + deterministic
+    rebuild). Forest probes OR duplicates away for free, but CMS/t-digest/
+    KLL merges DOUBLE-COUNT them — so any consumer that merges an epoch
+    sink must drop exact (epoch, shard, sketch) duplicates first. Batch
+    sinks (no epoch column) pass through untouched: the resumable builder
+    never writes a duplicate (shard, sketch)."""
+    if "epoch" in states.columns:
+        return states.dropDuplicates(["epoch", "shard", "sketch"])
+    return states
+
+
 def finish_sketch_states(states: DataFrame, specs: list[SketchSpec]) -> DataFrame:
     """Merge every sketch's shard states DISTRIBUTED and emit long-form
     estimates: (sketch, kind, stat, value), one partition group per spec.
 
-    States are merged in ascending shard order so order-sensitive kinds
-    (t-digest centroid layout, KLL compaction) finish deterministically.
-    Only 2^shard_bits KB-rows per sketch move — never input rows, never a
+    States are merged in ascending (shard, epoch) order so order-sensitive
+    kinds (t-digest centroid layout, KLL compaction) finish
+    deterministically. Only 2^shard_bits KB-rows per sketch (times the
+    epoch count for streaming sinks) move — never input rows, never a
     driver collect.
     """
     _validate_specs(specs)
     by_name = {s.name: s for s in specs}
+    has_epoch = "epoch" in states.columns
+    sort_cols = ["shard", "epoch"] if has_epoch else ["shard"]
 
     def fin(pdf: pd.DataFrame) -> pd.DataFrame:
         name = pdf["sketch"].iloc[0]
         spec = by_name[name]
         params = _params_from_json(spec.kind, pdf["params"].iloc[0])
         acc = _make(spec.kind, params)
-        for b in pdf.sort_values("shard")["state"]:
+        for b in pdf.sort_values(sort_cols)["state"]:
             acc = acc.merge(_from_bytes(spec.kind, params, bytes(b)))
         return pd.DataFrame(
             [
@@ -439,7 +477,9 @@ def finish_sketch_states(states: DataFrame, specs: list[SketchSpec]) -> DataFram
             ]
         )
 
-    return states.groupBy("sketch").applyInPandas(fin, SKETCH_FINISH_SCHEMA)
+    return _dedup_replayed(states).groupBy("sketch").applyInPandas(
+        fin, SKETCH_FINISH_SCHEMA
+    )
 
 
 def merge_sketch_states(states: DataFrame, specs: list[SketchSpec]) -> dict:
@@ -452,8 +492,15 @@ def merge_sketch_states(states: DataFrame, specs: list[SketchSpec]) -> dict:
     """
     _validate_specs(specs)
     by_name = {s.name: s for s in specs}
-    rows = states.select("sketch", "kind", "params", "shard", "state").collect()
-    rows.sort(key=lambda r: (r["sketch"], r["shard"]))
+    states = _dedup_replayed(states)
+    sel = ["sketch", "kind", "params", "shard", "state"]
+    if "epoch" in states.columns:
+        sel.append("epoch")
+        rows = states.select(sel).collect()
+        rows.sort(key=lambda r: (r["sketch"], r["shard"], r["epoch"]))
+    else:
+        rows = states.select(sel).collect()
+        rows.sort(key=lambda r: (r["sketch"], r["shard"]))
     out: dict = {}
     for r in rows:
         spec = by_name.get(r["sketch"])
@@ -469,9 +516,128 @@ def merge_sketch_states(states: DataFrame, specs: list[SketchSpec]) -> dict:
     return out
 
 
+def sketch_append_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    path: str,
+    specs: list[SketchSpec],
+    shard_bits: int,
+    route_col: str,
+) -> None:
+    """foreachBatch body: build this micro-batch's per-shard states and
+    append them tagged with the batch epoch.
+
+    Streaming is where the sketches' merge semantics beat the forest's:
+    epoch-appended fuse filters pay fpp per epoch (k epochs ≈ k× fpp until
+    compaction), but sketch merges are the algorithms' OWN defined
+    operation, so a multi-epoch sink finishes to exactly the state a
+    single-pass build over the union would reach (bit-equal for the
+    order-independent kinds; same error bounds for t-digest/KLL). The sink
+    stays one row per (epoch, shard, sketch); ``finish_sketch_states``
+    drops replayed-epoch duplicates before merging (see _dedup_replayed).
+    """
+    _validate_specs(specs)
+    if batch_df.isEmpty():
+        return
+    states = build_sketch_states(batch_df, specs, shard_bits, route_col)
+    states.withColumn("epoch", F.lit(int(epoch_id)).cast("long")).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def stream_sketch_states(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    specs: list[SketchSpec],
+    shard_bits: int,
+    route_col: str,
+    trigger_available_now: bool = True,
+):
+    """Wire a streaming DataFrame into epoch-appended sketch maintenance;
+    returns the StreamingQuery. Exactly-once: a replayed epoch re-appends
+    byte-identical rows (deterministic kernels), which every sink consumer
+    dedupes by (epoch, shard, sketch) before merging."""
+
+    def _batch(df: DataFrame, epoch_id: int) -> None:
+        sketch_append_batch(df, epoch_id, path, specs, shard_bits, route_col)
+
+    writer = stream_df.writeStream.foreachBatch(_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_sketch_states(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    specs: list[SketchSpec],
+) -> DataFrame:
+    """Merge an epoch sink down to one row per (shard, sketch) — the
+    bounded-cost form for long-running streams (finish cost goes from
+    O(epochs × shards) rows back to O(shards)).
+
+    States merge in ascending epoch order (deterministic for the
+    order-sensitive kinds); lineage rows/nulls are summed so the compacted
+    sink's metrics still add up to everything the stream absorbed. The
+    output is a batch-shaped sink (no epoch column) and finishes to the
+    same estimates as the uncompacted sink (merge associativity).
+    """
+    _validate_specs(specs)
+    by_name = {s.name: s for s in specs}
+    states = spark.read.parquet(path)
+    if "epoch" not in states.columns:
+        raise ValueError(f"{path!r} is not an epoch sink (no 'epoch' column)")
+    meta = states.select("shard_bits", "route_col").dropDuplicates().collect()
+    if len(meta) != 1:
+        raise ValueError(
+            f"epoch sink {path!r} mixes shard layouts: "
+            f"{[(r['shard_bits'], r['route_col']) for r in meta]!r}"
+        )
+    _validate_sink(states, specs, meta[0]["shard_bits"], meta[0]["route_col"])
+
+    def squash(pdf: pd.DataFrame) -> pd.DataFrame:
+        spec = by_name[pdf["sketch"].iloc[0]]
+        params = _params_from_json(spec.kind, pdf["params"].iloc[0])
+        acc = _make(spec.kind, params)
+        for b in pdf.sort_values("epoch")["state"]:
+            acc = acc.merge(_from_bytes(spec.kind, params, bytes(b)))
+        state = acc.to_bytes()
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            [
+                {
+                    "shard": int(first["shard"]),
+                    "sketch": first["sketch"],
+                    "kind": first["kind"],
+                    "params": first["params"],
+                    "state": state,
+                    "n_rows": int(pdf["n_rows"].sum()),
+                    "n_nulls": int(pdf["n_nulls"].sum()),
+                    "state_bytes": len(state),
+                    "shard_bits": int(first["shard_bits"]),
+                    "route_col": first["route_col"],
+                }
+            ]
+        )
+
+    compacted = (
+        _dedup_replayed(states)
+        .groupBy("shard", "sketch")
+        .applyInPandas(squash, SKETCH_STATE_SCHEMA)
+    )
+    compacted.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)
+
+
 def sketch_sink_metrics(states: DataFrame) -> DataFrame:
     """Per-sketch lineage rollup over the sink: shard count, rows/nulls
-    absorbed, state bytes — the job-monitoring view of the checkpoint."""
+    absorbed, state bytes — the job-monitoring view of the checkpoint.
+    Epoch sinks drop replayed duplicates first so the sums stay exact."""
+    states = _dedup_replayed(states)
     return states.groupBy("sketch", "kind").agg(
         F.count_distinct("shard").alias("n_shards"),
         F.sum("n_rows").alias("n_rows"),

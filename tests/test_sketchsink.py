@@ -223,3 +223,137 @@ def test_spec_validation():
         _validate_specs([SketchSpec("a", "bogus", "c")])
     with pytest.raises(TypeError, match="params must be"):
         _validate_specs([SketchSpec("a", "hll", "c", KllParams())])
+
+
+# ---------------------------------------------------------------------------
+# streaming epoch sink
+# ---------------------------------------------------------------------------
+
+
+def _run_stream_once(spark, src, sink, ck, specs):
+    from sparkfuse.sketchsink import stream_sketch_states
+
+    stream = (
+        spark.readStream.schema("id long, user_id long, value double")
+        .parquet(f"{src}/batch_*")
+    )
+    q = stream_sketch_states(stream, sink, ck, specs, SHARD_BITS, "user_id")
+    q.awaitTermination()
+
+
+def test_stream_epoch_sink_matches_batch(spark, events, tmp_path):
+    """Two micro-batch epochs finish to the same estimates as one batch
+    build over the union — sketch merges are the algorithms' own defined
+    op, so the epoch sink is lossless (unlike epoch-appended fuse filters,
+    whose fpp compounds until compaction)."""
+    from pyspark.sql import functions as F
+
+    from sparkfuse.sketchsink import compact_sketch_states
+
+    base = str(tmp_path)
+    src, sink, ck = f"{base}/src", f"{base}/sink", f"{base}/ck"
+    specs = _specs()
+    events.filter(F.col("id") % 2 == 0).select("id", "user_id", "value").write.parquet(
+        f"{src}/batch_a"
+    )
+    _run_stream_once(spark, src, sink, ck, specs)
+    events.filter(F.col("id") % 2 == 1).select("id", "user_id", "value").write.parquet(
+        f"{src}/batch_b"
+    )
+    _run_stream_once(spark, src, sink, ck, specs)
+
+    epoch_sink = spark.read.parquet(sink)
+    assert epoch_sink.select("epoch").distinct().count() == 2
+
+    stream_fin = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(epoch_sink, specs).collect()
+    }
+    batch_fin = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(
+            build_sketch_states(events, specs, SHARD_BITS, "user_id"), specs
+        ).collect()
+    }
+    # order-independent kinds are EXACTLY the batch result
+    for key in [
+        ("users_hll", "n_distinct_est"),
+        ("users_cms", "n_total"),
+        ("users_bloom", "bits_set"),
+    ]:
+        assert stream_fin[key] == batch_fin[key], key
+    # order-sensitive kinds keep exact counts and bounded quantiles
+    assert stream_fin[("value_td", "n")] == batch_fin[("value_td", "n")]
+    assert stream_fin[("value_kll", "n")] == batch_fin[("value_kll", "n")]
+    vals = np.sort(
+        np.array(
+            [r["value"] for r in events.filter(F.col("value").isNotNull()).collect()]
+        )
+    )
+    for name in ("value_td", "value_kll"):
+        rank = float((vals <= stream_fin[(name, "q_0_5")]).mean())
+        assert abs(rank - 0.5) < 0.05, (name, rank)
+
+    # metrics over the epoch sink add up to the whole stream
+    m = {r["sketch"]: r for r in sketch_sink_metrics(epoch_sink).collect()}
+    n_user_nulls = events.filter(F.col("user_id").isNull()).count()
+    assert m["users_hll"]["n_rows"] == N - n_user_nulls
+
+    # compaction: bounded-cost sink, same estimates (exact for the
+    # order-independent kinds), lineage preserved
+    compacted = compact_sketch_states(spark, sink, f"{base}/compact", specs)
+    assert "epoch" not in compacted.columns
+    assert compacted.groupBy("shard", "sketch").count().filter("count > 1").count() == 0
+    comp_fin = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(compacted, specs).collect()
+    }
+    for key in [
+        ("users_hll", "n_distinct_est"),
+        ("users_cms", "n_total"),
+        ("users_bloom", "bits_set"),
+        ("value_td", "n"),
+        ("value_kll", "n"),
+    ]:
+        assert comp_fin[key] == stream_fin[key], key
+    mc = {r["sketch"]: r for r in sketch_sink_metrics(compacted).collect()}
+    assert mc["users_hll"]["n_rows"] == m["users_hll"]["n_rows"]
+    assert mc["users_hll"]["n_nulls"] == m["users_hll"]["n_nulls"]
+
+
+def test_replayed_epoch_is_deduped(spark, events, tmp_path):
+    """A replayed micro-batch appends byte-identical rows; every consumer
+    must dedupe them or CMS/t-digest/KLL double-count."""
+    from pyspark.sql import functions as F
+
+    from sparkfuse.sketchsink import sketch_append_batch
+
+    sink = str(tmp_path / "sink")
+    specs = _specs()[:2]
+    half = events.filter(F.col("id") % 2 == 0)
+    sketch_append_batch(half, 7, sink, specs, SHARD_BITS, "user_id")
+    once = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(spark.read.parquet(sink), specs).collect()
+    }
+    sketch_append_batch(half, 7, sink, specs, SHARD_BITS, "user_id")  # replay
+    assert spark.read.parquet(sink).count() == 2 * (1 << SHARD_BITS) * len(specs)
+    twice = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(spark.read.parquet(sink), specs).collect()
+    }
+    assert twice == once
+    m = {r["sketch"]: r for r in sketch_sink_metrics(spark.read.parquet(sink)).collect()}
+    assert m["users_cms"]["n_rows"] == half.filter(F.col("user_id").isNotNull()).count()
+
+
+def test_batch_resume_on_epoch_sink_raises(spark, events, tmp_path):
+    from sparkfuse.sketchsink import sketch_append_batch
+
+    sink = str(tmp_path / "sink")
+    specs = _specs()[:2]
+    sketch_append_batch(events, 0, sink, specs, SHARD_BITS, "user_id")
+    with pytest.raises(ValueError, match="streaming epoch sink"):
+        build_sketch_states_resumable(
+            events, sink, spark, specs, SHARD_BITS, "user_id"
+        )
