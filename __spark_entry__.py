@@ -669,9 +669,13 @@ def q_sketch_checkpoint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, resumed, spark, specs, shard_bits, "user_id"
     )
     cmp_cols = ["shard", "sketch", "state", "n_rows", "n_nulls"]
+    # two-way anti-join catches content drift; the count equality catches
+    # multiset drift (duplicate re-appends are byte-identical, so an
+    # anti-join alone would miss a resume that rebuilt done shards)
     mismatches = (
         a.select(cmp_cols).join(sink.select(cmp_cols), cmp_cols, "left_anti").count()
         + sink.select(cmp_cols).join(a.select(cmp_cols), cmp_cols, "left_anti").count()
+        + abs(a.count() - sink.count())
     )
 
     fin = {

@@ -247,9 +247,12 @@ def _projected(
     for (hashed, col), i in _input_slots(specs).items():
         if hashed:
             cols.append(F.xxhash64(col).alias(f"v_{i}"))
+            cols.append(F.col(col).isNull().alias(f"z_{i}"))
         else:
+            # numeric kinds need no flag: Arrow hands NULL as NaN in the
+            # float64 column, and data NaNs are skipped identically (the
+            # percentile_approx convention) — both count as n_nulls
             cols.append(F.col(col).cast("double").alias(f"v_{i}"))
-        cols.append(F.col(col).isNull().alias(f"z_{i}"))
     return df.select(*cols)
 
 
@@ -262,12 +265,15 @@ def _kernel_factory(specs: list[SketchSpec], shard_bits: int, route_col: str):
         rows = []
         for spec, params, pjson in resolved:
             i = slots[(spec.kind in _HASHED_KINDS, spec.col)]
-            isnull = pdf[f"z_{i}"].to_numpy()
-            n_nulls = int(isnull.sum())
             if spec.kind in _HASHED_KINDS:
+                isnull = pdf[f"z_{i}"].to_numpy()
                 vals = pdf[f"v_{i}"].to_numpy()[~isnull]
             else:
-                vals = pdf[f"v_{i}"].dropna().to_numpy()
+                arr = pdf[f"v_{i}"].to_numpy()
+                vals = arr[~np.isnan(arr)]
+            # n_rows + n_nulls == shard row count ALWAYS (NaN counts as
+            # null for numeric kinds — it is skipped like one)
+            n_nulls = len(pdf) - len(vals)
             if spec.kind in _ORDER_SENSITIVE:
                 vals = np.sort(vals)
             sk = _make(spec.kind, params)
@@ -318,7 +324,12 @@ def build_sketch_states(
 
 def write_sketch_states(states: DataFrame, path: str, mode: str = "append") -> None:
     """Persist states (parquet). Append is the resume-friendly mode; the
-    resumable builder only ever appends whole shards."""
+    resumable builder only ever appends whole shards.
+
+    Double-appending the SAME build is safe: rows are byte-identical
+    (deterministic kernels) and every merging consumer dedupes them.
+    Appending a DIFFERENT build under the same layout is corruption, and
+    finish/merge/compact raise on the conflicting keys."""
     states.write.mode(mode).parquet(path)
 
 
@@ -360,6 +371,25 @@ def _validate_sink(
         )
 
 
+def _local_dir_has_data(path: str) -> bool:
+    """True iff ``path`` is a listable local dir containing any committed
+    data file (not _- or .-prefixed, recursively). Non-local/unlistable
+    paths return True — the conservative answer, since the caller treats
+    False as license to write a fresh full build."""
+    import os
+
+    if "://" in path and not path.startswith("file:"):
+        return True
+    local = path[len("file:"):] if path.startswith("file:") else path
+    if not os.path.isdir(local):
+        return True
+    for root, dirs, files in os.walk(local):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        if any(not f.startswith(("_", ".")) for f in files):
+            return True
+    return False
+
+
 def build_sketch_states_resumable(
     df: DataFrame,
     path: str,
@@ -387,9 +417,17 @@ def build_sketch_states_resumable(
             cond = e.getCondition() or ""
         except Exception:
             pass
-        if "PATH_NOT_FOUND" not in cond and "PATH_NOT_FOUND" not in str(e):
-            # only "sink absent" means fresh build; a corrupt/unreadable
-            # sink must propagate, or we'd append a duplicate full build
+        text = cond + " " + str(e)
+        # "sink absent" means fresh build. So does "dir exists but holds no
+        # committed data file" (a kill before the first task commit leaves
+        # only _temporary/, which reads as UNABLE_TO_INFER_SCHEMA) — but
+        # ONLY when we can list the dir and confirm it is truly data-free;
+        # any other read failure (corrupt footers, permissions) must
+        # propagate, or we'd append a duplicate full build onto real data.
+        fresh = "PATH_NOT_FOUND" in text or (
+            "UNABLE_TO_INFER_SCHEMA" in text and not _local_dir_has_data(path)
+        )
+        if not fresh:
             raise
         write_sketch_states(
             build_sketch_states(df, specs, shard_bits, route_col), path
@@ -436,16 +474,54 @@ def build_sketch_states_resumable(
 
 
 def _dedup_replayed(states: DataFrame) -> DataFrame:
-    """Epoch sinks (streaming) may hold byte-identical duplicate rows from a
-    replayed micro-batch (exactly-once via checkpoint + deterministic
-    rebuild). Forest probes OR duplicates away for free, but CMS/t-digest/
-    KLL merges DOUBLE-COUNT them — so any consumer that merges an epoch
-    sink must drop exact (epoch, shard, sketch) duplicates first. Batch
-    sinks (no epoch column) pass through untouched: the resumable builder
-    never writes a duplicate (shard, sketch)."""
-    if "epoch" in states.columns:
-        return states.dropDuplicates(["epoch", "shard", "sketch"])
-    return states
+    """Drop BYTE-IDENTICAL duplicate state rows before any merge.
+
+    Two legitimate sources of exact duplicates exist: a replayed streaming
+    micro-batch (exactly-once via checkpoint + deterministic rebuild) and a
+    double ``write_sketch_states(..., mode="append")`` of the same build.
+    Forest probes OR duplicates away for free, but CMS/t-digest/KLL merges
+    DOUBLE-COUNT them — so every consumer dedupes on the full row identity
+    first. Determinism is what makes this exact: a re-run of the same data
+    produces the same bytes, so "identical row" == "same contribution".
+
+    Rows that share a key but DIFFER in content are real corruption
+    (different data appended under one layout) and are detected downstream
+    by ``_conflicting_keys`` / the merge kernels, which raise loudly."""
+    key = ["shard", "sketch"] + (["epoch"] if "epoch" in states.columns else [])
+    return states.dropDuplicates(key + ["state", "n_rows", "n_nulls"])
+
+
+def _raise_if_conflicting(pdf: pd.DataFrame, key_cols: list[str], where: str) -> None:
+    """Inside a merge kernel, post-dedup: any repeated key means two
+    DIFFERENT states were appended for the same slot — merging them would
+    silently double-count, so fail with a clear remediation."""
+    if pdf.duplicated(key_cols).any():
+        dups = pdf.loc[pdf.duplicated(key_cols), key_cols].drop_duplicates()
+        raise ValueError(
+            f"{where}: sink holds CONFLICTING states for "
+            f"{dups.to_dict('records')!r} (same key, different bytes) — the "
+            "sink mixes appends from different inputs; rebuild it at a "
+            "fresh path"
+        )
+
+
+def _validate_states_specs(states: DataFrame, specs: list[SketchSpec]) -> None:
+    """The (sketch, kind, params) triples in the sink must be exactly the
+    requested specs — a missing/extra/mismatched triple means the caller is
+    finishing a sink with the wrong spec list, which would otherwise
+    surface as an opaque KeyError inside an executor-side kernel."""
+    got = {
+        (r["sketch"], r["kind"], r["params"])
+        for r in states.select("sketch", "kind", "params").dropDuplicates().collect()
+    }
+    want = {
+        (s.name, s.kind, _params_json(_resolve_params(s))) for s in specs
+    }
+    if got != want:
+        raise ValueError(
+            "sketch states do not match the given specs: "
+            f"sink-only={sorted(got - want)!r} specs-only={sorted(want - got)!r}"
+        )
 
 
 def finish_sketch_states(states: DataFrame, specs: list[SketchSpec]) -> DataFrame:
@@ -459,6 +535,7 @@ def finish_sketch_states(states: DataFrame, specs: list[SketchSpec]) -> DataFram
     driver collect.
     """
     _validate_specs(specs)
+    _validate_states_specs(states, specs)
     by_name = {s.name: s for s in specs}
     has_epoch = "epoch" in states.columns
     sort_cols = ["shard", "epoch"] if has_epoch else ["shard"]
@@ -466,6 +543,7 @@ def finish_sketch_states(states: DataFrame, specs: list[SketchSpec]) -> DataFram
     def fin(pdf: pd.DataFrame) -> pd.DataFrame:
         name = pdf["sketch"].iloc[0]
         spec = by_name[name]
+        _raise_if_conflicting(pdf, sort_cols, f"finish_sketch_states({name})")
         params = _params_from_json(spec.kind, pdf["params"].iloc[0])
         acc = _make(spec.kind, params)
         for b in pdf.sort_values(sort_cols)["state"]:
@@ -491,28 +569,36 @@ def merge_sketch_states(states: DataFrame, specs: list[SketchSpec]) -> dict:
     ``finish_sketch_states`` (fully distributed).
     """
     _validate_specs(specs)
+    _validate_states_specs(states, specs)
     by_name = {s.name: s for s in specs}
     states = _dedup_replayed(states)
-    sel = ["sketch", "kind", "params", "shard", "state"]
-    if "epoch" in states.columns:
-        sel.append("epoch")
-        rows = states.select(sel).collect()
-        rows.sort(key=lambda r: (r["sketch"], r["shard"], r["epoch"]))
-    else:
-        rows = states.select(sel).collect()
-        rows.sort(key=lambda r: (r["sketch"], r["shard"]))
+    has_epoch = "epoch" in states.columns
+    sel = ["sketch", "kind", "params", "shard", "state"] + (
+        ["epoch"] if has_epoch else []
+    )
+    rows = states.select(sel).collect()
+    keyf = (
+        (lambda r: (r["sketch"], r["shard"], r["epoch"]))
+        if has_epoch
+        else (lambda r: (r["sketch"], r["shard"]))
+    )
+    rows.sort(key=keyf)
+    seen = set()
+    for r in rows:
+        k = keyf(r)
+        if k in seen:
+            raise ValueError(
+                f"merge_sketch_states: sink holds CONFLICTING states for {k!r} "
+                "(same key, different bytes) — rebuild it at a fresh path"
+            )
+        seen.add(k)
     out: dict = {}
     for r in rows:
-        spec = by_name.get(r["sketch"])
-        if spec is None:
-            raise ValueError(f"sink row for unknown spec {r['sketch']!r}")
+        spec = by_name[r["sketch"]]
         params = _params_from_json(spec.kind, r["params"])
         sk = _from_bytes(spec.kind, params, bytes(r["state"]))
         acc = out.get(spec.name)
         out[spec.name] = sk if acc is None else acc.merge(sk)
-    missing = set(by_name) - set(out)
-    if missing:
-        raise ValueError(f"sink has no states for specs {sorted(missing)!r}")
     return out
 
 
@@ -537,8 +623,9 @@ def sketch_append_batch(
     drops replayed-epoch duplicates before merging (see _dedup_replayed).
     """
     _validate_specs(specs)
-    if batch_df.isEmpty():
-        return
+    # no isEmpty() pre-check: it costs one extra job over the micro-batch
+    # every epoch, while an empty batch simply yields zero kernel groups
+    # and appends nothing
     states = build_sketch_states(batch_df, specs, shard_bits, route_col)
     states.withColumn("epoch", F.lit(int(epoch_id)).cast("long")).write.mode(
         "append"
@@ -601,6 +688,9 @@ def compact_sketch_states(
 
     def squash(pdf: pd.DataFrame) -> pd.DataFrame:
         spec = by_name[pdf["sketch"].iloc[0]]
+        _raise_if_conflicting(
+            pdf, ["epoch"], f"compact_sketch_states({pdf['sketch'].iloc[0]})"
+        )
         params = _params_from_json(spec.kind, pdf["params"].iloc[0])
         acc = _make(spec.kind, params)
         for b in pdf.sort_values("epoch")["state"]:

@@ -357,3 +357,90 @@ def test_batch_resume_on_epoch_sink_raises(spark, events, tmp_path):
         build_sketch_states_resumable(
             events, sink, spark, specs, SHARD_BITS, "user_id"
         )
+
+
+# ---------------------------------------------------------------------------
+# sink-hygiene guards (review findings round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_double_append_same_build_is_deduped(spark, events, tmp_path):
+    """Appending the same batch build twice leaves finish/merge unchanged:
+    byte-identical rows are deduped, never double-counted."""
+    path = str(tmp_path / "sink")
+    specs = _specs()[:3]
+    once_states = build_sketch_states(events, specs, SHARD_BITS, "user_id")
+    write_sketch_states(once_states, path)
+    once = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(spark.read.parquet(path), specs).collect()
+    }
+    write_sketch_states(once_states, path)  # accidental second append
+    assert spark.read.parquet(path).count() == 2 * (1 << SHARD_BITS) * len(specs)
+    twice = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(spark.read.parquet(path), specs).collect()
+    }
+    assert twice == once
+    merged = merge_sketch_states(spark.read.parquet(path), specs)
+    assert float(merged["users_cms"].table[0].sum()) == once[("users_cms", "n_total")]
+
+
+def test_conflicting_append_raises(spark, events, tmp_path):
+    """Appending a DIFFERENT build under the same layout is corruption:
+    merging consumers raise on the conflicting keys instead of silently
+    double-counting."""
+    path = str(tmp_path / "sink")
+    specs = _specs()[:2]
+    write_sketch_states(build_sketch_states(events, specs, SHARD_BITS, "user_id"), path)
+    other = events.filter(F.col("id") % 2 == 0)
+    write_sketch_states(build_sketch_states(other, specs, SHARD_BITS, "user_id"), path)
+    with pytest.raises(Exception, match="CONFLICTING"):
+        finish_sketch_states(spark.read.parquet(path), specs).collect()
+    with pytest.raises(ValueError, match="CONFLICTING"):
+        merge_sketch_states(spark.read.parquet(path), specs)
+
+
+def test_resume_after_kill_before_first_commit(spark, events, tmp_path):
+    """A sink dir containing only uncommitted droppings (_temporary/) must
+    resume as a fresh build, not crash on schema inference."""
+    import os
+
+    path = str(tmp_path / "sink")
+    os.makedirs(os.path.join(path, "_temporary"))
+    with open(os.path.join(path, "_temporary", "part-stub"), "w") as f:
+        f.write("junk")
+    specs = _specs()[:2]
+    out = build_sketch_states_resumable(
+        events, path, spark, specs, SHARD_BITS, "user_id"
+    )
+    assert out.count() == (1 << SHARD_BITS) * len(specs)
+
+
+def test_finish_with_wrong_specs_raises(spark, events):
+    """Finishing a sink with a mismatched spec list fails with a clear
+    driver-side error, not an executor-side KeyError."""
+    specs = _specs()[:3]
+    states = build_sketch_states(events, specs, SHARD_BITS, "user_id")
+    with pytest.raises(ValueError, match="do not match"):
+        finish_sketch_states(states, specs[:2]).collect()
+    with pytest.raises(ValueError, match="do not match"):
+        merge_sketch_states(states, specs[:2])
+
+
+def test_nan_counts_as_null_in_lineage(spark):
+    """NaN in a numeric column is skipped like NULL and counted in
+    n_nulls, so n_rows + n_nulls always equals the input row count."""
+    df = spark.range(300).select(
+        F.col("id").alias("user_id"),
+        F.when(F.col("id") % 3 == 0, F.lit(float("nan")))
+        .when(F.col("id") % 5 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("id").cast("double"))
+        .alias("value"),
+    )
+    specs = [SketchSpec("v_kll", "kll", "value", KllParams(k=64))]
+    states = build_sketch_states(df, specs, 2, "user_id")
+    m = sketch_sink_metrics(states).collect()[0]
+    assert m["n_rows"] + m["n_nulls"] == 300
+    n_bad = df.filter(F.isnan("value") | F.col("value").isNull()).count()
+    assert m["n_nulls"] == n_bad
