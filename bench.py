@@ -414,7 +414,34 @@ def main_scaling():
                 lambda: probes.filter(probe_udf(F.col("key"))).count()
             )
             t_probe.append(tp)
-        tb, tp = min(t_build), min(t_probe)
+        # sketch-library scaling (the north_rule's >=0.8 criterion names the
+        # sketch UDAFs): 4-kind per-shard state build over synthetic
+        # transcript-shaped rows. Bloom is excluded here — its per-shard
+        # full-size bit array measures allocation, not sketch throughput.
+        from sparkfuse.sketchsink import SketchSpec, build_sketch_states
+
+        n_sketch = int(os.environ.get("SPARKFUSE_SCALE_SKETCH_ROWS", 20_000_000))
+        sk_rows = spark.range(n_sketch).select(
+            F.pmod(F.xxhash64("id"), F.lit(5_000_000)).alias("user_id"),
+            (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1_000_000)) / 100.0).alias(
+                "value"
+            ),
+        )
+        sk_specs = [
+            SketchSpec("u_hll", "hll", "user_id"),
+            SketchSpec("u_cms", "cms", "user_id"),
+            SketchSpec("v_td", "tdigest", "value", quantiles=(0.5, 0.99)),
+            SketchSpec("v_kll", "kll", "value", quantiles=(0.5, 0.99)),
+        ]
+
+        def run_sketch():
+            return build_sketch_states(sk_rows, sk_specs, 6, "user_id").count()
+
+        t_sketch = []
+        for i in range(repeats):
+            ts, _, _ = _timed(run_sketch, warmup=1 if i == 0 else 0)
+            t_sketch.append(ts)
+        tb, tp, tsk = min(t_build), min(t_probe), min(t_sketch)
         results[cores] = {
             "n_keys": n_keys,
             "build_sec": tb,
@@ -428,15 +455,20 @@ def main_scaling():
             # in flight at the same per-shard time)
             "mean_shard_kernel_sec": sum(best_shard_secs) / len(best_shard_secs),
             "kernel_cpu_utilization": sum(best_shard_secs) / (tb * cores),
+            "sketch_sec": tsk,
+            "n_sketch_rows": n_sketch,
+            "sketch_rows_per_sec": n_sketch / tsk,
         }
         spark.stop()
     eff_build = results[32]["build_keys_per_sec"] / (4 * results[8]["build_keys_per_sec"])
     eff_probe = results[32]["probe_keys_per_sec"] / (4 * results[8]["probe_keys_per_sec"])
+    eff_sketch = results[32]["sketch_rows_per_sec"] / (4 * results[8]["sketch_rows_per_sec"])
     report = {
         "local8": results[8],
         "local32": results[32],
         "scaling_efficiency_build": round(eff_build, 3),
         "scaling_efficiency_probe": round(eff_probe, 3),
+        "scaling_efficiency_sketch": round(eff_sketch, 3),
     }
     print(json.dumps(report, default=float))
     os.makedirs("BENCH", exist_ok=True)
@@ -455,8 +487,18 @@ def main_scaling():
                 f"{r['probe_keys_per_sec']:.0f} | {r['mean_shard_kernel_sec']:.2f} |\n"
                 for c, r in results.items()
             )
+            + "\nSketch-library scaling (north_rule's own clause): 4-kind "
+            "per-shard state build (HLL + CMS + t-digest + KLL, 64 shards) "
+            f"over {results[8]['n_sketch_rows']:,} synthetic transcript-shaped "
+            "rows:\n\n"
+            "| cores | sketch build s | rows/s |\n|---|---|---|\n"
+            + "".join(
+                f"| local[{c}] | {r['sketch_sec']:.2f} | "
+                f"{r['sketch_rows_per_sec']:.0f} |\n"
+                for c, r in results.items()
+            )
             + f"\nScaling efficiency (T32 / (4 x T8)): build **{eff_build:.2f}**, "
-            f"probe **{eff_probe:.2f}**.\n\n"
+            f"probe **{eff_probe:.2f}**, sketch **{eff_sketch:.2f}**.\n\n"
             "Interpretation: the north_rule criterion (>= 0.8 going N -> 4N "
             "executors) assumes 4x executors bring 4x memory bandwidth and "
             "4x shuffle/IO lanes. In this sandbox both levels share ONE "

@@ -371,3 +371,44 @@ def grouped_tdigest_quantiles(
             n: float(s.quantile(q)) for n, q in zip(qnames, quantiles)
         },
     )
+
+
+def grouped_kll_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+    params=None,
+) -> DataFrame:
+    """Per-group approximate quantiles via mergeable KLL sketches —
+    completes the grouped family (grouped_hll / grouped_tdigest_quantiles)
+    with the rank-error-bounded kind. Returns group_cols + one
+    ``q_<percent>`` double column per requested quantile."""
+    from pyspark.sql.types import DoubleType
+
+    from sparkfuse.kll import KLL, KllParams
+
+    params = params or KllParams()
+    qnames = [f"q_{str(q).replace('.', '_')}" for q in quantiles]
+    gfields = [df.schema[c] for c in group_cols]
+    out_schema = StructType(
+        list(gfields) + [StructField(n, DoubleType(), True) for n in qnames]
+    )
+
+    def _add(s, v):
+        s.add(v.astype(np.float64))
+        return s
+
+    return _grouped_states(
+        df, group_cols, value_col,
+        make=lambda: KLL(params),
+        add=_add,
+        merge=lambda a, b: a.merge(b),
+        to_bytes=lambda s: s.to_bytes(),
+        from_bytes=lambda b: KLL.from_bytes(params, b),
+        finish_schema=out_schema,
+        finish=lambda s: {
+            n: (float(s.quantile(q)) if s.n else None)
+            for n, q in zip(qnames, quantiles)
+        },
+    )

@@ -195,3 +195,39 @@ def test_grouped_hll_null_group_and_null_values(spark):
     assert set(est) == set(exact) == {"a", "b", None}
     for g, n in exact.items():
         assert abs(est[g] - n) <= 1.0, (g, est[g], n)
+
+
+def test_grouped_kll_matches_exact_within_bound(spark, sf_dir):
+    """Per-group KLL medians land within rank tolerance of each group's
+    exact values, including groups far smaller than k."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sparkfuse.kll import KllParams
+    from sparkfuse.sketches import grouped_kll_quantiles
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r["event_type"]: r["q_0_5"]
+        for r in grouped_kll_quantiles(
+            events, ["event_type"], "value", [0.5], KllParams(k=128)
+        ).collect()
+    }
+    groups = {
+        r["event_type"]: r
+        for r in events.groupBy("event_type").agg(
+            F.count("value").alias("n")
+        ).collect()
+    }
+    assert set(got) == set(groups)
+    for et, est in got.items():
+        vals = np.array(
+            [
+                r["value"]
+                for r in events.filter(
+                    (F.col("event_type") == et) & F.col("value").isNotNull()
+                ).collect()
+            ]
+        )
+        rank = float((vals <= est).mean())
+        assert abs(rank - 0.5) <= max(0.05, 2.0 / np.sqrt(len(vals))), (et, rank)
