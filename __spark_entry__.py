@@ -1016,6 +1016,36 @@ def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED mergeable KLL quantiles: per-event-type median of value
+    (partial compactor states per (partition, group), merged per group —
+    only KB states shuffle). Invariant asserted in-query: the attained
+    rank of each group's estimated median is within the sketch's rank
+    tolerance of 0.5, recomputed against the group's exact values; the
+    bound holds for ANY merge order, so the boolean is deterministic."""
+    from sparkfuse.kll import KllParams
+    from sparkfuse.sketches import grouped_kll_quantiles
+
+    events = _t(spark, sf_dir, "events")
+    est = grouped_kll_quantiles(
+        events, ["event_type"], "value", [0.5], KllParams(k=200)
+    )
+    return (
+        events.filter(F.col("value").isNotNull())
+        .join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.abs(
+                    F.avg((F.col("value") <= F.col("q_0_5")).cast("double"))
+                    - F.lit(0.5)
+                )
+                <= F.lit(0.05)
+            ).alias("rank_ok")
+        )
+    )
+
+
 def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-overlap near-dup pairs: docs sharing >= 40 winnowing
     fingerprints (threshold above the fixture's template-boilerplate floor),
@@ -1075,6 +1105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_pipeline": q_media_pipeline,
     "media_decode": q_media_decode,
     "hll_by_group": q_hll_by_group,
+    "kll_by_group": q_kll_by_group,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "contamination_check": q_contamination_check,
     "winnow_fingerprints": q_winnow_fps,
@@ -1225,6 +1256,10 @@ def oracle_sql() -> dict[str, str]:
         "hll_by_group": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, "
             "TRUE AS bound_ok FROM events GROUP BY event_type"
+        ),
+        "kll_by_group": (
+            "SELECT event_type, TRUE AS rank_ok FROM events "
+            "WHERE value IS NOT NULL GROUP BY event_type"
         ),
         "simhash_near_dup_pairs": (
             "SELECT COUNT(*) AS n_docs, TRUE AS lossless_ok FROM documents"

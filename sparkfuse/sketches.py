@@ -274,8 +274,14 @@ def _grouped_states(
     merge later, ship cross-system (north_rule: mergeable UDAFs from
     scratch with checkpointable lineage).
     """
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType
+
     gfields = [df.schema[c] for c in group_cols]
-    partial_schema = StructType(list(gfields) + [StructField("state", BinaryType(), False)])
+    partial_schema = StructType(
+        list(gfields)
+        + [StructField("_pid", LongType(), False), StructField("state", BinaryType(), False)]
+    )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         accs: dict = {}
@@ -294,13 +300,21 @@ def _grouped_states(
                 if len(vals):
                     add(st, vals)
         if accs:
+            # the source partition id rides along so the final merge can
+            # order states deterministically — shuffle FETCH order is not
+            # deterministic, and t-digest/KLL merges are order-sensitive,
+            # so without it per-group results could drift run to run
+            pid = TaskContext.get().partitionId()
             yield pd.DataFrame(
-                [dict(zip(group_cols, k)) | {"state": to_bytes(s)} for k, s in accs.items()]
+                [
+                    dict(zip(group_cols, k)) | {"_pid": pid, "state": to_bytes(s)}
+                    for k, s in accs.items()
+                ]
             )
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         acc = make()
-        for b in pdf["state"]:
+        for b in pdf.sort_values("_pid")["state"]:
             acc = merge(acc, from_bytes(bytes(b)))
         row = {c: pdf[c].iloc[0] for c in group_cols}
         row.update(finish(acc))
