@@ -1046,6 +1046,19 @@ def q_kll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters via a Misra-Gries prescreen: users with >= 60
+    events, with exact counts. MG (mergeable, enumerable — unlike CMS)
+    guarantees every qualifying key survives as a candidate whenever
+    min_count exceeds its tracked undercount (checked at runtime, raises
+    otherwise), so only candidate rows reach the exact groupBy — the plain
+    ANSI GROUP BY/HAVING oracle must match row-for-row."""
+    from sparkfuse.sketches import heavy_hitters
+
+    events = _t(spark, sf_dir, "events")
+    return heavy_hitters(events, "user_id", min_count=60, capacity=4096)
+
+
 def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-overlap near-dup pairs: docs sharing >= 40 winnowing
     fingerprints (threshold above the fixture's template-boilerplate floor),
@@ -1106,6 +1119,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode": q_media_decode,
     "hll_by_group": q_hll_by_group,
     "kll_by_group": q_kll_by_group,
+    "heavy_hitters": q_heavy_hitters,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "contamination_check": q_contamination_check,
     "winnow_fingerprints": q_winnow_fps,
@@ -1260,6 +1274,10 @@ def oracle_sql() -> dict[str, str]:
         "kll_by_group": (
             "SELECT event_type, TRUE AS rank_ok FROM events "
             "WHERE value IS NOT NULL GROUP BY event_type"
+        ),
+        "heavy_hitters": (
+            "SELECT user_id, COUNT(*) AS n FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY user_id HAVING COUNT(*) >= 60"
         ),
         "simhash_near_dup_pairs": (
             "SELECT COUNT(*) AS n_docs, TRUE AS lossless_ok FROM documents"

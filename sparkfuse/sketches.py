@@ -1,4 +1,6 @@
-"""Bonus mergeable sketches (north_rule family: HLL, count-min).
+"""Bonus mergeable sketches (north_rule family: HLL, count-min; plus
+Misra-Gries frequent items — the enumerable heavy-hitter summary CMS
+cannot provide).
 
 The xor/fuse forest is a *static* membership structure (no merge of two
 filters exists in the reference — SURVEY.md §1.1); these sketches are the
@@ -25,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
 
-from sparkfuse.hashing import murmur64, to_u64
+from sparkfuse.hashing import murmur64, to_i64, to_u64
 
 _PARTIAL_SCHEMA = StructType(
     [
@@ -425,4 +427,168 @@ def grouped_kll_quantiles(
             n: (float(s.quantile(q)) if s.n else None)
             for n, q in zip(qnames, quantiles)
         },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent items (mergeable, enumerable heavy-hitter summary)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MgParams:
+    capacity: int = 256  # max tracked keys; undercount <= n/(capacity+1)
+
+
+class MisraGries:
+    """Mergeable Misra-Gries summary over u64 keys: at most ``capacity``
+    (key, counter) pairs, with the classic guarantee
+
+        c(x) - dec  <=  counter(x)  <=  c(x)
+
+    where ``dec`` (tracked explicitly) is the cumulative threshold ever
+    subtracted, and dec <= n / (capacity+1). Every key whose true count
+    exceeds ``dec`` is PRESENT in the summary — which is what makes
+    threshold heavy-hitter queries exactly verifiable (CMS estimates
+    counts but cannot enumerate candidates; MG enumerates).
+
+    Merge (mergeable-summaries construction): sum counters keywise, then
+    subtract the (capacity+1)-th largest counter from all and drop the
+    non-positive — each such shrink subtracts its threshold t from at
+    least capacity+1 counters, so the dec <= n/(capacity+1) bound
+    composes across any merge tree.
+    """
+
+    def __init__(self, params: MgParams = MgParams(), keys=None, counts=None,
+                 n: int = 0, dec: int = 0):
+        self.params = params
+        self.keys = keys if keys is not None else np.empty(0, dtype=np.uint64)
+        self.counts = counts if counts is not None else np.empty(0, dtype=np.int64)
+        self.n = n
+        self.dec = dec
+
+    @staticmethod
+    def _combine(keys_a, counts_a, keys_b, counts_b):
+        k = np.concatenate([keys_a, keys_b])
+        c = np.concatenate([counts_a, counts_b])
+        uk, inv = np.unique(k, return_inverse=True)
+        uc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(uc, inv, c)
+        return uk, uc
+
+    def _shrink(self, keys, counts):
+        cap = self.params.capacity
+        if len(keys) <= cap:
+            return keys, counts, 0
+        # (capacity+1)-th largest counter; >= capacity+1 counters lose t
+        t = int(np.partition(counts, len(counts) - cap - 1)[len(counts) - cap - 1])
+        c2 = counts - t
+        keep = c2 > 0
+        return keys[keep], c2[keep], t
+
+    def add(self, keys: np.ndarray) -> None:
+        keys = to_u64(np.asarray(keys))
+        if len(keys) == 0:
+            return
+        uk, uc = np.unique(keys, return_counts=True)
+        k, c = self._combine(self.keys, self.counts, uk, uc.astype(np.int64))
+        self.keys, self.counts, t = self._shrink(k, c)
+        self.n += int(len(keys))
+        self.dec += t
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        assert self.params == other.params
+        out = MisraGries(self.params, n=self.n + other.n)
+        k, c = self._combine(self.keys, self.counts, other.keys, other.counts)
+        out.keys, out.counts, t = out._shrink(k, c)
+        out.dec = self.dec + other.dec + t
+        return out
+
+    def estimates(self, keys: np.ndarray) -> np.ndarray:
+        """Lower-bound counts for ``keys`` (0 if untracked); true count is
+        within [estimate, estimate + dec]."""
+        keys = to_u64(np.asarray(keys))
+        idx = np.searchsorted(self.keys, keys)
+        idx = np.clip(idx, 0, max(len(self.keys) - 1, 0))
+        out = np.zeros(len(keys), dtype=np.int64)
+        if len(self.keys):
+            hit = self.keys[idx] == keys
+            out[hit] = self.counts[idx[hit]]
+        return out
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack("<QQI", self.n, self.dec, len(self.keys))
+        return head + self.keys.tobytes() + self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, params: MgParams, data: bytes) -> "MisraGries":
+        import struct
+
+        n, dec, ln = struct.unpack_from("<QQI", data, 0)
+        off = struct.calcsize("<QQI")
+        keys = np.frombuffer(data, dtype=np.uint64, count=ln, offset=off).copy()
+        counts = np.frombuffer(
+            data, dtype=np.int64, count=ln, offset=off + 8 * ln
+        ).copy()
+        return cls(params, keys, counts, n=int(n), dec=int(dec))
+
+
+def build_mg(
+    keys_df: DataFrame, key_name: str = "key", params: MgParams = MgParams()
+) -> MisraGries:
+    return _tree_build(
+        keys_df,
+        key_name,
+        make=lambda: MisraGries(params),
+        add=lambda s, k: s.add(k),
+        merge=lambda a, b: a.merge(b),
+        to_bytes=lambda s: s.to_bytes(),
+        from_bytes=lambda b: MisraGries.from_bytes(params, b),
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    capacity: int = 4096,
+) -> DataFrame:
+    """EXACT counts of every ``col`` value occurring >= ``min_count``
+    times, MG-prescreened so the exact pass only aggregates candidate
+    rows. Returns (col, n) rows.
+
+    Pass 1 builds a mergeable Misra-Gries summary over xxhash64(col)
+    (KB-sized states tree-merged, no keyed shuffle). Its guarantee makes
+    the prescreen LOSSLESS: every value with true count >= min_count has a
+    surviving counter whenever min_count > dec, which is checked at
+    runtime — a too-small capacity raises with the remediation instead of
+    silently dropping heavy hitters. Hash collisions only ever ADD
+    candidates (counts inflate), never lose one; the exact confirm
+    groups by the VALUE, so extras are filtered precisely.
+
+    Scale shape: a plain groupBy(col) at 10^12 rows shuffles every
+    distinct key once; here only rows whose hash is among <= capacity
+    candidates reach the exchange (an in-list filter inside the scan's
+    codegen stage), and capacity rides the threshold: the MG bound needs
+    capacity >~ n/min_count, which is exactly the heavy-hitter working-set
+    size."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    keys = df.filter(F.col(col).isNotNull()).select(F.xxhash64(col).alias("key"))
+    mg = build_mg(keys, params=MgParams(capacity=capacity))
+    if mg.dec >= min_count:
+        raise ValueError(
+            f"heavy_hitters: MG undercount bound dec={mg.dec} >= "
+            f"min_count={min_count}: candidates may be incomplete — raise "
+            f"capacity (needs roughly n/min_count = "
+            f"{max(1, mg.n // max(min_count, 1))})"
+        )
+    cand = [int(k) for k in to_i64(mg.keys)]
+    return (
+        df.filter(F.col(col).isNotNull())
+        .filter(F.xxhash64(col).isin(cand))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
     )

@@ -2,7 +2,7 @@
 
 This is the sketch-library twin of the forest's resumable build
 (sparkfuse.forest.build_forest_resumable): every sketch kind the library
-ships (HLL, Count-Min, t-digest, KLL, Bloom) can be built as ONE state per
+ships (HLL, Count-Min, t-digest, KLL, Bloom, Misra-Gries) can be built as ONE state per
 deterministic shard, persisted with per-shard lineage + metrics, and a
 killed job re-submitted with the same arguments completes the sink
 byte-identically to a fresh full build (north_rule: "resumable from
@@ -64,18 +64,29 @@ from pyspark.sql.utils import AnalysisException
 from sparkfuse.bloom import BloomFilter, BloomParams
 from sparkfuse.keys import shard_column
 from sparkfuse.kll import KLL, KllParams
-from sparkfuse.sketches import CmsParams, CountMin, HllParams, HyperLogLog
+from sparkfuse.sketches import (
+    CmsParams,
+    CountMin,
+    HllParams,
+    HyperLogLog,
+    MgParams,
+    MisraGries,
+)
 from sparkfuse.tdigest import TDigest, TDigestParams
 
-SKETCH_KINDS = ("hll", "cms", "tdigest", "kll", "bloom")
-_HASHED_KINDS = frozenset({"hll", "cms", "bloom"})
-_ORDER_SENSITIVE = frozenset({"tdigest", "kll"})
+SKETCH_KINDS = ("hll", "cms", "tdigest", "kll", "bloom", "mg")
+_HASHED_KINDS = frozenset({"hll", "cms", "bloom", "mg"})
+# mg is order-sensitive: which keys survive a shrink depends on arrival
+# order, so the kernel's in-shard sort is what makes its states
+# deterministic (the presence/undercount GUARANTEES hold for any order)
+_ORDER_SENSITIVE = frozenset({"tdigest", "kll", "mg"})
 
 _DEFAULT_PARAMS = {
     "hll": HllParams,
     "cms": CmsParams,
     "tdigest": TDigestParams,
     "kll": KllParams,
+    "mg": MgParams,
 }
 
 _PARAM_TYPES = {
@@ -84,6 +95,7 @@ _PARAM_TYPES = {
     "tdigest": TDigestParams,
     "kll": KllParams,
     "bloom": BloomParams,
+    "mg": MgParams,
 }
 
 SKETCH_STATE_SCHEMA = StructType(
@@ -115,7 +127,7 @@ SKETCH_FINISH_SCHEMA = StructType(
 class SketchSpec:
     """One sketch to maintain over one input column.
 
-    kind='hll'|'cms'|'bloom' hash the column JVM-side (xxhash64 → u64 keys,
+    kind='hll'|'cms'|'bloom'|'mg' hash the column JVM-side (xxhash64 → u64 keys,
     NULLs skipped to match COUNT(DISTINCT)/COUNT semantics); 'tdigest'|'kll'
     cast to double (NULL/NaN skipped, matching percentile_approx).
     ``params`` defaults per kind except 'bloom', whose size is
@@ -166,6 +178,8 @@ def _make(kind: str, params):
         return TDigest(params)
     if kind == "kll":
         return KLL(params)
+    if kind == "mg":
+        return MisraGries(params)
     return BloomFilter(params)
 
 
@@ -178,6 +192,8 @@ def _from_bytes(kind: str, params, data: bytes):
         return TDigest.from_bytes(params, data)
     if kind == "kll":
         return KLL.from_bytes(params, data)
+    if kind == "mg":
+        return MisraGries.from_bytes(params, data)
     return BloomFilter.from_bytes(params, data)
 
 
@@ -202,6 +218,14 @@ def _finish_stats(kind: str, sketch, spec: SketchSpec) -> list[tuple[str, float]
         out = [(_qname(q), float(sketch.quantile(q))) for q in spec.quantiles]
         out.append(("n", float(sketch.n)))
         return out
+    if kind == "mg":
+        # heavy-hitter candidates are queried (estimates/keys), not
+        # finished; n and dec certify the guarantee window
+        return [
+            ("n", float(sketch.n)),
+            ("dec", float(sketch.dec)),
+            ("n_tracked", float(len(sketch.keys))),
+        ]
     # bloom: structural stats; membership is queried, not finished
     bits_set = int(np.unpackbits(sketch.words.view(np.uint8)).sum())
     return [

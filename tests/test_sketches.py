@@ -231,3 +231,78 @@ def test_grouped_kll_matches_exact_within_bound(spark, sf_dir):
         )
         rank = float((vals <= est).mean())
         assert abs(rank - 0.5) <= max(0.05, 2.0 / np.sqrt(len(vals))), (et, rank)
+
+
+def test_misra_gries_guarantees_and_merge():
+    """Kernel-level MG invariants: undercount bound, presence guarantee,
+    merge ≡ single-pass bound-wise, serialization roundtrip."""
+    import numpy as np
+
+    from sparkfuse.sketches import MgParams, MisraGries
+
+    rng = np.random.default_rng(7)
+    # zipf-ish: heavy keys 0..9, long uniform tail
+    tail = rng.integers(100, 50_000, size=40_000)
+    heads = np.repeat(np.arange(10), 2_000)
+    data = np.concatenate([heads, tail])
+    rng.shuffle(data)
+    true = {k: int((data == k).sum()) for k in range(10)}
+
+    params = MgParams(capacity=512)
+    mg = MisraGries(params)
+    for chunk in np.array_split(data, 7):
+        mg.add(chunk)
+    assert mg.n == len(data)
+    assert len(mg.keys) <= params.capacity
+    assert mg.dec <= mg.n // (params.capacity + 1)
+    est = mg.estimates(np.arange(10))
+    for k in range(10):
+        assert true[k] - mg.dec <= est[k] <= true[k], (k, est[k], true[k])
+        assert est[k] > 0  # every head exceeds dec -> present
+
+    # merge of split halves keeps the composed bound and the guarantee
+    a, b = MisraGries(params), MisraGries(params)
+    a.add(data[: len(data) // 2])
+    b.add(data[len(data) // 2:])
+    m = a.merge(b)
+    assert m.n == len(data)
+    assert m.dec <= m.n // (params.capacity + 1)
+    est_m = m.estimates(np.arange(10))
+    for k in range(10):
+        assert true[k] - m.dec <= est_m[k] <= true[k]
+
+    r = MisraGries.from_bytes(params, m.to_bytes())
+    assert np.array_equal(r.keys, m.keys) and np.array_equal(r.counts, m.counts)
+    assert (r.n, r.dec) == (m.n, m.dec)
+
+
+def test_heavy_hitters_exact(spark, sf_dir):
+    """MG-prescreened heavy hitters return EXACTLY the full-groupBy answer."""
+    from pyspark.sql import functions as F
+
+    from sparkfuse.sketches import heavy_hitters
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r["user_id"], r["n"])
+        for r in heavy_hitters(events, "user_id", min_count=60).collect()
+    }
+    want = {
+        (r["user_id"], r["n"])
+        for r in events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 60)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_capacity_too_small_raises(spark, sf_dir):
+    import pytest
+
+    from sparkfuse.sketches import heavy_hitters
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ValueError, match="raise\\s+capacity"):
+        heavy_hitters(events, "user_id", min_count=2, capacity=4)

@@ -444,3 +444,50 @@ def test_nan_counts_as_null_in_lineage(spark):
     assert m["n_rows"] + m["n_nulls"] == 300
     n_bad = df.filter(F.isnan("value") | F.col("value").isNull()).count()
     assert m["n_nulls"] == n_bad
+
+
+def test_mg_sink_kind_resume_and_candidates(spark, events, tmp_path):
+    """Misra-Gries states are checkpointable like every other kind: resume
+    is byte-identical, and the merged summary keeps the heavy-hitter
+    presence guarantee."""
+    from sparkfuse.sketches import MgParams
+
+    specs = [
+        SketchSpec("users_mg", "mg", "user_id", MgParams(capacity=2048)),
+        SketchSpec("users_hll", "hll", "user_id", HllParams(p=12)),
+    ]
+    fresh = str(tmp_path / "fresh")
+    resumed = str(tmp_path / "resumed")
+    write_sketch_states(
+        build_sketch_states(events, specs, SHARD_BITS, "user_id"), fresh
+    )
+    half = spark.read.parquet(fresh).filter(F.col("shard") % 2 == 1)
+    write_sketch_states(half, resumed)
+    build_sketch_states_resumable(events, resumed, spark, specs, SHARD_BITS, "user_id")
+    assert _rows(spark.read.parquet(fresh)) == _rows(spark.read.parquet(resumed))
+
+    merged = merge_sketch_states(spark.read.parquet(resumed), specs)
+    mg = merged["users_mg"]
+    assert mg.n == events.filter(F.col("user_id").isNotNull()).count()
+    # capacity >= distinct users here, so no shrink ever happened and the
+    # summary is EXACT counts per hashed key
+    assert mg.dec == 0
+    top = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+    )
+    import numpy as np
+
+    from sparkfuse.hashing import to_u64, xxh64_u64
+
+    h = xxh64_u64(to_u64(np.array([top["user_id"]], dtype=np.int64)))
+    assert int(mg.estimates(h)[0]) == top["count"]
+    fin = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(spark.read.parquet(resumed), specs).collect()
+    }
+    assert fin[("users_mg", "n")] == float(mg.n)
+    assert fin[("users_mg", "dec")] == 0.0
