@@ -1046,6 +1046,47 @@ def q_kll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven balanced range repartition (repartitionByRange without
+    its per-query sampling job: boundaries from a mergeable KLL, placement
+    via inverse-hash routing tags so partition id == value bucket).
+    In-query invariants over the ACTUAL output partitioning: row count
+    preserved exactly, per-partition (min,max] ranges disjoint and ordered
+    by partition id, sizes balanced within 2x of the mean despite the
+    value skew. Each boolean is recomputed from spark_partition_id()
+    aggregates, so a placement or boundary regression flips a row."""
+    from sparkfuse.rangepart import range_repartition_by_sketch
+
+    events = _t(spark, sf_dir, "events")
+    parts = 8
+    out = range_repartition_by_sketch(events, "value", parts, spark)
+    stats = sorted(
+        (
+            r["_pid"],
+            r,
+        )
+        for r in out.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    )
+    n_rows = sum(r["n"] for _, r in stats)
+    disjoint = all(
+        ra["hi"] <= rb["lo"]
+        for (_, ra), (_, rb) in zip(stats, stats[1:])
+        if ra["hi"] is not None and rb["lo"] is not None
+    )
+    balance_ok = max(r["n"] for _, r in stats) <= 2.0 * (n_rows / len(stats))
+    return spark.createDataFrame(
+        [(n_rows, bool(disjoint), bool(balance_ok))],
+        "n_rows long, ranges_disjoint boolean, balance_ok boolean",
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters via a Misra-Gries prescreen: users with >= 60
     events, with exact counts. MG (mergeable, enumerable — unlike CMS)
@@ -1120,6 +1161,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_by_group": q_hll_by_group,
     "kll_by_group": q_kll_by_group,
     "heavy_hitters": q_heavy_hitters,
+    "range_partition": q_range_partition,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "contamination_check": q_contamination_check,
     "winnow_fingerprints": q_winnow_fps,
@@ -1278,6 +1320,10 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": (
             "SELECT user_id, COUNT(*) AS n FROM events "
             "WHERE user_id IS NOT NULL GROUP BY user_id HAVING COUNT(*) >= 60"
+        ),
+        "range_partition": (
+            "SELECT COUNT(*) AS n_rows, TRUE AS ranges_disjoint, "
+            "TRUE AS balance_ok FROM events"
         ),
         "simhash_near_dup_pairs": (
             "SELECT COUNT(*) AS n_docs, TRUE AS lossless_ok FROM documents"

@@ -77,6 +77,8 @@ _SPARK_LAYER = {
     "merge_sketch_states": ("sparkfuse.sketchsink", "merge_sketch_states"),
     "sketch_sink_metrics": ("sparkfuse.sketchsink", "sketch_sink_metrics"),
     "stream_sketch_states": ("sparkfuse.sketchsink", "stream_sketch_states"),
+    "range_repartition_by_sketch": ("sparkfuse.rangepart", "range_repartition_by_sketch"),
+    "heavy_hitters": ("sparkfuse.sketches", "heavy_hitters"),
     "compact_sketch_states": ("sparkfuse.sketchsink", "compact_sketch_states"),
 }
 
