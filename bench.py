@@ -352,6 +352,30 @@ def main_bench():
     t, _ = bench_row("sketch_profile_5kind", run_sketch_profile, repeats=4)
     extra["sketch_profile_rows_per_sec"] = n_events / t
 
+    # EXACT heavy hitters on a zipf-skewed 20M-row stream: the MG prescreen
+    # means only candidate rows reach the exchange (vs a full groupBy over
+    # every distinct key)
+    from sparkfuse.sketches import heavy_hitters
+
+    n_hh = 20_000_000
+    zipf = spark.range(n_hh).select(
+        # u ~ (0,1]; floor(1/u) gives a 1/k^2 frequency tail — heavy head,
+        # ~1e6 distinct keys
+        (
+            F.lit(1.0)
+            / ((F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 1) / 1_000_000.0)
+        )
+        .cast("long")
+        .alias("user")
+    )
+
+    def run_heavy_hitters():
+        return heavy_hitters(zipf, "user", min_count=1000, capacity=32768).count()
+
+    t, n_heavy = bench_row("heavy_hitters_20m_zipf", run_heavy_hitters, repeats=2)
+    extra["heavy_hitters_rows_per_sec"] = n_hh / t
+    extra["heavy_hitters_found"] = float(n_heavy)
+
     keys.unpersist()
     total = sum(queries.values())
     print(

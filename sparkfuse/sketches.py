@@ -585,10 +585,25 @@ def heavy_hitters(
             f"{max(1, mg.n // max(min_count, 1))})"
         )
     cand = [int(k) for k in to_i64(mg.keys)]
+    nn = df.filter(F.col(col).isNotNull())
+    if len(cand) <= 1024:
+        # small candidate sets compile to an INSET hash-set filter inside
+        # the scan's codegen stage (verified plan, PLANS.md §18)
+        filtered = nn.filter(F.xxhash64(col).isin(cand))
+    else:
+        # a multi-thousand-literal IN list bloats the expression tree and
+        # Catalyst plan time; a broadcast semi-join on the hashed key keeps
+        # the same only-candidate-rows-shuffle shape at any capacity
+        cand_df = df.sparkSession.createDataFrame(
+            [(c,) for c in cand], "_sf_hh_key long"
+        )
+        filtered = nn.join(
+            F.broadcast(cand_df),
+            F.xxhash64(col) == F.col("_sf_hh_key"),
+            "left_semi",
+        )
     return (
-        df.filter(F.col(col).isNotNull())
-        .filter(F.xxhash64(col).isin(cand))
-        .groupBy(col)
+        filtered.groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )

@@ -104,3 +104,39 @@ def test_ppm_roundtrip_total(h, w, seed):
 
     px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
     assert (decode_ppm(encode_ppm(px)) == px).all()
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=2000),
+    st.integers(2, 64),
+    st.integers(1, 5),
+)
+@settings(max_examples=40, deadline=None)
+def test_misra_gries_invariants_property(vals, capacity, n_chunks):
+    """For ANY stream, chunking, and capacity: counters never overcount,
+    undercount <= dec <= n/(capacity+1), at most `capacity` keys tracked,
+    and every key with true count > dec is present. Also: merging an
+    arbitrary split ≡ same invariants."""
+    from sparkfuse.sketches import MgParams, MisraGries
+
+    data = np.array(vals, dtype=np.int64)
+    params = MgParams(capacity=capacity)
+    mg = MisraGries(params)
+    for chunk in np.array_split(data, min(n_chunks, len(data))):
+        if len(chunk):
+            mg.add(chunk)
+    split = len(data) // 2
+    a, b = MisraGries(params), MisraGries(params)
+    if split:
+        a.add(data[:split])
+    if len(data) - split:
+        b.add(data[split:])
+    for summary in (mg, a.merge(b)):
+        assert summary.n == len(data)
+        assert len(summary.keys) <= capacity
+        assert summary.dec <= summary.n // (capacity + 1)
+        uniq, counts = np.unique(data, return_counts=True)
+        est = summary.estimates(uniq.astype(np.uint64))
+        assert bool((est <= counts).all())           # never overcount
+        assert bool((est >= counts - summary.dec).all())  # bounded undercount
+        assert bool((est[counts > summary.dec] > 0).all())  # presence

@@ -90,3 +90,44 @@ def test_prebuilt_sketch_reused_and_bounds_dedup(spark, skewed):
     out_const = range_repartition_by_sketch(const, "value", 8, spark, sketch=sk_const)
     assert out_const.rdd.getNumPartitions() == 1
     assert out_const.count() == 1000
+
+
+def test_stream_maintained_sketch_drives_partitioning(spark, tmp_path):
+    """The full at-scale loop: a KLL maintained incrementally from a stream
+    (epoch-appended sketch sink) is merged and reused as the range
+    partitioner's boundary source — no sampling pass, boundaries from the
+    persisted artifact."""
+    from sparkfuse.kll import KllParams
+    from sparkfuse.sketchsink import (
+        SketchSpec,
+        merge_sketch_states,
+        stream_sketch_states,
+    )
+
+    base = str(tmp_path)
+    src, sink, ck = f"{base}/src", f"{base}/sink", f"{base}/ck"
+    specs = [SketchSpec("v_kll", "kll", "value", KllParams(k=256))]
+    full = spark.range(40_000).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 10.0).alias("value"),
+    )
+
+    def run_once():
+        stream = spark.readStream.schema("id long, value double").parquet(
+            f"{src}/batch_*"
+        )
+        q = stream_sketch_states(stream, sink, ck, specs, 3, "id")
+        q.awaitTermination()
+
+    full.filter(F.col("id") < 20_000).write.parquet(f"{src}/batch_a")
+    run_once()
+    full.filter(F.col("id") >= 20_000).write.parquet(f"{src}/batch_b")
+    run_once()
+
+    sketch = merge_sketch_states(spark.read.parquet(sink), specs)["v_kll"]
+    assert sketch.n == 40_000
+    out = range_repartition_by_sketch(full, "value", 8, spark, sketch=sketch)
+    stats = _partition_stats(out)
+    sizes = [r["n"] for r in stats]
+    assert sum(sizes) == 40_000
+    assert max(sizes) <= 1.5 * (40_000 / 8)

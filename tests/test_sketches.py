@@ -306,3 +306,32 @@ def test_heavy_hitters_capacity_too_small_raises(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     with pytest.raises(ValueError, match="raise\\s+capacity"):
         heavy_hitters(events, "user_id", min_count=2, capacity=4)
+
+
+def test_heavy_hitters_large_capacity_semijoin_path(spark):
+    """Above the in-list threshold the candidate set rides a broadcast
+    semi-join; results stay exactly the full-groupBy answer."""
+    from pyspark.sql import functions as F
+
+    from sparkfuse.sketches import heavy_hitters
+
+    zipf = spark.range(300_000).select(
+        (
+            F.lit(1.0)
+            / ((F.pmod(F.xxhash64("id"), F.lit(50_000)) + 1) / 50_000.0)
+        )
+        .cast("long")
+        .alias("user")
+    )
+    got = sorted(
+        (r["user"], r["n"])
+        for r in heavy_hitters(zipf, "user", min_count=50, capacity=4096).collect()
+    )
+    want = sorted(
+        (r["user"], r["n"])
+        for r in zipf.groupBy("user")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter("n >= 50")
+        .collect()
+    )
+    assert got == want and len(got) > 10
