@@ -998,13 +998,16 @@ def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     params = HllParams()
-    est = grouped_hll(events, ["event_type"], "user_id", params)
+    est = grouped_hll(events, ["event_type"], "user_id", params).withColumnRenamed(
+        "event_type", "_et"
+    )
     exact = events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact")
     )
     sigma = 1.04 / (params.m ** 0.5)
     return (
-        exact.join(est, "event_type")
+        # null-safe: keep a NULL event_type group to match SQL GROUP BY
+        exact.join(est, F.col("event_type").eqNullSafe(F.col("_et")))
         .select(
             "event_type",
             "n_exact",
@@ -1029,10 +1032,13 @@ def q_kll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     est = grouped_kll_quantiles(
         events, ["event_type"], "value", [0.5], KllParams(k=200)
-    )
+    ).withColumnRenamed("event_type", "_et")
     return (
         events.filter(F.col("value").isNotNull())
-        .join(F.broadcast(est), "event_type")
+        # null-safe join: a NULL event_type group must survive to match the
+        # SQL GROUP BY (a plain equi-join would silently drop it)
+        .join(F.broadcast(est), F.col("event_type").eqNullSafe(F.col("_et")))
+        .drop("_et")
         .groupBy("event_type")
         .agg(
             (
@@ -1060,6 +1066,7 @@ def q_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     parts = 8
     out = range_repartition_by_sketch(events, "value", parts, spark)
+    n_parts = out.rdd.getNumPartitions()
     stats = sorted(
         (
             r["_pid"],
@@ -1075,12 +1082,27 @@ def q_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     n_rows = sum(r["n"] for _, r in stats)
+    if not stats:
+        # empty input: trivially balanced/disjoint, matching the oracle's
+        # COUNT(*)=0 row
+        return spark.createDataFrame(
+            [(0, True, True)],
+            "n_rows long, ranges_disjoint boolean, balance_ok boolean",
+        )
+    # strict <: exact bucketing (boundary test is b < v) can never give
+    # hi_i == lo_{i+1}; equality means one value straddles two partitions
     disjoint = all(
-        ra["hi"] <= rb["lo"]
+        ra["hi"] < rb["lo"]
         for (_, ra), (_, rb) in zip(stats, stats[1:])
         if ra["hi"] is not None and rb["lo"] is not None
     )
-    balance_ok = max(r["n"] for _, r in stats) <= 2.0 * (n_rows / len(stats))
+    # denominator is the PLANNED partition count, and every planned
+    # partition must be non-empty — a placement collapse (all rows in one
+    # partition) fails balance instead of vacuously passing
+    balance_ok = (
+        len(stats) == n_parts
+        and max(r["n"] for _, r in stats) <= 2.0 * (n_rows / n_parts)
+    )
     return spark.createDataFrame(
         [(n_rows, bool(disjoint), bool(balance_ok))],
         "n_rows long, ranges_disjoint boolean, balance_ok boolean",

@@ -358,14 +358,16 @@ def main_bench():
     from sparkfuse.sketches import heavy_hitters
 
     n_hh = 20_000_000
+    u = (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 1) / 1_000_000.0
     zipf = spark.range(n_hh).select(
-        # u ~ (0,1]; floor(1/u) gives a 1/k^2 frequency tail — heavy head,
-        # ~1e6 distinct keys
-        (
-            F.lit(1.0)
-            / ((F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 1) / 1_000_000.0)
+        # 10% zipf head (floor(1/u), 1/k^2 frequencies, ~130 keys clear the
+        # threshold) + 90% uniform tail over 1e7 cold keys (~2 occurrences
+        # each) — so the MG prescreen genuinely filters: of ~8M distinct
+        # keys only <= capacity candidates' rows reach the exchange
+        F.when(u < 0.1, (F.lit(1.0) / u).cast("long"))
+        .otherwise(
+            F.lit(2_000_000) + F.pmod(F.xxhash64(F.col("id") + 3), F.lit(10_000_000))
         )
-        .cast("long")
         .alias("user")
     )
 

@@ -23,6 +23,8 @@ divergence from sort order, where Spark puts NaN last).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,13 +38,18 @@ def range_bounds_from_sketch(sketch: KLL, num_partitions: int) -> list[float]:
     fewer (still-balanced-as-possible) buckets can result."""
     if num_partitions < 1:
         raise ValueError("num_partitions must be >= 1")
+    if sketch.n == 0:
+        # empty sketch (empty input / all-null column): quantiles are NaN
+        # and min/max are +/-inf, so no boundary can split anything
+        return []
     qs = [i / num_partitions for i in range(1, num_partitions)]
     bounds: list[float] = []
     for q in qs:
         b = float(sketch.quantile(q))
         # a boundary only splits when min <= b < max (bucket = values > b):
-        # b >= max leaves an empty top bucket, b < min an empty bottom one
-        if b >= sketch.max or b < sketch.min:
+        # b >= max leaves an empty top bucket, b < min an empty bottom one;
+        # non-finite b (shouldn't occur on a populated sketch) never splits
+        if not math.isfinite(b) or b >= sketch.max or b < sketch.min:
             continue
         if not bounds or b > bounds[-1]:
             bounds.append(b)
@@ -71,6 +78,8 @@ def range_repartition_by_sketch(
     inside partitions, yielding globally range-sorted output — the
     repartitionByRange + sortWithinPartitions shape without the sampling.
     """
+    if "_sf_tag" in df.columns:
+        raise ValueError("input already has a '_sf_tag' column (reserved)")
     if sketch is None:
         sketch = build_kll(
             df.select(F.col(col).cast("double").alias("value")),

@@ -599,7 +599,7 @@ def heavy_hitters(
         )
         filtered = nn.join(
             F.broadcast(cand_df),
-            F.xxhash64(col) == F.col("_sf_hh_key"),
+            F.xxhash64(col) == cand_df["_sf_hh_key"],
             "left_semi",
         )
     return (

@@ -76,10 +76,12 @@ from sparkfuse.tdigest import TDigest, TDigestParams
 
 SKETCH_KINDS = ("hll", "cms", "tdigest", "kll", "bloom", "mg")
 _HASHED_KINDS = frozenset({"hll", "cms", "bloom", "mg"})
-# mg is order-sensitive: which keys survive a shrink depends on arrival
-# order, so the kernel's in-shard sort is what makes its states
-# deterministic (the presence/undercount GUARANTEES hold for any order)
-_ORDER_SENSITIVE = frozenset({"tdigest", "kll", "mg"})
+# mg is NOT listed order-sensitive: the sink kernel feeds a shard in ONE
+# add() call, which np.unique's the whole batch — the resulting state is
+# identical for any input order, so sorting would be pure overhead. (MG
+# merge order across shards IS order-sensitive; finish's sorted merge
+# covers that.)
+_ORDER_SENSITIVE = frozenset({"tdigest", "kll"})
 
 _DEFAULT_PARAMS = {
     "hll": HllParams,
