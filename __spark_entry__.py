@@ -1052,6 +1052,45 @@ def q_kll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform 100-sample of events: top-k by md5 of the row
+    key. md5 (not xxhash64) is the selection hash precisely so an
+    independent engine can replay the EXACT selection — the oracle runs
+    the same ORDER BY md5(...) LIMIT and must pick the same 100 rows.
+    Plan: TakeOrderedAndProject (per-partition partial top-k, no full
+    sort/shuffle)."""
+    from sparkfuse.sampling import deterministic_sample
+
+    events = _t(spark, sf_dir, "events")
+    return deterministic_sample(events, 100, ["event_id"]).select("event_id")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: at most 20 events per event_type,
+    smallest content-hash first — the slice-capping draw a curation
+    pipeline uses to bound dominant sources. Exact selection replayed by
+    the oracle's windowed row_number over the same md5."""
+    from sparkfuse.sampling import stratified_sample
+
+    events = _t(spark, sf_dir, "events")
+    return stratified_sample(events, ["event_type"], 20, ["event_id"]).select(
+        "event_type", "event_id"
+    )
+
+
+def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/holdout fence over documents at 1/8: a doc is held out
+    iff the first 8 hex chars of its content hash fall below 0.125*16^8.
+    Content-keyed, so the same doc_ids are held out from every table
+    sharing the key and from every rerun; the oracle recomputes the exact
+    predicate."""
+    from sparkfuse.sampling import split_by_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    _train, hold = split_by_hash(docs, ["doc_id"], 0.125)
+    return hold.select("doc_id")
+
+
 def q_range_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-driven balanced range repartition (repartitionByRange without
     its per-query sampling job: boundaries from a mergeable KLL, placement
@@ -1184,6 +1223,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_by_group": q_kll_by_group,
     "heavy_hitters": q_heavy_hitters,
     "range_partition": q_range_partition,
+    "sample_topk": q_sample_topk,
+    "stratified_sample": q_stratified_sample,
+    "holdout_split": q_holdout_split,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "contamination_check": q_contamination_check,
     "winnow_fingerprints": q_winnow_fps,
@@ -1346,6 +1388,26 @@ def oracle_sql() -> dict[str, str]:
         "range_partition": (
             "SELECT COUNT(*) AS n_rows, TRUE AS ranges_disjoint, "
             "TRUE AS balance_ok FROM events"
+        ),
+        # the sampling oracles REPLAY the exact md5 selection (verified
+        # cross-engine: md5 + concat_ws(chr(31)) + NULL-skip semantics all
+        # match between Spark and DuckDB)
+        "sample_topk": (
+            "SELECT event_id FROM events "
+            "ORDER BY md5(concat_ws(chr(31), '0', CAST(event_id AS VARCHAR))) "
+            "LIMIT 100"
+        ),
+        "stratified_sample": (
+            "SELECT event_type, event_id FROM ("
+            "SELECT event_type, event_id, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY "
+            "md5(concat_ws(chr(31), '0', CAST(event_id AS VARCHAR)))) AS rn "
+            "FROM events) WHERE rn <= 20"
+        ),
+        "holdout_split": (
+            "SELECT doc_id FROM documents WHERE "
+            "CAST(('0x' || substr(md5(concat_ws(chr(31), '0', "
+            "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) < 536870912"
         ),
         "simhash_near_dup_pairs": (
             "SELECT COUNT(*) AS n_docs, TRUE AS lossless_ok FROM documents"

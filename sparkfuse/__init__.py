@@ -79,6 +79,9 @@ _SPARK_LAYER = {
     "stream_sketch_states": ("sparkfuse.sketchsink", "stream_sketch_states"),
     "range_repartition_by_sketch": ("sparkfuse.rangepart", "range_repartition_by_sketch"),
     "heavy_hitters": ("sparkfuse.sketches", "heavy_hitters"),
+    "deterministic_sample": ("sparkfuse.sampling", "deterministic_sample"),
+    "stratified_sample": ("sparkfuse.sampling", "stratified_sample"),
+    "split_by_hash": ("sparkfuse.sampling", "split_by_hash"),
     "compact_sketch_states": ("sparkfuse.sketchsink", "compact_sketch_states"),
 }
 

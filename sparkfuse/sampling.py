@@ -1,0 +1,99 @@
+"""Deterministic, reproducible sampling for training-data curation.
+
+``df.sample()`` draws from a per-partition RNG: the result changes with
+partitioning, retries, and cluster size, which is poison for reproducible
+dataset builds (and impossible to oracle-check). These operators replace
+randomness with a cryptographic hash of the ROW CONTENT (md5 — chosen
+deliberately over xxhash64 because every engine computes the same md5, so
+an independent SQL engine can replay the exact selection):
+
+  * ``deterministic_sample``  — global uniform k-sample = top-k by md5
+  * ``stratified_sample``     — k per group via a windowed rank by md5
+  * ``split_by_hash``         — stable train/holdout split at a fraction
+
+Selection depends only on (row content, seed): re-running on a different
+cluster, partitioning, or engine yields the SAME rows — the property
+curation pipelines need so a dataset version is a pure function of its
+inputs. A seed change is a fresh independent draw.
+
+Scale shape: top-k by hash compiles to TakeOrderedAndProject (per-partition
+partial top-k, only k rows per partition leave the scan stage — no full
+sort, no full shuffle); the stratified variant is one window over a
+groupwise shuffle; the split is a stateless filter inside codegen
+(0 shuffles), usable as a consistent train/eval fence across every table
+that shares the key columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# unit separator: illegal in normal text, so concat_ws cannot collide two
+# different column tuples into one hash input
+_SEP = "\x1f"
+
+
+def _row_hash(cols: list[str], seed: str) -> Column:
+    """Lowercase-hex md5 of the seed + key columns — identical in any
+    engine (the DuckDB twin is md5(concat_ws(chr(31), seed, cols...)));
+    NULL columns hash as empty segments (concat_ws skips nothing)."""
+    parts = [F.lit(seed)] + [F.col(c).cast("string") for c in cols]
+    return F.md5(F.concat_ws(_SEP, *parts))
+
+
+def deterministic_sample(
+    df: DataFrame, k: int, cols: list[str], seed: str = "0"
+) -> DataFrame:
+    """Uniform-without-replacement k-sample: the k rows whose content hash
+    is smallest. Equivalent to a seeded random draw (md5 is uniform on
+    distinct inputs) but reproducible anywhere. Duplicate key tuples tie
+    on the hash; include a unique id in ``cols`` for strict uniqueness."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    return df.orderBy(_row_hash(cols, seed).asc()).limit(k)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    k_per_group: int,
+    cols: list[str],
+    seed: str = "0",
+) -> DataFrame:
+    """At most ``k_per_group`` rows per group, chosen by smallest content
+    hash within the group — the balanced-slices draw (per language, per
+    source, per event type) curation pipelines use to cap dominant slices.
+    One window pass; groups smaller than k pass through whole."""
+    from pyspark.sql.window import Window
+
+    if k_per_group < 1:
+        raise ValueError("k_per_group must be >= 1")
+    if "_sf_rank" in df.columns:
+        raise ValueError("input already has a '_sf_rank' column (reserved)")
+    w = Window.partitionBy(*group_cols).orderBy(_row_hash(cols, seed).asc())
+    return (
+        df.withColumn("_sf_rank", F.row_number().over(w))
+        .filter(F.col("_sf_rank") <= k_per_group)
+        .drop("_sf_rank")
+    )
+
+
+def split_by_hash(
+    df: DataFrame,
+    cols: list[str],
+    holdout_fraction: float,
+    seed: str = "0",
+) -> tuple[DataFrame, DataFrame]:
+    """(train, holdout) split: a row is held out iff the first 8 hex chars
+    of its content hash, read as an integer, fall below
+    holdout_fraction * 16^8. Stateless and content-keyed, so the fence is
+    CONSISTENT across tables sharing the key columns (a conv_id held out
+    of the text table is held out of the embeddings table too) and across
+    reruns — the property that prevents train/eval leakage drift."""
+    if not 0.0 <= holdout_fraction <= 1.0:
+        raise ValueError("holdout_fraction must be in [0, 1]")
+    threshold = int(holdout_fraction * (16 ** 8))
+    bucket = F.conv(F.substring(_row_hash(cols, seed), 1, 8), 16, 10).cast("long")
+    is_holdout = bucket < F.lit(threshold)
+    return df.filter(~is_holdout), df.filter(is_holdout)

@@ -1,0 +1,90 @@
+"""Deterministic sampling: reproducibility across partitionings, strata
+caps, split consistency across tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfuse.sampling import (
+    deterministic_sample,
+    split_by_hash,
+    stratified_sample,
+)
+
+N = 10_000
+
+
+@pytest.fixture(scope="module")
+def rows(spark):
+    df = spark.range(N).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(7)).alias("grp"),
+    )
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+def test_sample_reproducible_and_uniformish(spark, rows):
+    a = sorted(r["id"] for r in deterministic_sample(rows, 500, ["id"]).collect())
+    b = sorted(
+        r["id"]
+        for r in deterministic_sample(rows.repartition(13), 500, ["id"]).collect()
+    )
+    assert a == b and len(a) == 500  # partitioning-independent selection
+    assert set(a) <= set(range(N))
+    c = sorted(
+        r["id"] for r in deterministic_sample(rows, 500, ["id"], seed="1").collect()
+    )
+    assert c != a  # a new seed is an independent draw
+    # roughly uniform: mean of a 500-draw from [0, N) is near N/2
+    assert abs(sum(a) / len(a) - N / 2) < N * 0.1
+
+
+def test_stratified_caps_and_keeps_small_groups(spark, rows):
+    out = stratified_sample(rows, ["grp"], 100, ["id"])
+    sizes = {
+        r["grp"]: r["n"]
+        for r in out.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n <= 100 for n in sizes.values())
+    assert set(sizes) == set(range(7))
+    # a group smaller than k passes through whole
+    small = rows.filter((F.col("grp") != 3) | (F.col("id") < 40))
+    kept3 = (
+        stratified_sample(small, ["grp"], 100, ["id"])
+        .filter(F.col("grp") == 3)
+        .count()
+    )
+    assert kept3 == small.filter(F.col("grp") == 3).count()
+    # deterministic
+    again = stratified_sample(rows, ["grp"], 100, ["id"])
+    assert sorted(r["id"] for r in out.collect()) == sorted(
+        r["id"] for r in again.collect()
+    )
+
+
+def test_split_disjoint_total_and_consistent_across_tables(spark, rows):
+    train, hold = split_by_hash(rows, ["id"], 0.25)
+    n_t, n_h = train.count(), hold.count()
+    assert n_t + n_h == N
+    assert train.join(hold, "id", "inner").count() == 0
+    assert abs(n_h / N - 0.25) < 0.03  # md5 is uniform
+    # the fence is content-keyed: another table sharing the key column
+    # holds out EXACTLY the same ids (no train/eval leakage drift)
+    other = rows.select("id", (F.col("id") * 2).alias("payload"))
+    _, hold2 = split_by_hash(other, ["id"], 0.25)
+    assert sorted(r["id"] for r in hold.collect()) == sorted(
+        r["id"] for r in hold2.collect()
+    )
+    # edge fractions
+    t0, h0 = split_by_hash(rows, ["id"], 0.0)
+    assert h0.count() == 0 and t0.count() == N
+
+
+def test_reserved_column_and_validation(spark, rows):
+    with pytest.raises(ValueError, match="reserved"):
+        stratified_sample(rows.withColumn("_sf_rank", F.lit(1)), ["grp"], 5, ["id"])
+    with pytest.raises(ValueError, match="k must be"):
+        deterministic_sample(rows, -1, ["id"])
+    with pytest.raises(ValueError, match="holdout_fraction"):
+        split_by_hash(rows, ["id"], 1.5)
