@@ -1052,6 +1052,49 @@ def q_kll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the custom-operator example the task brief names):
+    attach to every purchase event the user's LATEST view event at or
+    before it — union-tag + last(ignorenulls) window, pure JVM, one
+    shuffle. The oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the exact
+    backward-inclusive semantics are checked row-for-row. Views are
+    deduplicated to one per (user_id, ts) first (keeping max event_id) so
+    'latest' is unambiguous in both engines; NULL user_ids are excluded
+    because SQL join equality drops them while a window partition would
+    group them."""
+    from pyspark.sql.window import Window
+
+    from sparkfuse.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    purchases = events.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return asof_join(
+        purchases, views, on="ts", by=["user_id"], right_cols=["event_id"]
+    ).select("event_id", F.col("event_id_asof").alias("prior_view_event_id"))
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization: per-user 1-based session index with a 30-minute
+    gap, microsecond-exact arithmetic — every row's index must match the
+    oracle's window-sum SQL, so ordering, tie-breaking, gap comparison,
+    and session-start detection are all load-bearing."""
+    from sparkfuse.temporal import sessionize
+
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    return sessionize(
+        events, "ts", ["user_id"], gap_seconds=1800, tiebreak=["event_id"]
+    ).select("event_id", "session_idx")
+
+
 def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic uniform 100-sample of events: top-k by md5 of the row
     key. md5 (not xxhash64) is the selection hash precisely so an
@@ -1223,6 +1266,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kll_by_group": q_kll_by_group,
     "heavy_hitters": q_heavy_hitters,
     "range_partition": q_range_partition,
+    "asof_view_before_purchase": q_asof_view_before_purchase,
+    "user_sessions": q_user_sessions,
     "sample_topk": q_sample_topk,
     "stratified_sample": q_stratified_sample,
     "holdout_split": q_holdout_split,
@@ -1388,6 +1433,26 @@ def oracle_sql() -> dict[str, str]:
         "range_partition": (
             "SELECT COUNT(*) AS n_rows, TRUE AS ranges_disjoint, "
             "TRUE AS balance_ok FROM events"
+        ),
+        "asof_view_before_purchase": (
+            "WITH v AS (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'view' AND user_id IS NOT NULL "
+            "QUALIFY row_number() OVER (PARTITION BY user_id, ts "
+            "ORDER BY event_id DESC) = 1) "
+            "SELECT p.event_id, v.event_id AS prior_view_event_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase' "
+            "AND user_id IS NOT NULL) p "
+            "ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts"
+        ),
+        "user_sessions": (
+            "SELECT event_id, SUM(is_new) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_idx FROM ("
+            "SELECT event_id, user_id, ts, CASE WHEN prev_us IS NULL "
+            "OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new "
+            "FROM (SELECT event_id, user_id, ts, lag(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev_us "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL))"
         ),
         # the sampling oracles REPLAY the exact md5 selection (verified
         # cross-engine: md5 + concat_ws(chr(31)) + NULL-skip semantics all
