@@ -1459,20 +1459,22 @@ def oracle_sql() -> dict[str, str]:
         # match between Spark and DuckDB)
         "sample_topk": (
             "SELECT event_id FROM events "
-            "ORDER BY md5(concat_ws(chr(31), '0', CAST(event_id AS VARCHAR))) "
+            "ORDER BY md5(concat_ws(chr(31), '0', "
+            "coalesce(chr(2) || CAST(event_id AS VARCHAR), chr(1)))) "
             "LIMIT 100"
         ),
         "stratified_sample": (
             "SELECT event_type, event_id FROM ("
             "SELECT event_type, event_id, row_number() OVER ("
-            "PARTITION BY event_type ORDER BY "
-            "md5(concat_ws(chr(31), '0', CAST(event_id AS VARCHAR)))) AS rn "
+            "PARTITION BY event_type ORDER BY md5(concat_ws(chr(31), '0', "
+            "coalesce(chr(2) || CAST(event_id AS VARCHAR), chr(1))))) AS rn "
             "FROM events) WHERE rn <= 20"
         ),
         "holdout_split": (
             "SELECT doc_id FROM documents WHERE "
             "CAST(('0x' || substr(md5(concat_ws(chr(31), '0', "
-            "CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) < 536870912"
+            "coalesce(chr(2) || CAST(doc_id AS VARCHAR), chr(1)))), 1, 8)) "
+            "AS BIGINT) < 536870912"
         ),
         "simhash_near_dup_pairs": (
             "SELECT COUNT(*) AS n_docs, TRUE AS lossless_ok FROM documents"

@@ -36,9 +36,19 @@ _SEP = "\x1f"
 
 def _row_hash(cols: list[str], seed: str) -> Column:
     """Lowercase-hex md5 of the seed + key columns — identical in any
-    engine (the DuckDB twin is md5(concat_ws(chr(31), seed, cols...)));
-    NULL columns hash as empty segments (concat_ws skips nothing)."""
-    parts = [F.lit(seed)] + [F.col(c).cast("string") for c in cols]
+    engine. Each column is encoded as chr(2)+value when non-NULL and
+    chr(1) when NULL *before* joining on chr(31): concat_ws silently DROPS
+    null segments (with their separator), which would make ('x', NULL)
+    collide with (NULL, 'x'); the explicit null marker restores the
+    distinct-tuples → distinct-hash guarantee. DuckDB twin:
+    md5(concat_ws(chr(31), seed, coalesce(chr(2)||CAST(c AS VARCHAR),
+    chr(1)), ...))."""
+    parts = [F.lit(seed)] + [
+        F.coalesce(
+            F.concat(F.lit("\x02"), F.col(c).cast("string")), F.lit("\x01")
+        )
+        for c in cols
+    ]
     return F.md5(F.concat_ws(_SEP, *parts))
 
 

@@ -48,8 +48,11 @@ def asof_join(
     Ties: a right row at exactly left.on IS visible. Multiple right rows
     at the same (key, timestamp) make "the latest" ambiguous — disambiguate
     upstream (e.g. keep one row per (key, ts)) for deterministic output.
+
+    NULL timestamps never match (the SQL comparison convention): NULL-ts
+    right rows are excluded, NULL-ts left rows come back unmatched.
     """
-    reserved = {"_sf_isl", "_sf_rts"}
+    reserved = {"_sf_isl", "_sf_r", "_f_r"}
     clash = reserved & set(left.columns) | reserved & set(right.columns)
     if clash:
         raise ValueError(f"reserved columns in input: {sorted(clash)}")
@@ -59,34 +62,43 @@ def asof_join(
         raise ValueError(
             f"left already has columns {sorted(taken)}; pick another suffix"
         )
-    r = right.select(
+    # the whole candidate right row travels as ONE struct: last(ignorenulls)
+    # then picks the latest right ROW — so every attached column comes from
+    # the SAME row, and a legitimately-NULL payload field in that row is
+    # attached as NULL instead of being skipped for a staler non-null one
+    r = right.filter(F.col(on).isNotNull()).select(
         *by,
         F.col(on).alias(on),
-        F.col(on).alias("_sf_rts"),
-        *[F.col(c).alias(a) for c, a in zip(right_cols, out_cols)],
+        F.struct(
+            F.col(on).alias("_rts"), *[F.col(c) for c in right_cols]
+        ).alias("_sf_r"),
     ).withColumn("_sf_isl", F.lit(False))
     l = left.withColumn("_sf_isl", F.lit(True))
     u = l.unionByName(r, allowMissingColumns=True)
     # right rows sort BEFORE left rows at an equal timestamp (False < True)
-    # so the inclusive <= is exactly one ORDER BY, no extra predicate
+    # so the inclusive <= is exactly one ORDER BY, no extra predicate.
+    # NULL-ts left rows sort NULLS FIRST, ahead of every (non-null-ts)
+    # right row, so their carried-forward struct is NULL = unmatched.
     w = (
         Window.partitionBy(*by)
         .orderBy(F.col(on).asc(), F.col("_sf_isl").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in out_cols],
-        F.last("_sf_rts", ignorenulls=True).over(w).alias("_f_rts"),
+        "*", F.last("_sf_r", ignorenulls=True).over(w).alias("_f_r")
     )
-    keep = F.lit(True)
+    keep = F.col("_f_r").isNotNull()
     if tolerance_us is not None:
-        keep = (
-            _micros(on) - _micros("_f_rts")
-        ) <= F.lit(int(tolerance_us))
+        keep = keep & (
+            (_micros(on) - _micros(F.col("_f_r")["_rts"]))
+            <= F.lit(int(tolerance_us))
+        )
     res = filled.filter(F.col("_sf_isl")).select(
         *left.columns,
-        *[F.when(keep, F.col(f"_f_{c}")).alias(c) for c in out_cols],
+        *[
+            F.when(keep, F.col("_f_r")[c]).alias(a)
+            for c, a in zip(right_cols, out_cols)
+        ],
     )
     return res
 

@@ -88,3 +88,18 @@ def test_reserved_column_and_validation(spark, rows):
         deterministic_sample(rows, -1, ["id"])
     with pytest.raises(ValueError, match="holdout_fraction"):
         split_by_hash(rows, ["id"], 1.5)
+
+
+def test_null_key_columns_do_not_collide(spark):
+    """('x', NULL) and (NULL, 'x') must hash differently — concat_ws drops
+    null segments, so the encoding adds explicit null markers."""
+    df = spark.createDataFrame(
+        [("x", None, 1), (None, "x", 2)], "a string, b string, id long"
+    )
+    from sparkfuse.sampling import _row_hash
+
+    rows = df.select(_row_hash(["a", "b"], "0").alias("h")).collect()
+    assert rows[0]["h"] != rows[1]["h"]
+    # and the split respects the distinction (both sides computable)
+    train, hold = split_by_hash(df, ["a", "b"], 0.5)
+    assert train.count() + hold.count() == 2

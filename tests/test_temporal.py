@@ -136,3 +136,43 @@ def test_asof_reserved_and_suffix_clash(spark, timeline):
             by=["user_id"],
             right_cols=["value"],
         )
+
+
+def test_asof_null_payload_and_null_ts_semantics(spark):
+    """Review regressions: (a) the LATEST matching right row wins even when
+    its payload is NULL — an older non-null value must not leak through;
+    (b) NULL-ts right rows never match; NULL-ts left rows come back
+    unmatched."""
+    from sparkfuse.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 101_000_000)], "k long, us long").select(
+        "k", F.timestamp_micros("us").alias("ts")
+    )
+    right = spark.createDataFrame(
+        [(1, 5_000_000, "a"), (1, 100_000_000, None)], "k long, us long, v string"
+    ).select("k", F.timestamp_micros("us").alias("ts"), "v")
+    r = asof_join(
+        left, right, on="ts", by=["k"], right_cols=["v"], tolerance_us=10_000_000
+    ).first()
+    assert r["v_asof"] is None  # NOT the stale 96-second-old "a"
+
+    ghost = spark.createDataFrame([(1, None, "ghost")], "k long, us long, v string").select(
+        "k", F.timestamp_micros("us").alias("ts"), "v"
+    )
+    assert (
+        asof_join(left, ghost, on="ts", by=["k"], right_cols=["v"]).first()["v_asof"]
+        is None
+    )
+    null_left = spark.createDataFrame([(1, None)], "k long, us long").select(
+        "k", F.timestamp_micros("us").alias("ts")
+    )
+    assert (
+        asof_join(
+            null_left,
+            right.filter(F.col("v").isNotNull()),
+            on="ts",
+            by=["k"],
+            right_cols=["v"],
+        ).first()["v_asof"]
+        is None
+    )
