@@ -659,14 +659,17 @@ def q_sketch_checkpoint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     base = tempfile.mkdtemp(prefix="sparkfuse_sketchsink_q_")
     fresh, resumed = f"{base}/fresh", f"{base}/resumed"
+    # route on event_id (unique per row): at the smallest scale factor
+    # user_id has fewer distinct values than shards, which would leave
+    # shards legitimately empty and break the every-shard-present check
     write_sketch_states(
-        build_sketch_states(events, specs, shard_bits, "user_id"), fresh
+        build_sketch_states(events, specs, shard_bits, "event_id"), fresh
     )
     # kill simulation: only the even shards committed before the "crash"
     a = spark.read.parquet(fresh)
     write_sketch_states(a.filter(F.col("shard") % 2 == 0), resumed)
     sink = build_sketch_states_resumable(
-        events, resumed, spark, specs, shard_bits, "user_id"
+        events, resumed, spark, specs, shard_bits, "event_id"
     )
     cmp_cols = ["shard", "sketch", "state", "n_rows", "n_nulls"]
     # two-way anti-join catches content drift; the count equality catches
