@@ -1124,6 +1124,31 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis with
+    content-hash uniforms): 100 events drawn proportional to value.
+    In-query invariants: exact sample size, every row from the table
+    (semi-join count), and the weighted draw overrepresents heavy rows
+    (sample mean value >= 1.2x table mean — measured 1.6-2.0x at every
+    scale factor; the selection is deterministic so the boolean is too)."""
+    from sparkfuse.sampling import weighted_sample
+
+    events = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    samp = weighted_sample(events, 100, "value", ["event_id"])
+    n = samp.count()
+    in_table = (
+        samp.select("event_id")
+        .join(events.select("event_id"), "event_id", "left_semi")
+        .count()
+    )
+    m_s = samp.agg(F.avg("value")).first()[0]
+    m_t = events.agg(F.avg("value")).first()[0]
+    return spark.createDataFrame(
+        [(n, in_table == n, bool(m_s >= 1.2 * m_t))],
+        "n_sampled long, all_from_table boolean, weight_biased boolean",
+    )
+
+
 def q_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable train/holdout fence over documents at 1/8: a doc is held out
     iff the first 8 hex chars of its content hash fall below 0.125*16^8.
@@ -1273,6 +1298,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "sample_topk": q_sample_topk,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
     "holdout_split": q_holdout_split,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
     "contamination_check": q_contamination_check,
@@ -1472,6 +1498,10 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY event_type ORDER BY md5(concat_ws(chr(31), '0', "
             "coalesce(chr(2) || CAST(event_id AS VARCHAR), chr(1))))) AS rn "
             "FROM events) WHERE rn <= 20"
+        ),
+        "weighted_sample": (
+            "SELECT LEAST(100, COUNT(*)) AS n_sampled, TRUE AS all_from_table, "
+            "TRUE AS weight_biased FROM events WHERE value > 0"
         ),
         "holdout_split": (
             "SELECT doc_id FROM documents WHERE "

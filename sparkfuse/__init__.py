@@ -82,6 +82,7 @@ _SPARK_LAYER = {
     "deterministic_sample": ("sparkfuse.sampling", "deterministic_sample"),
     "stratified_sample": ("sparkfuse.sampling", "stratified_sample"),
     "split_by_hash": ("sparkfuse.sampling", "split_by_hash"),
+    "weighted_sample": ("sparkfuse.sampling", "weighted_sample"),
     "asof_join": ("sparkfuse.temporal", "asof_join"),
     "sessionize": ("sparkfuse.temporal", "sessionize"),
     "compact_sketch_states": ("sparkfuse.sketchsink", "compact_sketch_states"),

@@ -89,6 +89,43 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    cols: list[str],
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row derives a reproducible uniform u in (0,1]
+    from its content hash, gets priority ln(u)/w, and the k largest
+    priorities win — inclusion probability rises with weight (for k=1 it
+    is exactly w_i / sum w). The usual A-ES draws u from an RNG; drawing
+    it from the content hash keeps the selection a pure function of
+    (row content, seed), so the draw is reproducible on any cluster,
+    partitioning, or engine. Rows with NULL or non-positive weights are
+    excluded (they have zero inclusion probability anyway).
+
+    The curation use: sample documents proportional to token count so a
+    fixed-row budget covers a fixed-token budget. Same plan shape as
+    ``deterministic_sample``: per-partition partial top-k, no full sort.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    w = F.col(weight_col).cast("double")
+    # u from the top 15 hex chars (60 bits) of the content hash
+    u = (
+        F.conv(F.substring(_row_hash(cols, seed), 1, 15), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16 ** 15))
+    priority = F.log(u) / w
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .orderBy(priority.desc())
+        .limit(k)
+    )
+
+
 def split_by_hash(
     df: DataFrame,
     cols: list[str],

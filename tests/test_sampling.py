@@ -103,3 +103,56 @@ def test_null_key_columns_do_not_collide(spark):
     # and the split respects the distinction (both sides computable)
     train, hold = split_by_hash(df, ["a", "b"], 0.5)
     assert train.count() + hold.count() == 2
+
+
+def test_weighted_sample_exact_replay_and_bias(spark):
+    """A-ES with content-hash uniforms: (a) EXACT replay by an independent
+    python implementation of the same formula, (b) heavier rows win
+    proportionally across independent seeds, (c) reproducible across
+    partitionings, (d) non-positive weights excluded."""
+    import hashlib
+    import math
+
+    from sparkfuse.sampling import weighted_sample
+
+    n = 2_000
+    df = spark.range(n).select(
+        F.col("id"), (F.pmod(F.col("id"), F.lit(10)) + 1).cast("double").alias("w")
+    )
+
+    def replay(seed, k):
+        pri = []
+        for i in range(n):
+            h = hashlib.md5(
+                ("\x1f".join([seed, "\x02" + str(i)])).encode()
+            ).hexdigest()
+            u = (int(h[:15], 16) + 1.0) / float(16 ** 15)
+            pri.append((math.log(u) / ((i % 10) + 1), i))
+        pri.sort(reverse=True)
+        return sorted(i for _, i in pri[:k])
+
+    got = sorted(r["id"] for r in weighted_sample(df, 50, "w", ["id"]).collect())
+    assert got == replay("0", 50)
+    got2 = sorted(
+        r["id"]
+        for r in weighted_sample(df.repartition(11), 50, "w", ["id"]).collect()
+    )
+    assert got2 == got
+
+    # bias: weight-10 rows should appear ~10x as often as weight-1 rows
+    picks = {w: 0 for w in range(1, 11)}
+    for s in range(40):
+        for r in weighted_sample(df, 100, "w", ["id"], seed=str(s)).collect():
+            picks[int(r["w"])] += 1
+    assert picks[10] > 4 * picks[1]
+    assert sum(picks.values()) == 4000
+
+    # zero/negative/null weights never sampled
+    bad = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") < 90, F.lit(0.0))
+        .when(F.col("id") < 95, F.lit(-1.0))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("w"),
+    )
+    assert weighted_sample(bad, 10, "w", ["id"]).count() == 0
