@@ -1124,6 +1124,49 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_theta_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-expression estimates from two KB-sized theta sketches: corpora
+    A (event_id%2=0) and B (event_id%3=0) overlap on exactly the %6=0
+    rows. HLL cannot answer |A∩B|; the theta sketches estimate the
+    union, intersection, and Jaccard WITHOUT any join, each checked
+    in-query against the exact SQL-computable values at a 5-sigma bound
+    (sigma = union/sqrt(k-1)) — the triage step before paying for exact
+    cross-corpus decontamination."""
+    import math
+
+    from sparkfuse.theta import ThetaParams, build_theta
+
+    events = _t(spark, sf_dir, "events")
+    k = 4096
+    a_df = events.filter(F.col("event_id") % 2 == 0)
+    b_df = events.filter(F.col("event_id") % 3 == 0)
+    a = build_theta(
+        a_df.select(F.xxhash64("event_id").alias("key")), params=ThetaParams(k)
+    )
+    b = build_theta(
+        b_df.select(F.xxhash64("event_id").alias("key")), params=ThetaParams(k)
+    )
+    n_a, n_b = a_df.count(), b_df.count()
+    n_i = events.filter(F.col("event_id") % 6 == 0).count()
+    n_u = n_a + n_b - n_i
+    tol = 5.0 / math.sqrt(k - 1) * n_u
+    union_est = a.merge(b).estimate()
+    inter_est = a.intersect_estimate(b)
+    jac_est = a.jaccard_estimate(b)
+    return spark.createDataFrame(
+        [
+            (
+                n_i,
+                bool(abs(union_est - n_u) <= tol),
+                bool(abs(inter_est - n_i) <= tol),
+                bool(abs(jac_est - n_i / n_u) <= 5.0 / math.sqrt(k)),
+            )
+        ],
+        "exact_intersection long, union_est_ok boolean, "
+        "intersect_est_ok boolean, jaccard_ok boolean",
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (Efraimidis-Spirakis with
     content-hash uniforms): 100 events drawn proportional to value.
@@ -1298,6 +1341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_sessions": q_user_sessions,
     "sample_topk": q_sample_topk,
     "stratified_sample": q_stratified_sample,
+    "theta_corpus_overlap": q_theta_corpus_overlap,
     "weighted_sample": q_weighted_sample,
     "holdout_split": q_holdout_split,
     "simhash_near_dup_pairs": q_simhash_near_dup_pairs,
@@ -1498,6 +1542,11 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY event_type ORDER BY md5(concat_ws(chr(31), '0', "
             "coalesce(chr(2) || CAST(event_id AS VARCHAR), chr(1))))) AS rn "
             "FROM events) WHERE rn <= 20"
+        ),
+        "theta_corpus_overlap": (
+            "SELECT COUNT(*) AS exact_intersection, TRUE AS union_est_ok, "
+            "TRUE AS intersect_est_ok, TRUE AS jaccard_ok "
+            "FROM events WHERE event_id % 6 = 0"
         ),
         "weighted_sample": (
             "SELECT LEAST(100, COUNT(*)) AS n_sampled, TRUE AS all_from_table, "

@@ -83,6 +83,8 @@ _SPARK_LAYER = {
     "stratified_sample": ("sparkfuse.sampling", "stratified_sample"),
     "split_by_hash": ("sparkfuse.sampling", "split_by_hash"),
     "weighted_sample": ("sparkfuse.sampling", "weighted_sample"),
+    "build_theta": ("sparkfuse.theta", "build_theta"),
+    "ThetaSketch": ("sparkfuse.theta", "ThetaSketch"),
     "asof_join": ("sparkfuse.temporal", "asof_join"),
     "sessionize": ("sparkfuse.temporal", "sessionize"),
     "compact_sketch_states": ("sparkfuse.sketchsink", "compact_sketch_states"),

@@ -2,7 +2,8 @@
 
 This is the sketch-library twin of the forest's resumable build
 (sparkfuse.forest.build_forest_resumable): every sketch kind the library
-ships (HLL, Count-Min, t-digest, KLL, Bloom, Misra-Gries) can be built as ONE state per
+ships (HLL, Count-Min, t-digest, KLL, Bloom, Misra-Gries, theta) can be
+built as ONE state per
 deterministic shard, persisted with per-shard lineage + metrics, and a
 killed job re-submitted with the same arguments completes the sink
 byte-identically to a fresh full build (north_rule: "resumable from
@@ -73,9 +74,10 @@ from sparkfuse.sketches import (
     MisraGries,
 )
 from sparkfuse.tdigest import TDigest, TDigestParams
+from sparkfuse.theta import ThetaParams, ThetaSketch
 
-SKETCH_KINDS = ("hll", "cms", "tdigest", "kll", "bloom", "mg")
-_HASHED_KINDS = frozenset({"hll", "cms", "bloom", "mg"})
+SKETCH_KINDS = ("hll", "cms", "tdigest", "kll", "bloom", "mg", "theta")
+_HASHED_KINDS = frozenset({"hll", "cms", "bloom", "mg", "theta"})
 # mg is NOT listed order-sensitive: the sink kernel feeds a shard in ONE
 # add() call, which np.unique's the whole batch — the resulting state is
 # identical for any input order, so sorting would be pure overhead. (MG
@@ -89,6 +91,7 @@ _DEFAULT_PARAMS = {
     "tdigest": TDigestParams,
     "kll": KllParams,
     "mg": MgParams,
+    "theta": ThetaParams,
 }
 
 _PARAM_TYPES = {
@@ -98,6 +101,7 @@ _PARAM_TYPES = {
     "kll": KllParams,
     "bloom": BloomParams,
     "mg": MgParams,
+    "theta": ThetaParams,
 }
 
 SKETCH_STATE_SCHEMA = StructType(
@@ -129,7 +133,7 @@ SKETCH_FINISH_SCHEMA = StructType(
 class SketchSpec:
     """One sketch to maintain over one input column.
 
-    kind='hll'|'cms'|'bloom'|'mg' hash the column JVM-side (xxhash64 → u64 keys,
+    kind='hll'|'cms'|'bloom'|'mg'|'theta' hash the column JVM-side (xxhash64 → u64 keys,
     NULLs skipped to match COUNT(DISTINCT)/COUNT semantics); 'tdigest'|'kll'
     cast to double (NULL/NaN skipped, matching percentile_approx).
     ``params`` defaults per kind except 'bloom', whose size is
@@ -182,6 +186,8 @@ def _make(kind: str, params):
         return KLL(params)
     if kind == "mg":
         return MisraGries(params)
+    if kind == "theta":
+        return ThetaSketch(params)
     return BloomFilter(params)
 
 
@@ -196,6 +202,8 @@ def _from_bytes(kind: str, params, data: bytes):
         return KLL.from_bytes(params, data)
     if kind == "mg":
         return MisraGries.from_bytes(params, data)
+    if kind == "theta":
+        return ThetaSketch.from_bytes(params, data)
     return BloomFilter.from_bytes(params, data)
 
 
@@ -208,6 +216,11 @@ def _finish_stats(kind: str, sketch, spec: SketchSpec) -> list[tuple[str, float]
     deterministic functions of the merged state."""
     if kind == "hll":
         return [("n_distinct_est", float(sketch.estimate()))]
+    if kind == "theta":
+        return [
+            ("n_distinct_est", float(sketch.estimate())),
+            ("n_retained", float(len(sketch.values))),
+        ]
     if kind == "cms":
         # every CMS row sums to the total weight added — an exact N, which
         # the oracle can cross-check even though point queries cannot be

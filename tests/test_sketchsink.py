@@ -491,3 +491,42 @@ def test_mg_sink_kind_resume_and_candidates(spark, events, tmp_path):
     }
     assert fin[("users_mg", "n")] == float(mg.n)
     assert fin[("users_mg", "dec")] == 0.0
+
+
+def test_theta_sink_kind_and_set_expressions(spark, events, tmp_path):
+    """Theta states are checkpointable and two sinks' merged sketches
+    answer intersection/difference estimates across corpora."""
+    from sparkfuse.theta import ThetaParams
+
+    specs = [SketchSpec("u_theta", "theta", "user_id", ThetaParams(k=512))]
+    path_a, path_b = str(tmp_path / "a"), str(tmp_path / "b")
+    half_a = events.filter(F.col("id") % 2 == 0)
+    half_b = events.filter(F.col("id") % 3 == 0)  # overlaps half_a on id%6==0
+    write_sketch_states(build_sketch_states(half_a, specs, SHARD_BITS, "id"), path_a)
+    write_sketch_states(build_sketch_states(half_b, specs, SHARD_BITS, "id"), path_b)
+    a = merge_sketch_states(spark.read.parquet(path_a), specs)["u_theta"]
+    b = merge_sketch_states(spark.read.parquet(path_b), specs)["u_theta"]
+    exact_a = (
+        half_a.filter(F.col("user_id").isNotNull()).select("user_id").distinct().count()
+    )
+    # distinct USERS overlap heavily between halves (same user universe)
+    inter_exact = (
+        half_a.select("user_id")
+        .intersect(half_b.select("user_id"))
+        .filter(F.col("user_id").isNotNull())
+        .count()
+    )
+    assert abs(a.estimate() - exact_a) / exact_a < 0.2
+    assert abs(a.intersect_estimate(b) - inter_exact) / max(inter_exact, 1) < 0.25
+    fin = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(spark.read.parquet(path_a), specs).collect()
+    }
+    assert abs(fin[("u_theta", "n_distinct_est")] - exact_a) / exact_a < 0.2
+    # resume byte-identity holds for the new kind too
+    resumed = str(tmp_path / "resumed")
+    write_sketch_states(
+        spark.read.parquet(path_a).filter(F.col("shard") % 2 == 0), resumed
+    )
+    build_sketch_states_resumable(half_a, resumed, spark, specs, SHARD_BITS, "id")
+    assert _rows(spark.read.parquet(path_a)) == _rows(spark.read.parquet(resumed))
