@@ -10,8 +10,8 @@ with per-partition lineage + metrics, run via spark-submit --py-files):
         --key-col conv_id --value-col text_len \
         --shard-bits 6 --resume
 
-Builds one HLL + CMS + Bloom over the key column and one t-digest + KLL
-over the value column as per-shard states in the sink; --resume makes a
+Builds HLL + CMS + Bloom + theta + Misra-Gries over the key column and
+t-digest + KLL over the value column as per-shard states in the sink; --resume makes a
 killed job idempotent (done shards are skipped by anti-join, rebuilt shards
 are byte-identical — deterministic kernels), and a re-submit with different
 specs/shard layout fails loudly instead of corrupting the sink. The report
@@ -51,6 +51,8 @@ def main(argv=None) -> int:
     spark = builder.config("spark.sql.adaptive.enabled", "true").getOrCreate()
 
     from sparkfuse.bloom import BloomParams
+    from sparkfuse.sketches import MgParams
+    from sparkfuse.theta import ThetaParams
     from sparkfuse.sketchsink import (
         SketchSpec,
         build_sketch_states,
@@ -80,6 +82,10 @@ def main(argv=None) -> int:
             args.key_col,
             BloomParams.for_capacity(n_rows, args.bloom_fpp),
         ),
+        # set-expression overlap vs other profiled tables, and enumerable
+        # heavy-hitter candidates — all seven kinds in the same single pass
+        SketchSpec("key_theta", "theta", args.key_col, ThetaParams(k=4096)),
+        SketchSpec("key_mg", "mg", args.key_col, MgParams(capacity=4096)),
     ]
 
     t0 = time.time()
