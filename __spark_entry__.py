@@ -1146,8 +1146,12 @@ def q_theta_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = build_theta(
         b_df.select(F.xxhash64("event_id").alias("key")), params=ThetaParams(k)
     )
-    n_a, n_b = a_df.count(), b_df.count()
-    n_i = events.filter(F.col("event_id") % 6 == 0).count()
+    counts = events.agg(
+        F.sum((F.col("event_id") % 2 == 0).cast("long")).alias("a"),
+        F.sum((F.col("event_id") % 3 == 0).cast("long")).alias("b"),
+        F.sum((F.col("event_id") % 6 == 0).cast("long")).alias("i"),
+    ).first()
+    n_a, n_b, n_i = counts["a"], counts["b"], counts["i"]
     n_u = n_a + n_b - n_i
     tol = 5.0 / math.sqrt(k - 1) * n_u
     union_est = a.merge(b).estimate()
@@ -1179,6 +1183,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
     samp = weighted_sample(events, 100, "value", ["event_id"])
     n = samp.count()
+    n_pos = events.count()
     in_table = (
         samp.select("event_id")
         .join(events.select("event_id"), "event_id", "left_semi")
@@ -1186,8 +1191,11 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m_s = samp.agg(F.avg("value")).first()[0]
     m_t = events.agg(F.avg("value")).first()[0]
+    # a table of <= k qualifying rows is sampled whole, so the uplift is
+    # definitionally 1x there — the invariant only applies to a real draw
+    biased = True if n == n_pos else bool(m_s >= 1.2 * m_t)
     return spark.createDataFrame(
-        [(n, in_table == n, bool(m_s >= 1.2 * m_t))],
+        [(n, in_table == n, biased)],
         "n_sampled long, all_from_table boolean, weight_biased boolean",
     )
 

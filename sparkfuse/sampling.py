@@ -102,9 +102,15 @@ def weighted_sample(
     priorities win — inclusion probability rises with weight (for k=1 it
     is exactly w_i / sum w). The usual A-ES draws u from an RNG; drawing
     it from the content hash keeps the selection a pure function of
-    (row content, seed), so the draw is reproducible on any cluster,
-    partitioning, or engine. Rows with NULL or non-positive weights are
-    excluded (they have zero inclusion probability anyway).
+    (row content, seed): reproducible across clusters and partitionings.
+    Two caveats vs the integer-exact samplers above: (a) rows that tie on
+    BOTH key-column content and weight tie on priority — include a unique
+    id in ``cols`` if such ties can straddle the k boundary (same caveat
+    as deterministic_sample); (b) the priority uses float ln(u)/w, so a
+    cross-engine replay is exact only up to libm's rounding of log —
+    integer-exact replay is the province of deterministic_sample /
+    split_by_hash. Rows with NULL or non-positive weights are excluded
+    (they have zero inclusion probability anyway).
 
     The curation use: sample documents proportional to token count so a
     fixed-row budget covers a fixed-token budget. Same plan shape as
