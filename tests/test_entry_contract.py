@@ -60,3 +60,17 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"c_custkey", "c_name", "c_acctbal"}
+
+
+def test_every_query_has_an_oracle():
+    """The correctness gate is only as wide as the oracle map: every
+    queries() entry must carry a SQL twin (ops that genuinely cannot be
+    SQL-expressed would be deliberate, documented exceptions — today
+    there are none)."""
+    import __spark_entry__ as entry
+
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(os_) == set(qs), {
+        "queries_without_oracle": sorted(set(qs) - set(os_)),
+        "oracles_without_query": sorted(set(os_) - set(qs)),
+    }
