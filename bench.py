@@ -263,12 +263,11 @@ def main_bench():
     bench_docs = docs_df.filter(F.col("doc_id") < 100).select("text")
 
     def run_contamination():
-        res = contamination_check(
+        # no cache-handle cleanup: the benchmark gram reuse is an eager
+        # localCheckpoint whose blocks the ContextCleaner releases on GC
+        return contamination_check(
             docs_df, "doc_id", "text", bench_docs, "text", n=13, spark=spark
-        )
-        n = res.count()
-        res._sparkfuse_bench_grams.unpersist()  # caller-owned cache
-        return n
+        ).count()
 
     t, _ = bench_row("contamination_13gram", run_contamination, repeats=4)
 

@@ -39,22 +39,22 @@ def contamination_check(
     n = 13 is the common eval-decontamination window (matches the published
     practice of 13-gram overlap checks); lower it for short documents.
 
-    Cache ownership: the deduped benchmark n-gram frame is ``.cache()``-ed
-    because it feeds BOTH the forest build and the confirm join. The cache is
-    CALLER-OWNED — it is exposed on the returned DataFrame as
-    ``result._sparkfuse_bench_grams``; call
-    ``result._sparkfuse_bench_grams.unpersist()`` after materializing the
-    aggregate (bench.py does). Spark's CacheManager pins cached relations
-    until an explicit unpersist/clearCache — garbage collection does NOT
-    release them — so a long-lived session that skips the unpersist
-    accumulates one pinned gram relation per call.
+    Reuse lifecycle: the deduped benchmark n-gram frame feeds BOTH the
+    forest build and the confirm join, so it is materialized ONCE via an
+    eager ``localCheckpoint()`` (the forest build would have materialized it
+    here anyway). Unlike ``.cache()`` — which Spark's CacheManager pins
+    until an explicit unpersist, leaking one relation per call in a
+    long-lived session (round-4 ADVICE) — checkpoint blocks are released by
+    the ContextCleaner when the returned DataFrame goes out of scope, so
+    callers hold no cleanup contract.
     """
-    # cached: the benchmark explode+dedup shuffle feeds BOTH the forest
-    # build and the confirm join — without the cache it would run twice
+    # eager localCheckpoint: run the benchmark explode+dedup shuffle once,
+    # share the stored blocks between the forest build and the confirm join
+    # (a plain .cache() would pin the relation until an explicit unpersist)
     bench_grams = (
         bench_df.select(F.explode(shingles_col(bench_text, n)).alias("gram"))
         .dropDuplicates()
-        .cache()
+        .localCheckpoint()
     )
     forest = Forest.from_df(
         build_forest(bench_grams.select(F.xxhash64("gram").alias("key")))
@@ -70,11 +70,9 @@ def contamination_check(
     # sort-merge fallback would re-shuffle the prescreen survivors — the
     # exact plan shape PLANS.md §14 documents as load-bearing
     confirmed = pre.join(F.broadcast(bench_grams), "gram", "left_semi")
-    out = confirmed.groupBy(corpus_id).agg(
+    return confirmed.groupBy(corpus_id).agg(
         F.countDistinct("gram").alias("n_contaminated_grams")
     )
-    out._sparkfuse_bench_grams = bench_grams  # caller-owned cache handle
-    return out
 
 
 def contamination_oracle_sql(

@@ -42,7 +42,15 @@ def _row_hash(cols: list[str], seed: str) -> Column:
     collide with (NULL, 'x'); the explicit null marker restores the
     distinct-tuples → distinct-hash guarantee. DuckDB twin:
     md5(concat_ws(chr(31), seed, coalesce(chr(2)||CAST(c AS VARCHAR),
-    chr(1)), ...))."""
+    chr(1)), ...)).
+
+    Supported key-column types: INTEGRAL and STRING only. The cross-engine
+    exact-replay guarantee rides on ``CAST(col AS STRING)`` producing the
+    same text in every engine, which holds for integers and strings but NOT
+    for doubles/decimals/timestamps (scientific-notation and formatting
+    differences would silently desynchronize the selection between engines).
+    Canonicalize such columns yourself first (e.g. ``unix_micros(ts)``,
+    ``format_number``/fixed-point casts) and pass the canonical column."""
     parts = [F.lit(seed)] + [
         F.coalesce(
             F.concat(F.lit("\x02"), F.col(c).cast("string")), F.lit("\x01")
@@ -50,6 +58,32 @@ def _row_hash(cols: list[str], seed: str) -> Column:
         for c in cols
     ]
     return F.md5(F.concat_ws(_SEP, *parts))
+
+
+# Spark types whose CAST-to-string text is engine-portable (the replay
+# guarantee above). Doubles/decimals/timestamps are deliberately absent.
+_PORTABLE_KEY_TYPES = {
+    "tinyint", "smallint", "int", "bigint", "string", "boolean", "date",
+}
+
+
+def _check_key_cols(df: DataFrame, cols: list[str]) -> None:
+    """Reject key columns whose string rendering is not engine-portable —
+    a double/timestamp key would silently select DIFFERENT rows when the
+    selection is replayed in another engine (round-4 ADVICE)."""
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    bad = {
+        c: types[c]
+        for c in cols
+        if c in types and types[c] not in _PORTABLE_KEY_TYPES
+    }
+    if bad:
+        raise TypeError(
+            f"sampling key columns {bad} are not engine-portable under "
+            "CAST(col AS STRING); canonicalize first (e.g. unix_micros(ts) "
+            "for timestamps, a fixed-point format for doubles) and hash the "
+            f"canonical column. Portable types: {sorted(_PORTABLE_KEY_TYPES)}"
+        )
 
 
 def deterministic_sample(
@@ -61,6 +95,7 @@ def deterministic_sample(
     on the hash; include a unique id in ``cols`` for strict uniqueness."""
     if k < 0:
         raise ValueError("k must be >= 0")
+    _check_key_cols(df, cols)
     return df.orderBy(_row_hash(cols, seed).asc()).limit(k)
 
 
@@ -79,6 +114,7 @@ def stratified_sample(
 
     if k_per_group < 1:
         raise ValueError("k_per_group must be >= 1")
+    _check_key_cols(df, cols)
     if "_sf_rank" in df.columns:
         raise ValueError("input already has a '_sf_rank' column (reserved)")
     w = Window.partitionBy(*group_cols).orderBy(_row_hash(cols, seed).asc())
@@ -118,6 +154,7 @@ def weighted_sample(
     """
     if k < 0:
         raise ValueError("k must be >= 0")
+    _check_key_cols(df, cols)
     w = F.col(weight_col).cast("double")
     # u from the top 15 hex chars (60 bits) of the content hash
     u = (
@@ -146,6 +183,7 @@ def split_by_hash(
     reruns — the property that prevents train/eval leakage drift."""
     if not 0.0 <= holdout_fraction <= 1.0:
         raise ValueError("holdout_fraction must be in [0, 1]")
+    _check_key_cols(df, cols)
     threshold = int(holdout_fraction * (16 ** 8))
     bucket = F.conv(F.substring(_row_hash(cols, seed), 1, 8), 16, 10).cast("long")
     is_holdout = bucket < F.lit(threshold)

@@ -458,9 +458,10 @@ class MisraGries:
     composes across any merge tree.
     """
 
-    def __init__(self, params: MgParams = MgParams(), keys=None, counts=None,
+    def __init__(self, params: MgParams | None = None, keys=None, counts=None,
                  n: int = 0, dec: int = 0):
-        self.params = params
+        # no mutable default instance (round-4 ADVICE)
+        self.params = params or MgParams()
         self.keys = keys if keys is not None else np.empty(0, dtype=np.uint64)
         self.counts = counts if counts is not None else np.empty(0, dtype=np.int64)
         self.n = n
@@ -535,8 +536,9 @@ class MisraGries:
 
 
 def build_mg(
-    keys_df: DataFrame, key_name: str = "key", params: MgParams = MgParams()
+    keys_df: DataFrame, key_name: str = "key", params: MgParams | None = None
 ) -> MisraGries:
+    params = params or MgParams()
     return _tree_build(
         keys_df,
         key_name,

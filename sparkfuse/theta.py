@@ -51,11 +51,13 @@ class ThetaSketch:
 
     def __init__(
         self,
-        params: ThetaParams = ThetaParams(),
+        params: ThetaParams | None = None,
         values: np.ndarray | None = None,
         theta: int = EXACT,
     ):
-        self.params = params
+        # no mutable default instance: a shared default ThetaParams would
+        # be silently shared by every sketch (round-4 ADVICE)
+        self.params = params or ThetaParams()
         self.values = (
             values if values is not None else np.empty(0, dtype=np.uint64)
         )

@@ -470,6 +470,43 @@ def test_winnow_fingerprints_properties(spark, ddb):
     assert not (by_doc[0] & by_doc[6])          # unrelated docs don't collide
 
 
+def test_winnow_fingerprints_documents_twin(spark, ddb):
+    """Pins the former winnow_fingerprints entry row (merged out of the
+    50-entry driver surface in round 5): per-doc (n_fps, fp_xor) over the
+    real sf0.01 documents table must match the DuckDB twin bit-for-bit."""
+    from sparkfuse.textops import winnow_fingerprints, winnow_fingerprints_oracle_sql
+
+    sf_dir = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import pyspark.sql.functions as F
+
+    got = sorted(
+        tuple(r)
+        for r in winnow_fingerprints(docs, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.expr("bit_xor(fp)").alias("fp_xor"),
+        )
+        .collect()
+    )
+    ddb.execute(
+        "CREATE OR REPLACE VIEW winnow_sf_docs AS "
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    )
+    inner = winnow_fingerprints_oracle_sql("winnow_sf_docs", "doc_id", "text")
+    want = sorted(
+        tuple(r)
+        for r in ddb.execute(
+            f"WITH fps AS ({inner}) "
+            "SELECT doc_id, COUNT(*) AS n_fps, bit_xor(fp) AS fp_xor "
+            "FROM fps GROUP BY doc_id"
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) == 500
+
+
 def test_ngram_scale_preset_survives_hot_shingles(spark):
     """Skew test: every doc shares one boilerplate phrase (a corpus-wide hot
     shingle). The scale preset must (a) still find every planted near-dup —

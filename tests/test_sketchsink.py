@@ -347,6 +347,52 @@ def test_replayed_epoch_is_deduped(spark, events, tmp_path):
     assert m["users_cms"]["n_rows"] == half.filter(F.col("user_id").isNotNull()).count()
 
 
+@pytest.mark.parametrize(
+    "kind,col",
+    [
+        ("hll", "user_id"),
+        ("cms", "user_id"),
+        ("tdigest", "value"),
+        ("kll", "value"),
+        ("bloom", "user_id"),
+        ("mg", "user_id"),
+        ("theta", "user_id"),
+    ],
+)
+def test_replay_dedup_pinned_for_every_kind(spark, events, tmp_path, kind, col):
+    """Round-4 verdict Next #7: the (epoch, shard, sketch) dedup-on-replay
+    guard must hold for ALL seven sink kinds — a replayed micro-batch leaves
+    every finished statistic unchanged (CMS/t-digest/KLL/MG would
+    double-count without the dedup; HLL/Bloom/theta are idempotent but the
+    rows still must not inflate metrics)."""
+    from sparkfuse.sketchsink import sketch_append_batch
+
+    extra = {"bloom": BloomParams.for_capacity(N_USERS, 0.01)}
+    spec = SketchSpec(
+        f"s_{kind}",
+        kind,
+        col,
+        extra.get(kind),
+        quantiles=(0.5, 0.9) if kind in ("tdigest", "kll") else (),
+    )
+    sink = str(tmp_path / "sink")
+    half = events.filter(F.col("id") % 2 == 0)
+    sketch_append_batch(half, 7, sink, [spec], SHARD_BITS, "user_id")
+    once = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(spark.read.parquet(sink), [spec]).collect()
+    }
+    sketch_append_batch(half, 7, sink, [spec], SHARD_BITS, "user_id")  # replay
+    assert spark.read.parquet(sink).count() == 2 * (1 << SHARD_BITS)
+    twice = {
+        (r["sketch"], r["stat"]): r["value"]
+        for r in finish_sketch_states(spark.read.parquet(sink), [spec]).collect()
+    }
+    assert twice == once
+    m = {r["sketch"]: r for r in sketch_sink_metrics(spark.read.parquet(sink)).collect()}
+    assert m[f"s_{kind}"]["n_rows"] == half.filter(F.col(col).isNotNull()).count()
+
+
 def test_batch_resume_on_epoch_sink_raises(spark, events, tmp_path):
     from sparkfuse.sketchsink import sketch_append_batch
 
