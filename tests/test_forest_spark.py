@@ -543,7 +543,11 @@ def test_probe_forest_regime3_prefers_routed_sink(spark, tmp_path):
         broadcast_threshold=1, replication_budget=1, sink_path=sink,
     )
     plan = _plan_of(df)
-    assert "MapInArrow" in plan and "FlatMapCoGroups" not in plan
+    # routed-sink shape since round 5: tag-route repartition + scalar
+    # probe_shards pandas_udf (was MapInArrow — PLANS.md §17 has why);
+    # the cogroup shape must NOT appear
+    assert "probe_shards" in plan and "flatMapCoGroupsIn" not in plan
+    assert "_sf_tag" in plan  # the inverse-hash tag route is the shuffle
     assert all(r["maybe_member"] for r in df.collect())
 
 

@@ -1,0 +1,79 @@
+"""Bisect the order effect: routedsink BEFORE vs AFTER the cogroup and
+hybrid rows in one session."""
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from sparkfuse.forest import build_forest, write_forest
+from sparkfuse.probe import (
+    approx_contains_routed,
+    approx_contains_routed_sink,
+    approx_contains_sink,
+    forest_payload_bytes,
+)
+from sparkfuse.session import get_spark
+
+
+def timed(fn, repeats, warmup=1):
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return [round(t, 3) for t in ts]
+
+
+def main():
+    spark = get_spark("profile-rsink-bisect", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    big_keys = spark.range(12_000_000).select(F.xxhash64(F.col("id") + 7).alias("key"))
+    big_forest = build_forest(big_keys, shard_bits=5).cache()
+    forest_payload_bytes(big_forest)
+    n = 10_000_000
+    routed_probes = spark.range(n).select(F.xxhash64("id").alias("key"))
+    with tempfile.TemporaryDirectory() as td:
+        sink = os.path.join(td, "big_forest")
+        write_forest(big_forest, sink, mode="overwrite", cluster_by_shard=True)
+
+        def rsink():
+            return (
+                approx_contains_routed_sink(routed_probes, "key", sink, spark)
+                .filter(F.col("maybe_member"))
+                .count()
+            )
+
+        print("routedsink_first", timed(rsink, repeats=4))
+        print(
+            "routed  ",
+            timed(
+                lambda: approx_contains_routed(routed_probes, "key", big_forest)
+                .filter(F.col("maybe_member"))
+                .count(),
+                repeats=4,
+            ),
+        )
+        print("routedsink_after_cogroup", timed(rsink, repeats=4))
+        print(
+            "hybrid  ",
+            timed(
+                lambda: approx_contains_sink(routed_probes, "key", sink)
+                .filter(F.col("maybe_member"))
+                .count(),
+                repeats=3,
+            ),
+        )
+        print("routedsink_after_hybrid", timed(rsink, repeats=4))
+    big_forest.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
