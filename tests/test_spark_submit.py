@@ -1,0 +1,153 @@
+"""The north_rule's deployment clause, actually exercised: the jobs run via
+``spark-submit --py-files sparkfuse.zip`` with NO repo on PYTHONPATH and a
+foreign working directory — the executors and the driver get sparkfuse only
+from the shipped zip, exactly as a multi-executor cluster submission would.
+
+Both cluster entry points are driven end-to-end on a transcripts-shaped
+input (BASELINE.json input_hint: conv_id, turn_idx, role, text, tool, ts)
+and their JSON reports are checked against independently computed ground
+truth.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on this machine"
+)
+
+N_TURNS = 20_000
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    import duckdb
+
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(spark, tmp_path_factory):
+    """Deterministic transcripts parquet in the input_hint shape."""
+    from sparkfuse.synth import synth_transcripts
+
+    path = str(tmp_path_factory.mktemp("submit") / "transcripts")
+    synth_transcripts(spark, N_TURNS).write.mode("overwrite").parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def pyfiles_zip(tmp_path_factory):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_pyfiles_zip import make_zip
+
+    return make_zip(str(tmp_path_factory.mktemp("dist") / "sparkfuse.zip"))
+
+
+def _submit(job, job_args, cwd, zip_path, timeout=240):
+    """Run a job through spark-submit with the repo scrubbed from the
+    environment — sparkfuse must arrive via --py-files alone."""
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    cmd = [
+        SPARK_SUBMIT,
+        "--master",
+        "local[4]",
+        "--conf",
+        "spark.sql.shuffle.partitions=8",
+        "--conf",
+        "spark.ui.enabled=false",
+        "--py-files",
+        zip_path,
+        os.path.join(REPO, "jobs", job),
+        *job_args,
+    ]
+    proc = subprocess.run(
+        cmd, cwd=cwd, env=env, capture_output=True, text=True, timeout=timeout
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    # the report is the last JSON object line on stdout
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert lines, proc.stdout[-2000:]
+    return json.loads(lines[-1])
+
+
+def test_build_forest_job_via_spark_submit(transcripts_path, pyfiles_zip, tmp_path, ddb):
+    out = str(tmp_path / "forest")
+    report = _submit(
+        "build_forest_job.py",
+        [
+            "--input", transcripts_path,
+            "--output", out,
+            "--spec", "text",
+            "--kind", "fuse",
+            "--width", "8",
+            "--shard-bits", "3",
+            "--resume",
+        ],
+        cwd=str(tmp_path),
+        zip_path=pyfiles_zip,
+    )
+    n_distinct = ddb.execute(
+        f"SELECT COUNT(DISTINCT text) FROM '{transcripts_path}/*.parquet'"
+    ).fetchone()[0]
+    assert report["n_keys"] == n_distinct
+    assert report["n_shards"] == 8
+    assert 8.0 < report["avg_bits_per_entry"] < 13.0
+    # the sink the job wrote is a live forest: resubmitting with --resume is
+    # a no-op completion (all shards present), proving idempotent re-submit
+    report2 = _submit(
+        "build_forest_job.py",
+        [
+            "--input", transcripts_path,
+            "--output", out,
+            "--spec", "text",
+            "--kind", "fuse",
+            "--width", "8",
+            "--shard-bits", "3",
+            "--resume",
+        ],
+        cwd=str(tmp_path),
+        zip_path=pyfiles_zip,
+    )
+    assert report2["n_keys"] == report["n_keys"]
+    assert report2["n_shards"] == report["n_shards"]
+
+
+def test_sketch_profile_job_via_spark_submit(transcripts_path, pyfiles_zip, tmp_path, ddb):
+    sink = str(tmp_path / "sketches")
+    report = _submit(
+        "sketch_profile_job.py",
+        [
+            "--input", transcripts_path,
+            "--sink", sink,
+            "--key-col", "conv_id",
+            "--value-col", "text_len",
+            "--shard-bits", "3",
+        ],
+        cwd=str(tmp_path),
+        zip_path=pyfiles_zip,
+    )
+    assert report["n_input_rows"] == N_TURNS
+    exact = ddb.execute(
+        f"SELECT COUNT(DISTINCT conv_id) FROM '{transcripts_path}/*.parquet'"
+    ).fetchone()[0]
+    est = report["stats"]["key_hll.n_distinct_est"]
+    # HLL p=14 relative error ~0.8%; 5 sigma
+    assert abs(est - exact) <= max(5, 0.05 * exact), (est, exact)
+    assert report["lineage"]["key_hll"]["n_rows"] == N_TURNS
+    q50 = report["stats"]["value_kll.q_0_5"]
+    lo, hi = ddb.execute(
+        "SELECT quantile_cont(length(text), 0.40), quantile_cont(length(text), 0.60) "
+        f"FROM '{transcripts_path}/*.parquet'"
+    ).fetchone()
+    assert lo <= q50 <= hi, (lo, q50, hi)
