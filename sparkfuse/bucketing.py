@@ -1,0 +1,104 @@
+"""Bucketed co-located joins: persist the key corpus bucketed by key so
+repeated exact-membership confirms never shuffle the corpus again.
+
+Why this exists (the 100-TB story): ``exact_member_semi_join`` /
+``exact_member_routed`` confirm prescreen survivors against the TRUE key
+corpus with an equi-join. Ad hoc, that join shuffles (and sorts) the corpus
+side on every query — at 10^12 keys that is the dominant repeated cost, paid
+identically each time because the corpus barely changes between queries.
+Writing the corpus ONCE with ``bucketBy(key)`` + ``sortBy(key)`` moves that
+shuffle+sort to write time: every later join against it satisfies the
+hash-clustered distribution straight off the scan, so Catalyst's
+EnsureRequirements inserts NO Exchange (and no Sort) on the corpus side —
+ever again. Probe sides:
+
+  * probe ALSO bucketed (same key, same bucket count) → ZERO exchanges in
+    the join: fully co-located, the 10^12-row join runs shuffle-free;
+  * probe ad hoc → exactly ONE exchange, of the (small, post-prescreen)
+    probe side, hashed to the corpus's bucket layout.
+
+This is Spark-native bucketing (DataFrameWriter.bucketBy + the session
+catalog), not a custom mechanism — the library's value-add is the
+membership-workflow packaging plus the plan-shape guarantees pinned by
+tests (tests/test_bucketing.py asserts the exchange counts above on the
+executed plans).
+
+Scale notes: pick ``n_buckets`` so one bucket's keys fit a task comfortably
+(e.g. 10^12 keys / 2^13 buckets ≈ 10^8 keys ≈ 1.6 GB of raw u64 per bucket
+— split finer for wide rows). Bucket pruning applies on equality filters
+against the bucket column; AQE cannot coalesce bucketed scan partitions, so
+do not over-bucket small corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed_keys(
+    df: DataFrame,
+    key: str,
+    table: str,
+    path: str,
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> str:
+    """Persist ``df`` as an EXTERNAL parquet table bucketed (and by default
+    sorted) by ``key``. Returns the table name, queryable via
+    ``spark.table(table)``.
+
+    Buckets are Spark's Murmur3-hash-mod layout, recorded in the catalog —
+    the one piece plain ``.parquet(path)`` files cannot carry, and the
+    reason joins against this table skip their Exchange. ``sort=True`` also
+    pre-sorts within buckets so sort-merge joins skip their Sort.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+    return table
+
+
+def bucketed_semi_join(
+    spark: SparkSession, probe_df: DataFrame, probe_key: str, corpus_table: str
+) -> DataFrame:
+    """Exact membership of ``probe_df`` rows in the bucketed corpus — the
+    confirm-join shape with the corpus side guaranteed exchange-free.
+
+    The semi-join is forced to the merge path (hint) rather than left to the
+    broadcast planner: the whole point of the bucketed corpus is the case
+    where it does NOT fit a broadcast. If ``probe_df`` is itself a scan of a
+    table bucketed on the same key with the same bucket count, the join
+    plans with zero exchanges.
+    """
+    corpus = spark.table(corpus_table)
+    (key_col,) = [c for c in corpus.columns if c == probe_key] or [
+        corpus.columns[0]
+    ]
+    return probe_df.join(
+        corpus.select(F.col(key_col).alias(probe_key)).hint("merge"),
+        on=probe_key,
+        how="left_semi",
+    )
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchanges in the (initial) physical plan — the
+    plan-shape metric the bucketing guarantees are stated in. Reused
+    exchanges are not double-counted; AQE's re-planning can only remove
+    exchanges, so this is an upper bound on what executes."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "ReusedExchange" not in line
+    )
