@@ -254,6 +254,36 @@ def main_bench():
     extra["probe_budgeted_keys_per_sec"] = n_routed / t
     budgeted.unpersist()
 
+    # bucketed co-located confirm: the 12M-key corpus written bucketed ONCE
+    # (untimed — that is the point: the shuffle+sort moves to write time),
+    # then the same merge semi-join measured against plain parquet (both
+    # sides shuffle per query) vs the bucketed table (probe side only)
+    from sparkfuse.bucketing import bucketed_semi_join, write_bucketed_keys
+
+    with tempfile.TemporaryDirectory() as td2:
+        write_bucketed_keys(
+            big_keys, "key", "sf_bench_corpus", os.path.join(td2, "corpus"), 32
+        )
+        plain_path = os.path.join(td2, "plain")
+        big_keys.write.mode("overwrite").parquet(plain_path)
+        plain = spark.read.parquet(plain_path)
+        t, _ = bench_row(
+            "confirm_join_plain_12m",
+            lambda: routed_probes.join(
+                plain.hint("merge"), "key", "left_semi"
+            ).count(),
+            repeats=3,
+        )
+        t, _ = bench_row(
+            "confirm_join_bucketed_12m",
+            lambda: bucketed_semi_join(
+                spark, routed_probes, "key", "sf_bench_corpus"
+            ).count(),
+            repeats=3,
+        )
+        extra["confirm_bucketed_keys_per_sec"] = n_routed / t
+        spark.sql("DROP TABLE IF EXISTS sf_bench_corpus")
+
     # decontamination: fuse-prescreened 13-gram overlap vs a 100-doc
     # benchmark — the prescreen filters the exploded grams BEFORE the first
     # exchange (PLANS.md §14)
@@ -263,8 +293,8 @@ def main_bench():
     bench_docs = docs_df.filter(F.col("doc_id") < 100).select("text")
 
     def run_contamination():
-        # no cache-handle cleanup: the benchmark gram reuse is an eager
-        # localCheckpoint whose blocks the ContextCleaner releases on GC
+        # no cache-handle cleanup: the (small) benchmark gram frame is
+        # recomputed at confirm time by design — fault-tolerant, leak-free
         return contamination_check(
             docs_df, "doc_id", "text", bench_docs, "text", n=13, spark=spark
         ).count()

@@ -56,8 +56,14 @@ def write_bucketed_keys(
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    # cluster by the bucket expression BEFORE the bucketed write: Spark's
+    # bucketed writer emits one file per (task, bucket) pair, so an
+    # unclustered P-partition input writes up to P x n_buckets small files
+    # (millions at the docstring's 10^12-key sizing). Pre-hashing each
+    # bucket's rows into one task makes it one file per bucket.
+    clustered = df.repartition(n_buckets, F.col(key))
     writer = (
-        df.write.format("parquet")
+        clustered.write.format("parquet")
         .mode(mode)
         .option("path", path)
         .bucketBy(n_buckets, key)
@@ -81,24 +87,32 @@ def bucketed_semi_join(
     plans with zero exchanges.
     """
     corpus = spark.table(corpus_table)
-    (key_col,) = [c for c in corpus.columns if c == probe_key] or [
-        corpus.columns[0]
-    ]
+    if probe_key not in corpus.columns:
+        # a typo'd key must raise, not silently join against some other
+        # column (wrong membership AND a regained corpus-side Exchange)
+        raise ValueError(
+            f"column {probe_key!r} not in bucketed corpus {corpus_table!r} "
+            f"(has {corpus.columns}); the probe key must be the corpus's "
+            "bucket column"
+        )
     return probe_df.join(
-        corpus.select(F.col(key_col).alias(probe_key)).hint("merge"),
+        corpus.select(probe_key).hint("merge"),
         on=probe_key,
         how="left_semi",
     )
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle Exchanges in the (initial) physical plan — the
-    plan-shape metric the bucketing guarantees are stated in. Reused
-    exchanges are not double-counted; AQE's re-planning can only remove
-    exchanges, so this is an upper bound on what executes."""
+    """Number of SHUFFLE Exchanges in the (initial) physical plan — the
+    plan-shape metric the bucketing guarantees are stated in. Broadcast
+    exchanges are excluded (they move a small side, not a shuffle) and
+    reused exchanges are not double-counted; AQE's re-planning can only
+    remove exchanges, so this is an upper bound on what executes."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return sum(
         1
         for line in plan.splitlines()
-        if "Exchange" in line and "ReusedExchange" not in line
+        if "Exchange" in line
+        and "ReusedExchange" not in line
+        and "BroadcastExchange" not in line
     )

@@ -40,21 +40,22 @@ def contamination_check(
     practice of 13-gram overlap checks); lower it for short documents.
 
     Reuse lifecycle: the deduped benchmark n-gram frame feeds BOTH the
-    forest build and the confirm join, so it is materialized ONCE via an
-    eager ``localCheckpoint()`` (the forest build would have materialized it
-    here anyway). Unlike ``.cache()`` — which Spark's CacheManager pins
-    until an explicit unpersist, leaking one relation per call in a
-    long-lived session (round-4 ADVICE) — checkpoint blocks are released by
-    the ContextCleaner when the returned DataFrame goes out of scope, so
-    callers hold no cleanup contract.
+    forest build (materialized eagerly inside this call) and the confirm
+    join (materialized when the caller executes the result) — and it is
+    deliberately NOT persisted. ``.cache()`` pins a relation in the
+    CacheManager until an explicit unpersist, leaking one per call in a
+    long-lived session (round-4 ADVICE); ``localCheckpoint()`` fixes the
+    leak but truncates lineage onto single-replica executor-local blocks,
+    so an executor loss between the two consumers fails the query instead
+    of recomputing (round-5 review) — the wrong trade on the 10^12-doc
+    cluster deployments this path targets. The benchmark side is SMALL by
+    definition (that asymmetry is the whole design), so recomputing its
+    explode+dedup once more at confirm time is the cheap, fault-tolerant,
+    contract-free choice.
     """
-    # eager localCheckpoint: run the benchmark explode+dedup shuffle once,
-    # share the stored blocks between the forest build and the confirm join
-    # (a plain .cache() would pin the relation until an explicit unpersist)
     bench_grams = (
         bench_df.select(F.explode(shingles_col(bench_text, n)).alias("gram"))
         .dropDuplicates()
-        .localCheckpoint()
     )
     forest = Forest.from_df(
         build_forest(bench_grams.select(F.xxhash64("gram").alias("key")))

@@ -174,6 +174,35 @@ def _sink_fingerprint(path: str):
     return filesystem, [p for p, _, _ in files], (path, tuple(files))
 
 
+def _sink_plan_token(content_key) -> str:
+    """Plan token derived from a sink's content fingerprint — the ONE
+    derivation all sink probes share (three hand-maintained copies would
+    silently split the worker memo keyspace if one drifted). Same content
+    ⇒ same token ⇒ workers reuse their listing/filter memos across
+    queries; any append or rewrite changes the fingerprint and forces a
+    fresh listing + reload."""
+    import hashlib
+
+    return hashlib.sha256(repr(content_key).encode()).hexdigest()[:16]
+
+
+def _plan_token_or_fallback(sink_path: str) -> str:
+    """Content-derived plan token when the sink is listable from the
+    driver at plan time; a random per-plan token otherwise. The fallback
+    keeps lazy composition legal — building the probe DataFrame BEFORE the
+    sink is written, or on a driver without read access to an
+    executor-only URI — at the old cost (one LIST per worker per query);
+    executors still fail loudly at execution time if the sink never
+    appears."""
+    import os as _os
+
+    try:
+        _, _, content_key = _sink_fingerprint(sink_path)
+    except Exception:
+        return _os.urandom(8).hex()
+    return _sink_plan_token(content_key)
+
+
 def _load_cached_from_sink(path: str, plan_token: str, key_suffix: tuple, build):
     """Shared two-layer worker cache for whole-sink loads: (path, plan_token,
     *suffix) memoizes WITHIN one query plan so the sink listing runs once per
@@ -225,14 +254,12 @@ def approx_contains_sink(
     across queries the file-listing fingerprint (names+sizes+mtimes)
     guarantees a fresh load after any append or rewrite.
     """
-    import hashlib
-
     col = F.col(key) if isinstance(key, str) else key
     # content-derived plan token, fixed at plan time (ships in closure): one
     # driver-side LIST per plan, and repeat queries over an unchanged sink
-    # skip the per-worker LIST + reuse the worker forest cache directly
-    _, _, content_key = _sink_fingerprint(sink_path)
-    plan_token = hashlib.sha256(repr(content_key).encode()).hexdigest()[:16]
+    # skip the per-worker LIST + reuse the worker forest cache directly;
+    # falls back to a random token when the sink is not yet listable
+    plan_token = _plan_token_or_fallback(sink_path)
 
     @F.pandas_udf(BooleanType())
     def probe_sink(keys: pd.Series) -> pd.Series:
@@ -294,8 +321,6 @@ def approx_contains_epoch_sink(
     it raises with the remediation (``compact_forest``) instead of letting
     every executor OOM mid-query.
     """
-    import hashlib
-
     col = F.col(key) if isinstance(key, str) else key
     budget = replication_budget
     if budget is None:
@@ -303,8 +328,8 @@ def approx_contains_epoch_sink(
         # plan time); the probe_forest planner compares the same knob to
         # in-memory payload bytes — both proxies for worker residency
         budget = _replication_budget(df.sparkSession)
-    _, _, content_key = _sink_fingerprint(sink_path)
     if budget >= 0:
+        _, _, content_key = _sink_fingerprint(sink_path)
         sink_bytes = sum(size for _, size, _ in content_key[1])
         if sink_bytes > budget:
             raise ValueError(
@@ -315,10 +340,14 @@ def approx_contains_epoch_sink(
                 "sparkfuse.probe.replicationBudget / pass replication_budget "
                 "(-1 disables)."
             )
-    # content-derived plan token, fixed at plan time (ships in closure):
-    # repeat queries over an unchanged sink reuse the worker memos; a new
-    # epoch changes the fingerprint and forces the reload
-    plan_token = hashlib.sha256(repr(content_key).encode()).hexdigest()[:16]
+        # content-derived plan token (reuses the budget check's listing):
+        # repeat queries over an unchanged sink reuse the worker memos; a
+        # new epoch changes the fingerprint and forces the reload
+        plan_token = _sink_plan_token(content_key)
+    else:
+        # budget disabled: the sink may legitimately not be listable from
+        # the driver yet — fall back rather than fail at plan time
+        plan_token = _plan_token_or_fallback(sink_path)
 
     @F.pandas_udf(BooleanType())
     def probe_epochs(keys: pd.Series) -> pd.Series:
@@ -492,12 +521,10 @@ def _sink_forest_meta(sink_path: str) -> tuple[dict, str]:
     memo across plans (no per-query LIST on every worker), while any append
     or rewrite changes the fingerprint and therefore the token — same
     freshness contract, strictly fewer repeated reads."""
-    import hashlib
-
     import pyarrow.dataset as pads
 
     filesystem, data_files, content_key = _sink_fingerprint(sink_path)
-    token = hashlib.sha256(repr(content_key).encode()).hexdigest()[:16]
+    token = _sink_plan_token(content_key)
     cached = _SINK_META_CACHE.get(content_key)
     if cached is not None:
         return cached, token

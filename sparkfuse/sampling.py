@@ -70,12 +70,16 @@ _PORTABLE_KEY_TYPES = {
 def _check_key_cols(df: DataFrame, cols: list[str]) -> None:
     """Reject key columns whose string rendering is not engine-portable —
     a double/timestamp key would silently select DIFFERENT rows when the
-    selection is replayed in another engine (round-4 ADVICE)."""
-    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    selection is replayed in another engine (round-4 ADVICE). Lookup is
+    case-insensitive to match Spark's default column resolution — 'TS'
+    resolves to a 'ts' column, so the guard must too."""
+    types = {
+        f.name.lower(): f.dataType.simpleString() for f in df.schema.fields
+    }
     bad = {
-        c: types[c]
+        c: types[c.lower()]
         for c in cols
-        if c in types and types[c] not in _PORTABLE_KEY_TYPES
+        if c.lower() in types and types[c.lower()] not in _PORTABLE_KEY_TYPES
     }
     if bad:
         raise TypeError(

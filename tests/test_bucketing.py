@@ -76,6 +76,30 @@ def test_plain_parquet_same_join_pays_two_exchanges(spark, corpus_table, tmp_pat
     assert exchange_count(joined) == 2
 
 
+def test_bucketed_semi_join_rejects_unknown_key(spark, corpus_table):
+    """A typo'd probe key must raise, never silently join against another
+    corpus column (round-5 review: the old fallback picked columns[0])."""
+    probes = spark.range(10).select(F.xxhash64("id").alias("gram"))
+    with pytest.raises(ValueError, match="bucket column"):
+        bucketed_semi_join(spark, probes, "gram", corpus_table)
+
+
+def test_bucketed_write_is_one_file_per_bucket(spark, corpus_table):
+    """The pre-write repartition keeps file count == bucket count (an
+    unclustered input writes up to tasks x buckets small files)."""
+    import glob
+
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {corpus_table}").collect()
+    location = next(
+        r["data_type"] for r in rows if (r["col_name"] or "").strip() == "Location"
+    )
+    path = location.replace("file:", "")
+    files = [
+        f for f in glob.glob(f"{path}/*") if not f.split("/")[-1].startswith(("_", "."))
+    ]
+    assert len(files) == N_BUCKETS, sorted(files)
+
+
 def test_bucketed_confirm_composes_with_prescreen(spark, corpus_table):
     """The intended composition: fuse prescreen -> bucketed exact confirm.
     Zero false negatives end-to-end, and the confirm join still plans with

@@ -546,9 +546,24 @@ def test_probe_forest_regime3_prefers_routed_sink(spark, tmp_path):
     # routed-sink shape since round 5: tag-route repartition + scalar
     # probe_shards pandas_udf (was MapInArrow — PLANS.md §17 has why);
     # the cogroup shape must NOT appear
-    assert "probe_shards" in plan and "flatMapCoGroupsIn" not in plan
+    assert "probe_shards" in plan and "FlatMapCoGroups" not in plan
     assert "_sf_tag" in plan  # the inverse-hash tag route is the shuffle
     assert all(r["maybe_member"] for r in df.collect())
+
+
+def test_hybrid_probe_composes_lazily_before_sink_exists(spark, tmp_path):
+    """Plan construction must not require the sink to exist yet (round-5
+    review: the content-token derivation lists the sink at plan time; the
+    fallback keeps write-after-compose legal). The probe DataFrame is built
+    FIRST, the forest written after, and execution still probes correctly."""
+    from sparkfuse.forest import build_forest, write_forest
+    from sparkfuse.probe import approx_contains_sink
+
+    sink = str(tmp_path / "late_sink")
+    keys = _keys_df(spark, 5_000)
+    flagged = approx_contains_sink(keys, "key", sink)  # sink absent here
+    write_forest(build_forest(keys, shard_bits=1), sink)
+    assert flagged.filter(F.col("maybe_member")).count() == 5_000  # zero FN
 
 
 def test_sink_fingerprint_detects_inplace_rewrite(tmp_path):

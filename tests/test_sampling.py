@@ -156,3 +156,26 @@ def test_weighted_sample_exact_replay_and_bias(spark):
         .alias("w"),
     )
     assert weighted_sample(bad, 10, "w", ["id"]).count() == 0
+
+
+def test_key_type_guard_is_loud_and_case_insensitive(spark):
+    """Non-portable key columns (double/timestamp) raise instead of silently
+    desynchronizing a cross-engine replay — including when the caller's
+    column case differs from the schema's (Spark resolves case-insensitively,
+    so the guard must too; round-5 review)."""
+    import pytest
+    from sparkfuse.sampling import deterministic_sample, split_by_hash
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") / 7.0).alias("score"),
+        F.to_timestamp(F.from_unixtime(F.col("id") + 1767225600)).alias("ts"),
+    )
+    with pytest.raises(TypeError, match="not engine-portable"):
+        deterministic_sample(df, 10, ["score"])
+    with pytest.raises(TypeError, match="not engine-portable"):
+        deterministic_sample(df, 10, ["TS"])  # case differs from schema
+    with pytest.raises(TypeError, match="not engine-portable"):
+        split_by_hash(df, ["ts"], 0.1)
+    # integral/string keys pass
+    assert deterministic_sample(df, 10, ["id"]).count() == 10
