@@ -89,6 +89,7 @@ _SPARK_LAYER = {
     "sessionize": ("sparkfuse.temporal", "sessionize"),
     "compact_sketch_states": ("sparkfuse.sketchsink", "compact_sketch_states"),
     "write_bucketed_keys": ("sparkfuse.bucketing", "write_bucketed_keys"),
+    "append_bucketed_keys": ("sparkfuse.bucketing", "append_bucketed_keys"),
     "bucketed_semi_join": ("sparkfuse.bucketing", "bucketed_semi_join"),
 }
 

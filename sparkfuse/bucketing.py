@@ -74,6 +74,33 @@ def write_bucketed_keys(
     return table
 
 
+def append_bucketed_keys(
+    df: DataFrame, key: str, table: str, n_buckets: int, sort: bool = True
+) -> str:
+    """Append new keys to an existing bucketed corpus WITHOUT rewriting it —
+    the maintenance path for a corpus that grows by deltas. New files land
+    in the same bucket layout (Spark validates the spec against the catalog
+    and fails loudly on a mismatched ``n_buckets``/key), so every
+    exchange-free join guarantee survives the append. Dedup across
+    old-vs-new is the caller's concern (a semi-join of the delta against
+    the table — itself exchange-free on the corpus side — filters
+    already-present keys first)."""
+    spark = df.sparkSession
+    if table not in [t.name for t in spark.catalog.listTables()]:
+        raise ValueError(
+            f"table {table!r} does not exist — write it first with "
+            "write_bucketed_keys"
+        )
+    clustered = df.repartition(n_buckets, F.col(key))
+    writer = (
+        clustered.write.format("parquet").mode("append").bucketBy(n_buckets, key)
+    )
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)
+    return table
+
+
 def bucketed_semi_join(
     spark: SparkSession, probe_df: DataFrame, probe_key: str, corpus_table: str
 ) -> DataFrame:

@@ -117,3 +117,27 @@ def test_bucketed_confirm_composes_with_prescreen(spark, corpus_table):
     assert {r["key"] for r in confirmed.collect()} == {
         r["key"] for r in true_members.collect()
     }
+
+
+def test_append_preserves_bucket_layout_and_membership(spark, tmp_path):
+    """Delta appends keep the bucket layout (joins stay probe-side-only
+    exchange) and appended keys become members; a mismatched bucket spec
+    fails loudly instead of corrupting the layout."""
+    from sparkfuse.bucketing import append_bucketed_keys
+
+    name = "sf_test_append_corpus"
+    base = spark.range(10_000).select(F.xxhash64("id").alias("key"))
+    delta = spark.range(10_000, 12_000).select(F.xxhash64("id").alias("key"))
+    write_bucketed_keys(base, "key", name, str(tmp_path / "corpus"), N_BUCKETS)
+    try:
+        append_bucketed_keys(delta, "key", name, N_BUCKETS)
+        probes = spark.range(9_000, 12_000).select(F.xxhash64("id").alias("key"))
+        joined = bucketed_semi_join(spark, probes, "key", name)
+        assert exchange_count(joined) == 1  # corpus side still exchange-free
+        assert joined.count() == 3_000  # old AND appended keys are members
+        with pytest.raises(Exception, match="[Bb]ucket"):
+            append_bucketed_keys(delta, "key", name, N_BUCKETS * 2)
+        with pytest.raises(ValueError, match="does not exist"):
+            append_bucketed_keys(delta, "key", "sf_no_such_table", N_BUCKETS)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
