@@ -88,6 +88,7 @@ _SPARK_LAYER = {
     "asof_join": ("sparkfuse.temporal", "asof_join"),
     "sessionize": ("sparkfuse.temporal", "sessionize"),
     "compact_sketch_states": ("sparkfuse.sketchsink", "compact_sketch_states"),
+    "curate_transcripts": ("sparkfuse.transcripts", "curate_transcripts"),
     "write_bucketed_keys": ("sparkfuse.bucketing", "write_bucketed_keys"),
     "append_bucketed_keys": ("sparkfuse.bucketing", "append_bucketed_keys"),
     "bucketed_semi_join": ("sparkfuse.bucketing", "bucketed_semi_join"),

@@ -133,6 +133,64 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def curate_transcripts(
+    transcripts: DataFrame,
+    bench_df: DataFrame | None = None,
+    bench_text: str = "text",
+    holdout_fraction: float = 0.1,
+    n: int = 13,
+    spark=None,
+) -> DataFrame:
+    """Conversation-level curation over the input_hint transcript shape —
+    the transcripts twin of ``pipeline.curate_documents``, composed from the
+    library's own stages, all semantics SQL-replayable (the pytest oracle
+    re-derives every kept conv_id and split assignment in DuckDB):
+
+    1. EXACT conversation dedup: conversations with identical ordered
+       content (texts in (turn_idx, text) order — conv_id-INDEPENDENT,
+       unlike ``conversation_stats.content_hash`` which is keyed by
+       conv_id) keep only the MIN conv_id. The dedup groups on
+       ``md5(content)`` so the post-rollup shuffle carries 16-byte digests
+       + conv_ids, never rolled-up conversation bodies.
+    2. DECONTAMINATION (optional): any conversation with ANY turn sharing
+       a word ``n``-gram with ``bench_df`` is dropped whole — the
+       fuse-prescreened exact check (``decontam.contamination_check``)
+       keyed by conv_id.
+    3. SPLIT: content-keyed train/holdout fence on conv_id
+       (``sampling.split_by_hash``) — a conversation held out here is held
+       out of every table sharing conv_id.
+
+    Returns the curated TURNS (all original columns) plus a ``split``
+    column ('train' | 'holdout').
+
+    Scale shape: stage 1 is one shuffle of turns by conv_id (the rollup)
+    plus a conv-granularity digest agg; stage 2 is the decontam plan
+    (prescreen before the first exchange, PLANS.md §14); stage 3 is a
+    stateless codegen filter. Nothing is driver-side; no stage is
+    quadratic.
+    """
+    from sparkfuse.decontam import contamination_check
+    from sparkfuse.sampling import split_by_hash
+
+    rolled = ordered_rollup(transcripts, "conv_id", ["turn_idx"], "text", sep="\x1e")
+    keep = (
+        rolled.select("conv_id", F.md5("content").alias("_digest"))
+        .groupBy("_digest")
+        .agg(F.min("conv_id").alias("conv_id"))
+        .select("conv_id")
+    )
+    kept = transcripts.join(keep, "conv_id", "left_semi")
+    if bench_df is not None:
+        contaminated = contamination_check(
+            kept, "conv_id", "text", bench_df, bench_text, n=n, spark=spark
+        ).select("conv_id")
+        kept = kept.join(contaminated, "conv_id", "left_anti")
+    train, holdout = split_by_hash(kept, ["conv_id"], holdout_fraction)
+    return train.withColumn("split", F.lit("train")).unionByName(
+        holdout.withColumn("split", F.lit("holdout"))
+    )
+
+
 def ordered_rollup(
     df: DataFrame,
     part_col: str,

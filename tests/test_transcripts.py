@@ -148,3 +148,77 @@ def test_sketch_profile_job_and_resume(spark, tr, tmp_path):
     assert rep2["lineage"] == rep1["lineage"]
     rows = spark.read.parquet(sink).groupBy("shard", "sketch").count().collect()
     assert all(r["count"] == 1 for r in rows)  # no duplicate appends
+
+
+def test_curate_transcripts_full_duckdb_twin(spark, tr, tmp_path):
+    """curate_transcripts vs a complete DuckDB re-derivation: conversation
+    dedup by ordered content (conv_id-independent), whole-conversation
+    decontamination vs a benchmark set, and the content-keyed split — every
+    kept (conv_id, turn_idx, split) must match the SQL twin exactly."""
+    import duckdb
+
+    from sparkfuse.decontam import contamination_oracle_sql
+    from sparkfuse.transcripts import curate_transcripts
+
+    # plant exact-duplicate conversations under new (lexically later) ids
+    some = [
+        r["conv_id"]
+        for r in tr.select("conv_id").distinct().orderBy("conv_id").limit(3).collect()
+    ]
+    dups = tr.filter(F.col("conv_id").isin(some)).withColumn(
+        "conv_id", F.concat(F.lit("dup-"), F.col("conv_id"))
+    )
+    planted = tr.unionByName(dups)
+    src = str(tmp_path / "turns")
+    planted.write.mode("overwrite").parquet(src)
+    planted = spark.read.parquet(src)  # same bytes both engines
+
+    # benchmark set: the >=13-token turns of one kept conversation
+    bench_conv = some[1]
+    bench = planted.filter(
+        (F.col("conv_id") == bench_conv) & (F.size(F.split("text", " ")) >= 13)
+    ).select("text")
+    assert bench.count() > 0
+
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["split"])
+        for r in curate_transcripts(
+            planted, bench_df=bench, holdout_fraction=0.25, spark=spark
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW tr_all AS SELECT * FROM '{src}/*.parquet'")
+    con.execute(
+        "CREATE VIEW kept_turns AS "
+        "WITH rolled AS (SELECT conv_id, "
+        "string_agg(text, chr(30) ORDER BY turn_idx, text) AS content "
+        "FROM tr_all GROUP BY conv_id), "
+        "keep AS (SELECT MIN(conv_id) AS conv_id FROM rolled GROUP BY content) "
+        "SELECT * FROM tr_all WHERE conv_id IN (SELECT conv_id FROM keep)"
+    )
+    bench_sql = (
+        f"SELECT text FROM tr_all WHERE conv_id = '{bench_conv}' "
+        "AND len(string_split(text, ' ')) >= 13"
+    )
+    contam = contamination_oracle_sql("kept_turns", "conv_id", "text", bench_sql, "text")
+    threshold = int(0.25 * 16**8)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"SELECT conv_id, turn_idx, CASE WHEN CAST(('0x' || substr(md5("
+            "concat_ws(chr(31), '0', chr(2) || conv_id)), 1, 8)) AS BIGINT) "
+            f"< {threshold} THEN 'holdout' ELSE 'train' END AS split "
+            f"FROM kept_turns WHERE conv_id NOT IN "
+            f"(SELECT conv_id FROM ({contam}) _)"
+        ).fetchall()
+    )
+    assert got == want
+    # the planted duplicate conversations were deduped away...
+    kept_convs = {c for c, _, _ in got}
+    assert not any(c.startswith("dup-") for c in kept_convs)
+    # ...the benchmark conversation was decontaminated away...
+    assert bench_conv not in kept_convs
+    # ...and both splits are non-empty (content-keyed fence applied)
+    splits = {s for _, _, s in got}
+    assert splits == {"train", "holdout"}
