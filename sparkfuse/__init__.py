@@ -92,6 +92,7 @@ _SPARK_LAYER = {
     "write_bucketed_keys": ("sparkfuse.bucketing", "write_bucketed_keys"),
     "append_bucketed_keys": ("sparkfuse.bucketing", "append_bucketed_keys"),
     "bucketed_semi_join": ("sparkfuse.bucketing", "bucketed_semi_join"),
+    "exact_member_bucketed": ("sparkfuse.bucketing", "exact_member_bucketed"),
 }
 
 

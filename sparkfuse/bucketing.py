@@ -129,6 +129,32 @@ def bucketed_semi_join(
     )
 
 
+def exact_member_bucketed(
+    probe_df: DataFrame,
+    probe_key: str,
+    corpus_table: str,
+    forest,
+    spark: SparkSession,
+) -> DataFrame:
+    """Exact membership with the bucketed corpus as the confirm side — the
+    packaged form of prescreen → bucketed confirm (the composition
+    ``exact_member_semi_join`` runs against a DataFrame corpus, minus its
+    per-query corpus shuffle):
+
+      1. fuse prescreen (zero FN ⇒ nothing true is lost) keeps
+         (members + ~fpp) probe rows;
+      2. ``bucketed_semi_join`` confirms survivors against the corpus with
+         NO corpus-side exchange (the corpus shuffled once, at write time).
+
+    ``forest`` is a ``sparkfuse.forest.Forest`` built over the same key.
+    Plan: one probe-side exchange total, nothing else.
+    """
+    from sparkfuse.probe import approx_contains_udf
+
+    pre = probe_df.filter(approx_contains_udf(forest, spark)(F.col(probe_key)))
+    return bucketed_semi_join(spark, pre, probe_key, corpus_table)
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of SHUFFLE Exchanges in the (initial) physical plan — the
     plan-shape metric the bucketing guarantees are stated in. Broadcast

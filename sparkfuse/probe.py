@@ -440,6 +440,13 @@ def approx_contains_routed(
     conversion; measured +24% over applyInPandas at 10M keys vs a 13 MB
     forest). For wide probe rows prefer ``exact_member_routed`` which routes
     only the 8-byte key column through the shard shuffle.
+
+    Session-hygiene caveat (round 5, PLANS.md §17): once any
+    cogroup/applyInArrow query runs, REUSED Python workers execute later
+    ``mapInArrow`` plans ~2x slower for the rest of the session. None of
+    this library's hot paths use mapInArrow anymore (all pandas_udf,
+    unaffected), but if your own pipeline mixes this operator with
+    mapInArrow stages, order matters in long-lived local-mode sessions.
     """
     import pyarrow as pa
 

@@ -101,17 +101,16 @@ def test_bucketed_write_is_one_file_per_bucket(spark, corpus_table):
 
 
 def test_bucketed_confirm_composes_with_prescreen(spark, corpus_table):
-    """The intended composition: fuse prescreen -> bucketed exact confirm.
-    Zero false negatives end-to-end, and the confirm join still plans with
-    only the probe-side exchange."""
+    """The packaged composition (exact_member_bucketed): fuse prescreen ->
+    bucketed exact confirm. Zero false negatives end-to-end, and the plan
+    keeps only the probe-side exchange."""
+    from sparkfuse.bucketing import exact_member_bucketed
     from sparkfuse.forest import Forest, build_forest
-    from sparkfuse.probe import approx_contains_udf
 
     corpus = spark.table(corpus_table)
     forest = Forest.from_df(build_forest(corpus, shard_bits=2))
     probes = spark.range(20_000).select(F.xxhash64(F.col("id") * 5).alias("key"))
-    maybe = probes.filter(approx_contains_udf(forest, spark)(F.col("key")))
-    confirmed = bucketed_semi_join(spark, maybe, "key", corpus_table)
+    confirmed = exact_member_bucketed(probes, "key", corpus_table, forest, spark)
     assert exchange_count(confirmed) == 1
     true_members = probes.join(corpus, "key", "left_semi")
     assert {r["key"] for r in confirmed.collect()} == {
