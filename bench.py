@@ -158,6 +158,28 @@ def main_bench():
         ),
     )
 
+    # composed transcript curation at 200k turns: conversation dedup by
+    # ordered-content digest + whole-conversation 13-gram decontamination
+    # (fuse prescreen) + content-keyed split — the north-star training-data
+    # pipeline as one row. The benchmark set is one mid-popularity
+    # conversation's >=13-token turns (deterministic).
+    from sparkfuse.transcripts import curate_transcripts
+
+    tr_cur = synth_transcripts(spark, 200_000).cache()
+    n_tr = tr_cur.count()
+    cur_bench = tr_cur.filter(
+        (F.col("conv_id") == "conv-00004321")
+        & (F.size(F.split("text", " ")) >= 13)
+    ).select("text")
+    t, _ = bench_row(
+        "transcripts_curate_200k",
+        lambda: curate_transcripts(
+            tr_cur, bench_df=cur_bench, holdout_fraction=0.1, spark=spark
+        ).count(),
+    )
+    extra["transcripts_curate_turns_per_sec"] = n_tr / t
+    tr_cur.unpersist()
+
     # routed probe: forest deliberately sized PAST the 10 MB default
     # autoBroadcastJoinThreshold (12M keys -> ~13.6 MB fuse8 payload), probed
     # via the shard-cogroup path — no driver collect, no broadcast

@@ -151,3 +151,35 @@ def test_sketch_profile_job_via_spark_submit(transcripts_path, pyfiles_zip, tmp_
         f"FROM '{transcripts_path}/*.parquet'"
     ).fetchone()
     assert lo <= q50 <= hi, (lo, q50, hi)
+
+
+def test_curate_transcripts_job_via_spark_submit(transcripts_path, pyfiles_zip, tmp_path, ddb):
+    out = str(tmp_path / "curated")
+    report = _submit(
+        "curate_transcripts_job.py",
+        [
+            "--input", transcripts_path,
+            "--output", out,
+            "--holdout-fraction", "0.2",
+        ],
+        cwd=str(tmp_path),
+        zip_path=pyfiles_zip,
+    )
+    assert report["n_input_turns"] == N_TURNS
+    # synth has per-turn duplicate texts but no whole-duplicate convs, so
+    # dedup keeps every conversation; the exact kept set is re-derived in
+    # DuckDB by the pipeline's own twin in tests/test_transcripts.py — here
+    # we pin the job-level contract: counts, split partition dirs, fence
+    assert report["n_curated_convs"] == ddb.execute(
+        "WITH rolled AS (SELECT conv_id, string_agg(text, chr(30) "
+        "ORDER BY turn_idx, text) AS content "
+        f"FROM '{transcripts_path}/*.parquet' GROUP BY conv_id) "
+        "SELECT COUNT(*) FROM (SELECT MIN(conv_id) FROM rolled GROUP BY content) _"
+    ).fetchone()[0]
+    assert set(report["turns_by_split"]) == {"train", "holdout"}
+    assert sum(report["turns_by_split"].values()) == report["n_curated_turns"]
+    import glob
+
+    assert sorted(
+        d.split("=")[-1] for d in glob.glob(f"{out}/split=*")
+    ) == ["holdout", "train"]
