@@ -95,24 +95,25 @@ def approx_contains(
 def approx_contains_arrow(
     df: DataFrame, key: str, forest: Forest, spark, out: str = "maybe_member"
 ) -> DataFrame:
-    """Membership column via ``mapInArrow`` — the raw-RecordBatch
-    alternative to the ``approx_contains`` pandas_udf.
+    """Membership column via ``mapInArrow`` — the keys-only fast path
+    (+15% over the pandas_udf: 0.68 vs 0.79 s min-of-4 at the 10M-key
+    bench shape, re-measured round 5 AFTER the root-cause fix below).
 
-    NOT the fast path (claim retired round 5; round-2's +36% did not
-    survive re-measurement). At the bench shape (10M keys, 13 MB forest,
-    local[32]) it measures at parity at best with the pandas_udf — 0.67 vs
-    0.58 s through bench.py, 0.74 vs 0.73 isolated — and it is FRAGILE:
-    the mapInArrow runner degrades ~2-3x (flat, not warm-up) on reused
-    Python workers after any cogroup/applyInArrow query runs in the
-    session, and under CPU contention, while the pandas_udf path holds
-    (judge-reproduced r4 regression; tools/profile_arrow*.py,
-    tools/profile_routedsink_poison.py; PLANS.md §17 round-5 note).
+    Session-conf dependency (PLANS.md §17, round-5 root cause): Spark 4's
+    mapInArrow input writer checks ``spark.sql.execution.arrow.
+    maxBytesPerBatch`` (default 64m) by calling ``ArrowWriter.sizeInBytes``
+    — a full vector walk — PER INPUT ROW. That walk is what made this path
+    measure 2-3x SLOWER in rounds 3-4 once any cogroup/applyInArrow query
+    had polluted the shared JIT call sites (jstack-confirmed). ``get_spark``
+    sets the conf to Int.MaxValue (the writer's documented short-circuit),
+    which removes the per-row walk entirely; in a session WITHOUT that
+    conf this path can degrade below the pandas_udf, so only prefer it in
+    sessions built by ``get_spark`` (or set the conf yourself).
 
-    Prefer ``approx_contains`` for the prescreen hot loop — always. This
-    form remains for callers already holding RecordBatch pipelines
-    (mapInArrow composition) and as the measured reference point; note it
-    also ships EVERY column of ``df`` through the Arrow channel both ways,
-    while the pandas_udf ships only the key series and a boolean back.
+    Tradeoff vs ``approx_contains``: mapInArrow ships EVERY column of
+    ``df`` through the Arrow channel both ways, while the pandas_udf ships
+    only the key series and a boolean back — use this for narrow (ideally
+    keys-only) probe frames; use the UDF column form for wide rows.
     """
     import pyarrow as pa
 

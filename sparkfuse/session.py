@@ -52,6 +52,20 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Disable the per-ROW batch-bytes check in the mapInArrow/
+        # mapInPandas input writer (BatchedPythonArrowInput): Int.MaxValue
+        # is the writer's documented short-circuit, so underBatchSizeLimit
+        # never calls ArrowWriter.sizeInBytes() — a full vector walk PER
+        # INPUT ROW under the 64m default, and the root cause of the
+        # "mapInArrow poisoning" (PLANS.md §17): once a cogroup/applyInArrow
+        # query pollutes the shared JIT call sites, that per-row walk runs
+        # ~10x slower for the REST of the session (jstack-confirmed: task
+        # threads pinned in ArrowFieldWriter.getSizeInBytes under
+        # underBatchSizeLimit). Batch SIZE stays bounded by
+        # maxRecordsPerBatch x row width; operators with wide binary rows
+        # (multimodal) bound partition bytes explicitly, so the 64 MB byte
+        # cap is redundant here and pure per-row overhead.
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(2**31 - 1))
         .config("spark.driver.memory", os.environ.get("SPARKFUSE_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.filterPushdown", "true")
         .getOrCreate()
