@@ -862,6 +862,21 @@ def probe_forest(
         forest_df, spark, broadcast_threshold, replication_budget, sink_path
     )
     if regime == "broadcast":
+        # keys-only probe frames take the mapInArrow form (+15% — no pandas
+        # Series wrap) when it is SAFE: the session must have the per-row
+        # batch-size check short-circuited (get_spark does; PLANS.md §17 —
+        # without it, mapInArrow degrades ~2-3x in JIT-polluted sessions),
+        # and the frame must be narrow (mapInArrow round-trips every column)
+        if (
+            spark is not None
+            and list(probe_df.columns) == [key]
+            and spark.conf.get(
+                "spark.sql.execution.arrow.maxBytesPerBatch", ""
+            ) == str(2**31 - 1)
+        ):
+            return approx_contains_arrow(
+                probe_df, key, Forest.from_df(forest_df), spark, out=out
+            )
         return approx_contains(probe_df, key, Forest.from_df(forest_df), spark, out=out)
     if regime == "hybrid":
         return approx_contains_sink(probe_df, key, sink_path, out=out)

@@ -251,9 +251,17 @@ def test_probe_forest_planner_three_regimes(spark, tmp_path):
     forest_df = spark.read.parquet(sink)
     nbytes = forest_payload_bytes(forest_df)
 
-    # regime 1: fits the broadcast threshold → driver-broadcast pandas_udf
+    # regime 1: fits the broadcast threshold → driver-broadcast probe; a
+    # keys-only frame takes the mapInArrow fast path (session conf
+    # short-circuits the per-row size check — PLANS.md §17), a wide frame
+    # the pandas_udf column form
     bc = probe_forest(keys, "key", forest_df, spark, broadcast_threshold=nbytes + 1)
-    assert "probe(" in _plan_of(bc) and "probe_sink" not in _plan_of(bc)
+    assert "MapInArrow" in _plan_of(bc) and "probe_sink" not in _plan_of(bc)
+    bc_wide = probe_forest(
+        keys.withColumn("extra", F.lit(1)), "key", forest_df, spark,
+        broadcast_threshold=nbytes + 1,
+    )
+    assert "probe(" in _plan_of(bc_wide) and "MapInArrow" not in _plan_of(bc_wide)
     # regime 2: past broadcast, within replication budget, sink known → hybrid
     hy = probe_forest(
         keys, "key", forest_df, spark,
@@ -874,3 +882,29 @@ def test_routed_sink_tag_routing_exact_placement(spark):
         # parts == n_shards here: exactly ONE shard per partition, and it is
         # the analytically predicted one
         assert r["lo"] == r["hi"] == r["pid"], dict(r.asDict())
+
+
+def test_get_spark_short_circuits_per_row_batch_size_check(spark):
+    """Pins the PLANS.md §17 fix: sessions built by get_spark must carry
+    maxBytesPerBatch = Int.MaxValue (the mapInArrow input writer's
+    short-circuit) or the per-row ArrowWriter.sizeInBytes walk returns —
+    and with it the JIT-pollution slowdown."""
+    assert spark.conf.get(
+        "spark.sql.execution.arrow.maxBytesPerBatch"
+    ) == str(2**31 - 1)
+
+
+def test_probe_forest_broadcast_picks_arrow_for_keys_only_frames(spark):
+    """Broadcast regime: a keys-only probe frame takes the mapInArrow fast
+    path (safe — the session short-circuits the per-row size check); a wide
+    frame stays on the pandas_udf column form."""
+    keys = _keys_df(spark, 5_000)
+    forest_df = build_forest(keys, shard_bits=1)
+    narrow = probe_forest(keys, "key", forest_df, spark)
+    assert "MapInArrow" in _plan_of(narrow)
+    assert narrow.filter(F.col("maybe_member")).count() == 5_000  # zero FN
+    wide = probe_forest(
+        keys.withColumn("extra", F.lit("x")), "key", forest_df, spark
+    )
+    assert "MapInArrow" not in _plan_of(wide)
+    assert wide.filter(F.col("maybe_member")).count() == 5_000
