@@ -86,7 +86,10 @@ def append_bucketed_keys(
     the table — itself exchange-free on the corpus side — filters
     already-present keys first)."""
     spark = df.sparkSession
-    if table not in [t.name for t in spark.catalog.listTables()]:
+    # tableExists handles qualified names (db.tbl) and other databases;
+    # listTables() only returned bare names from the CURRENT database
+    # (round-5 review: qualified appends were wrongly rejected)
+    if not spark.catalog.tableExists(table):
         raise ValueError(
             f"table {table!r} does not exist — write it first with "
             "write_bucketed_keys"

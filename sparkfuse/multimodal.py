@@ -236,10 +236,17 @@ def extract_features(
 
 
 def media_repartition_by_bytes(
-    media_df: DataFrame, target_mb: int = 128
+    media_df: DataFrame, target_mb: int = 64
 ) -> DataFrame:
     """Partition media so each task sees ~target_mb of payload regardless of
-    row width (row-count-based batching would OOM on video rows)."""
+    row width (row-count-based batching would OOM on video rows).
+
+    Default 64 MB (was 128, round-5 review): ``get_spark`` sessions disable
+    the Arrow input writer's 64 MB byte cap (the per-row size check behind
+    it is the PLANS.md §17 pathology), so for wide media rows the PARTITION
+    is now the only batch bound — a mapInPandas decode sees one Arrow batch
+    per partition. 64 MB keeps that batch at the old effective cap, so the
+    JVM↔Python pipelining and task peak memory are unchanged."""
     stats = media_df.agg(
         F.sum(F.col("meta.n_bytes")).alias("total"),
     ).first()

@@ -443,11 +443,15 @@ def approx_contains_routed(
     only the 8-byte key column through the shard shuffle.
 
     Session-hygiene caveat (round 5, PLANS.md §17): once any
-    cogroup/applyInArrow query runs, REUSED Python workers execute later
-    ``mapInArrow`` plans ~2x slower for the rest of the session. None of
-    this library's hot paths use mapInArrow anymore (all pandas_udf,
-    unaffected), but if your own pipeline mixes this operator with
-    mapInArrow stages, order matters in long-lived local-mode sessions.
+    cogroup/applyInArrow query runs, ``mapInArrow`` plans in sessions that
+    still carry the default ``maxBytesPerBatch`` (64m ⇒ a per-row
+    ArrowWriter.sizeInBytes walk) run ~2x slower for the rest of the
+    session. ``get_spark`` sessions are immune (Int.MaxValue
+    short-circuit), and the library's mapInArrow use — probe_forest's
+    keys-only broadcast fast path — is gated on exactly that conf being
+    present; the routed/hybrid/sink probes are pandas_udf and unaffected
+    either way. If your own pipeline mixes this operator with mapInArrow
+    stages in a DEFAULT-conf session, order matters.
     """
     import pyarrow as pa
 
@@ -800,6 +804,22 @@ def forest_payload_bytes(forest_df: DataFrame) -> int:
     ).first()["b"] or 0
 
 
+def _batch_size_check_short_circuited(spark) -> bool:
+    """True iff the session disables the mapInArrow input writer's per-row
+    size check (maxBytesPerBatch == Int.MaxValue — PLANS.md §17). NOTE:
+    ``conf.get`` with a string default VALIDATES the default against the
+    registered bytes conf when unset (an empty-string default raises
+    INVALID_CONF_VALUE at plan time in any session not built by
+    ``get_spark`` — round-5 review, reproduced live), so the unset case is
+    handled by exception, not default."""
+    try:
+        return spark.conf.get(
+            "spark.sql.execution.arrow.maxBytesPerBatch"
+        ) == str(2**31 - 1)
+    except Exception:
+        return False
+
+
 DEFAULT_REPLICATION_BUDGET = "512m"
 
 
@@ -870,9 +890,7 @@ def probe_forest(
         if (
             spark is not None
             and list(probe_df.columns) == [key]
-            and spark.conf.get(
-                "spark.sql.execution.arrow.maxBytesPerBatch", ""
-            ) == str(2**31 - 1)
+            and _batch_size_check_short_circuited(spark)
         ):
             return approx_contains_arrow(
                 probe_df, key, Forest.from_df(forest_df), spark, out=out

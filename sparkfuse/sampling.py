@@ -173,6 +173,22 @@ def weighted_sample(
     )
 
 
+def holdout_flag(
+    cols: list[str], holdout_fraction: float, seed: str = "0"
+) -> Column:
+    """Boolean column: True iff the row is held out — the ``split_by_hash``
+    fence as ONE expression. Use this (with ``withColumn``) when a pipeline
+    wants a single pass carrying a split label; filtering two branches from
+    the same expensive DAG executes that DAG once per branch (round-5
+    review: curate_transcripts was running its dedup/decontam joins twice
+    through the union of the two filters)."""
+    if not 0.0 <= holdout_fraction <= 1.0:
+        raise ValueError("holdout_fraction must be in [0, 1]")
+    threshold = int(holdout_fraction * (16 ** 8))
+    bucket = F.conv(F.substring(_row_hash(cols, seed), 1, 8), 16, 10).cast("long")
+    return bucket < F.lit(threshold)
+
+
 def split_by_hash(
     df: DataFrame,
     cols: list[str],
@@ -185,10 +201,6 @@ def split_by_hash(
     CONSISTENT across tables sharing the key columns (a conv_id held out
     of the text table is held out of the embeddings table too) and across
     reruns — the property that prevents train/eval leakage drift."""
-    if not 0.0 <= holdout_fraction <= 1.0:
-        raise ValueError("holdout_fraction must be in [0, 1]")
     _check_key_cols(df, cols)
-    threshold = int(holdout_fraction * (16 ** 8))
-    bucket = F.conv(F.substring(_row_hash(cols, seed), 1, 8), 16, 10).cast("long")
-    is_holdout = bucket < F.lit(threshold)
+    is_holdout = holdout_flag(cols, holdout_fraction, seed)
     return df.filter(~is_holdout), df.filter(is_holdout)

@@ -151,7 +151,11 @@ def curate_transcripts(
        unlike ``conversation_stats.content_hash`` which is keyed by
        conv_id) keep only the MIN conv_id. The dedup groups on
        ``md5(content)`` so the post-rollup shuffle carries 16-byte digests
-       + conv_ids, never rolled-up conversation bodies.
+       + conv_ids, never rolled-up conversation bodies. NULL-text turns
+       are marked (chr(2)+text / chr(1) — the sampling._row_hash scheme)
+       BEFORE the rollup: array_join/string_agg silently skip NULL
+       elements, which would collide ['a', NULL] with ['a'] and silently
+       drop a distinct conversation (round-5 review).
     2. DECONTAMINATION (optional): any conversation with ANY turn sharing
        a word ``n``-gram with ``bench_df`` is dropped whole — the
        fuse-prescreened exact check (``decontam.contamination_check``)
@@ -170,9 +174,17 @@ def curate_transcripts(
     quadratic.
     """
     from sparkfuse.decontam import contamination_check
-    from sparkfuse.sampling import split_by_hash
+    from sparkfuse.sampling import holdout_flag
 
-    rolled = ordered_rollup(transcripts, "conv_id", ["turn_idx"], "text", sep="\x1e")
+    if "_sf_marked_text" in transcripts.columns:
+        raise ValueError("input already has a '_sf_marked_text' column (reserved)")
+    marked = transcripts.withColumn(
+        "_sf_marked_text",
+        F.coalesce(F.concat(F.lit("\x02"), F.col("text")), F.lit("\x01")),
+    )
+    rolled = ordered_rollup(
+        marked, "conv_id", ["turn_idx"], "_sf_marked_text", sep="\x1e"
+    )
     keep = (
         rolled.select("conv_id", F.md5("content").alias("_digest"))
         .groupBy("_digest")
@@ -185,9 +197,13 @@ def curate_transcripts(
             kept, "conv_id", "text", bench_df, bench_text, n=n, spark=spark
         ).select("conv_id")
         kept = kept.join(contaminated, "conv_id", "left_anti")
-    train, holdout = split_by_hash(kept, ["conv_id"], holdout_fraction)
-    return train.withColumn("split", F.lit("train")).unionByName(
-        holdout.withColumn("split", F.lit("holdout"))
+    # ONE split expression, not two filtered branches unioned — the union
+    # form executed the whole dedup/decontam DAG once per branch
+    return kept.withColumn(
+        "split",
+        F.when(
+            holdout_flag(["conv_id"], holdout_fraction), F.lit("holdout")
+        ).otherwise(F.lit("train")),
     )
 
 

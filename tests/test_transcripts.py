@@ -168,7 +168,18 @@ def test_curate_transcripts_full_duckdb_twin(spark, tr, tmp_path):
     dups = tr.filter(F.col("conv_id").isin(some)).withColumn(
         "conv_id", F.concat(F.lit("dup-"), F.col("conv_id"))
     )
-    planted = tr.unionByName(dups)
+    # plant the NULL-text collision hazard: ['hi', NULL] vs ['hi'] are
+    # DISTINCT conversations and must both survive dedup (an unmarked
+    # rollup silently collides them — round-5 review)
+    nulls = spark.createDataFrame(
+        [
+            ("nul-a", 0, "user", "hi", "", None),
+            ("nul-a", 1, "user", None, "", None),
+            ("nul-b", 0, "user", "hi", "", None),
+        ],
+        schema=tr.schema,
+    )
+    planted = tr.unionByName(dups).unionByName(nulls)
     src = str(tmp_path / "turns")
     planted.write.mode("overwrite").parquet(src)
     planted = spark.read.parquet(src)  # same bytes both engines
@@ -192,7 +203,8 @@ def test_curate_transcripts_full_duckdb_twin(spark, tr, tmp_path):
     con.execute(
         "CREATE VIEW kept_turns AS "
         "WITH rolled AS (SELECT conv_id, "
-        "string_agg(text, chr(30) ORDER BY turn_idx, text) AS content "
+        "string_agg(coalesce(chr(2) || text, chr(1)), chr(30) "
+        "ORDER BY turn_idx, coalesce(chr(2) || text, chr(1))) AS content "
         "FROM tr_all GROUP BY conv_id), "
         "keep AS (SELECT MIN(conv_id) AS conv_id FROM rolled GROUP BY content) "
         "SELECT * FROM tr_all WHERE conv_id IN (SELECT conv_id FROM keep)"
@@ -217,6 +229,8 @@ def test_curate_transcripts_full_duckdb_twin(spark, tr, tmp_path):
     # the planted duplicate conversations were deduped away...
     kept_convs = {c for c, _, _ in got}
     assert not any(c.startswith("dup-") for c in kept_convs)
+    # ...the NULL-text conversation pair stays DISTINCT (both kept)...
+    assert "nul-a" in kept_convs and "nul-b" in kept_convs
     # ...the benchmark conversation was decontaminated away...
     assert bench_conv not in kept_convs
     # ...and both splits are non-empty (content-keyed fence applied)
