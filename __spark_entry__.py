@@ -407,14 +407,19 @@ def q_kll_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 (k-means quantizer + bucket rerank), oracle-checked as a
-    recall invariant vs the exact knn twin (>= 40% pair recall, pytest bound)."""
+    recall invariant vs the exact knn twin (>= 40% pair recall, pytest bound).
+    train="full" (round 5): the quantizer trains DISTRIBUTED over the whole
+    table (kmeans_centroids_distributed — per-partition partial sums, KB
+    states, bounded driver fold), so the driver-checked row exercises the
+    scale path, not the bounded-sample shortcut."""
     from sparkfuse.similarity import ivf_topk, knn_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     qids = list(range(10))
     exact = knn_topk(emb, "vec_id", "embedding", qids, k=5)
     approx = ivf_topk(
-        emb, "vec_id", "embedding", qids, k=5, n_centroids=8, n_probe=3
+        emb, "vec_id", "embedding", qids, k=5, n_centroids=8, n_probe=3,
+        train="full",
     )
     return _ann_recall_invariant(exact, approx, 2, 5)
 

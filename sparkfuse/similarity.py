@@ -200,6 +200,121 @@ def kmeans_centroids(
     return centroids
 
 
+def kmeans_centroids_distributed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    iters: int = 10,
+    seed: int = 11,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means — the SCALE path for the IVF coarse
+    quantizer. ``kmeans_centroids`` trains on a bounded driver sample
+    (fine when the sample represents the distribution); this trains on the
+    FULL table with the library's true-UDAF shape: per iteration, ONE
+    ``mapInPandas`` pass assigns every vector to its nearest centroid and
+    emits per-PARTITION partial (cluster, sum, count) states — P x C tiny
+    rows, never the vectors — a C-group ``applyInPandas`` reduces them to
+    C rows, and the driver folds those KBs into the next centroid set.
+    Nothing vector-sized ever shuffles or reaches the driver.
+
+    Deterministic, content-keyed: init is the ``n_centroids`` vectors with
+    the smallest ``xxhash64(id + seed)`` (no RNG, partitioning-
+    independent); partial sums reduce in sorted (cluster, partition-id)
+    order so float addition order is stable for a fixed input
+    partitioning. Empty clusters keep their previous centroid (the
+    standard Lloyd's fix). Returns (n_centroids, dim) float64."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v")
+    )
+    init_rows = (
+        base.orderBy(F.xxhash64(F.col("_id") + F.lit(seed)), F.col("_id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.stack([np.asarray(r["_v"], dtype=np.float64) for r in init_rows])
+    part_schema = StructType(
+        [
+            StructField("part", LongType()),
+            StructField("cluster", LongType()),
+            StructField("vsum", ArrayType(DoubleType())),
+            StructField("n", LongType()),
+        ]
+    )
+    red_schema = StructType(
+        [
+            StructField("cluster", LongType()),
+            StructField("vsum", ArrayType(DoubleType())),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def reduce_cluster(key, pdf):
+        ordered = pdf.sort_values("part")  # fixed float fold order
+        arr = np.stack([np.asarray(v, dtype=np.float64) for v in ordered["vsum"]])
+        return pd.DataFrame(
+            {
+                "cluster": [int(key[0])],
+                "vsum": [arr.sum(axis=0)],
+                "n": [int(ordered["n"].sum())],
+            }
+        )
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def partials(batches):
+            from pyspark import TaskContext
+
+            cents = bc.value
+            sums = np.zeros_like(cents)
+            counts = np.zeros(len(cents), dtype=np.int64)
+            for pdf in batches:
+                vecs = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                )
+                d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d.argmin(axis=1)
+                for c in np.unique(assign):
+                    m = assign == c
+                    sums[c] += vecs[m].sum(axis=0)
+                    counts[c] += int(m.sum())
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame(
+                {
+                    "part": np.full(len(cents), pid, dtype=np.int64),
+                    "cluster": np.arange(len(cents), dtype=np.int64),
+                    "vsum": list(sums),
+                    "n": counts,
+                }
+            )
+
+        reduced = (
+            base.mapInPandas(partials, part_schema)
+            .groupBy("cluster")
+            .applyInPandas(reduce_cluster, red_schema)
+            .collect()
+        )
+        new = centroids.copy()
+        for r in reduced:
+            if r["n"] > 0:
+                new[int(r["cluster"])] = (
+                    np.asarray(r["vsum"], dtype=np.float64) / r["n"]
+                )
+        centroids = new
+        bc.destroy()
+    return centroids
+
+
 def ivf_candidates(
     df: DataFrame,
     id_col: str,
@@ -208,11 +323,24 @@ def ivf_candidates(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 11,
+    train: str = "sample",
 ) -> DataFrame:
     """(query_id, _id) candidate pairs from the IVF coarse quantizer: each
     query scans only its n_probe nearest k-means buckets. Exposed separately
-    so candidate-set size (the whole point of IVF) is testable."""
-    centroids = kmeans_centroids(df, id_col, vec_col, n_centroids, seed=seed)
+    so candidate-set size (the whole point of IVF) is testable.
+
+    ``train="sample"`` (default) fits the quantizer on a bounded driver
+    sample; ``train="full"`` runs distributed Lloyd's over the whole table
+    (``kmeans_centroids_distributed``) — the 100-TB path, where a fixed
+    sample can miss whole regions of the embedding space."""
+    if train == "full":
+        centroids = kmeans_centroids_distributed(
+            df, id_col, vec_col, n_centroids, seed=seed
+        )
+    elif train == "sample":
+        centroids = kmeans_centroids(df, id_col, vec_col, n_centroids, seed=seed)
+    else:
+        raise ValueError(f"train must be 'sample' or 'full', got {train!r}")
 
     def assign_kernel(batches):
         for pdf in batches:
@@ -261,14 +389,18 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 11,
+    train: str = "sample",
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) search: a k-means coarse
     quantizer buckets the vectors; each query scans only its ``n_probe``
     nearest buckets, reranked exactly. The classic ANN scale path when the
     embedding space is clustered (LSH needs no training; IVF adapts to the
     data distribution). Recall pytest-verified against knn_topk.
-    """
-    cand = ivf_candidates(df, id_col, vec_col, query_ids, n_centroids, n_probe, seed)
+    ``train="full"`` trains the quantizer distributed over the whole table
+    (see ``ivf_candidates``)."""
+    cand = ivf_candidates(
+        df, id_col, vec_col, query_ids, n_centroids, n_probe, seed, train=train
+    )
     base = df.select(F.col(id_col).cast("long").alias("_id"), F.col(vec_col).alias("_v"))
     return _rerank(cand, base, k)
 
