@@ -235,6 +235,50 @@ def extract_features(
     return media_df.select("media_id", "payload").mapInPandas(kernel, _FEATURE_SCHEMA)
 
 
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) uint8 raster — pure index
+    math (out[y, x] = in[y*h//out_h, x*w//out_w]), so the result is
+    EXACTLY reproducible by any oracle, no interpolation rounding."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys][:, xs]
+
+
+def resize_images(
+    media_df: DataFrame, out_h: int, out_w: int
+) -> DataFrame:
+    """Resize every IMAGE payload to (out_h, out_w) — the task brief's
+    resize step, real end-to-end for the formats this container can parse:
+    decode P6 PPM → nearest-neighbor resize (exact index math) → re-encode
+    P6, in Arrow-batched ``mapInPandas``. Non-image rows pass through
+    byte-identical; compressed image codecs raise through ``decode_image``
+    (the declared stub — the injection point is exercised by the PPM path).
+    meta.width/height/n_bytes are updated for resized rows; the schema is
+    unchanged so the result composes with every other media operator
+    (``media_decode_stats``, ``extract_features``, the byte-sized
+    repartition)."""
+    if out_h < 1 or out_w < 1:
+        raise ValueError("out_h and out_w must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                if r["kind"] == "image":
+                    px = decode_image(bytes(r["payload"]))
+                    payload = encode_ppm(resize_nearest(px, out_h, out_w))
+                    meta = dict(r["meta"])
+                    meta["width"], meta["height"] = out_w, out_h
+                    meta["n_bytes"] = len(payload)
+                    r = {**r, "payload": payload, "meta": meta,
+                         "mime": "image/x-portable-pixmap"}
+                rows.append(r)
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(kernel, media_df.schema)
+
+
 def media_repartition_by_bytes(
     media_df: DataFrame, target_mb: int = 64
 ) -> DataFrame:

@@ -824,3 +824,46 @@ def test_ivf_distributed_trainer_recall_and_determinism(spark):
         approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_resize_images_exact_and_passthrough(spark):
+    """resize_images: decoded resized pixels equal the exact nearest-
+    neighbor index formula applied to the decoded originals; audio rows
+    pass through byte-identical; meta tracks the new dims."""
+    from sparkfuse.multimodal import (
+        decode_ppm,
+        media_decode_stats,
+        resize_images,
+        resize_nearest,
+        synth_codec_media,
+    )
+
+    ids = spark.range(40).select(F.col("id").alias("media_id"))
+    media = synth_codec_media(ids).cache()
+    out = resize_images(media, out_h=6, out_w=10).cache()
+    orig = {r["media_id"]: r for r in media.collect()}
+    for r in out.collect():
+        o = orig[r["media_id"]]
+        if r["kind"] == "image":
+            want = resize_nearest(decode_ppm(bytes(o["payload"])), 6, 10)
+            got = decode_ppm(bytes(r["payload"]))
+            assert got.shape == (6, 10, 3)
+            assert (got == want).all()
+            assert r["meta"]["width"] == 10 and r["meta"]["height"] == 6
+            assert r["meta"]["n_bytes"] == len(bytes(r["payload"]))
+        else:
+            assert bytes(r["payload"]) == bytes(o["payload"])  # untouched
+    # composes with the decode-stats operator (real end-to-end pipeline)
+    stats = {
+        r["media_id"]: r
+        for r in media_decode_stats(out.filter(F.col("kind") == "image")).collect()
+    }
+    assert all(s["width"] == 10 and s["height"] == 6 for s in stats.values())
+    # upscale and 1x1 edge cases stay exact
+    one = resize_images(media.filter(F.col("kind") == "image"), 1, 1).collect()
+    for r in one:
+        px = decode_ppm(bytes(r["payload"]))
+        o = decode_ppm(bytes(orig[r["media_id"]]["payload"]))
+        assert (px == o[:1, :1]).all()
+    media.unpersist()
+    out.unpersist()
