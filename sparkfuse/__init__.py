@@ -20,6 +20,7 @@ from sparkfuse.kernels import (
     xor_contains,
 )
 from sparkfuse.params import fuse_parameters, xor_parameters
+from sparkfuse.png import decode_png, encode_png
 from sparkfuse.serialize import (
     load_fuse_bytes,
     save_fuse_bytes,
@@ -41,6 +42,8 @@ __all__ = [
     "save_fuse_bytes",
     "load_xor_bytes",
     "save_xor_bytes",
+    "decode_png",
+    "encode_png",
 ]
 # The distributed layer resolves lazily via __getattr__ (sparkfuse.Forest,
 # sparkfuse.build_forest, ...) and is deliberately NOT in __all__ so

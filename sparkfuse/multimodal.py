@@ -7,13 +7,17 @@ container can genuinely parse:
 
   * REAL decoders (stdlib-only, no new dependencies): ``decode_wav_pcm16``
     parses RIFF/WAVE via Python's ``wave`` module; ``decode_ppm`` is a
-    handwritten binary-P6 Netpbm parser. ``media_decode_stats`` drives them
-    distributed (Arrow-batched mapInPandas; payloads never leave the
-    executor) and is oracle-checked end-to-end (entry ``media_decode``).
-  * STUBBED formats: ``decode_image`` on JPEG/PNG/etc raises
-    NotImplementedError (no codec library ships here) — inject a real
-    decoder via ``extract_features(decoder=...)`` in a production image.
-    PPM payloads decode for real through the same entry point.
+    handwritten binary-P6 Netpbm parser; ``sparkfuse.png`` is a from-scratch
+    PNG codec on stdlib ``zlib`` (chunk walk + CRC, DEFLATE, all five
+    scanline filters — decodes foreign-encoder PNGs, see tests/test_png.py).
+    ``media_decode_stats`` drives them distributed (Arrow-batched
+    mapInPandas; payloads never leave the executor) and is oracle-checked
+    end-to-end (entry ``media_decode``).
+  * STUBBED formats: ``decode_image`` on JPEG/MP4/etc raises
+    NotImplementedError (no codec library ships here, and those formats
+    genuinely need one) — inject a real decoder via
+    ``extract_features(decoder=...)`` in a production image. PPM and PNG
+    payloads decode for real through the same entry point.
   * ``fake_feature_extract`` is the deterministic stand-in featurizer used
     by tests and benchmarks — it derives a feature vector from the payload
     bytes alone, so the full pipeline (scan → mapInPandas batches → feature
@@ -187,15 +191,23 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes):
     """Image decode entry point: binary-P6 PPM decodes FOR REAL
-    (``decode_ppm``); compressed formats (JPEG/PNG/...) raise
-    NotImplementedError because no codec library ships in this container —
-    inject one via ``extract_features(decoder=...)`` in a production
-    image."""
-    if bytes(payload[:2]) == b"P6":
+    (``decode_ppm``), and so does PNG — ``sparkfuse.png`` implements the
+    spec's chunk framing, CRC, DEFLATE (stdlib zlib) and all five scanline
+    filters from scratch. Remaining compressed formats (JPEG/...) raise
+    NotImplementedError because they need a codec library this container
+    doesn't ship — inject one via ``extract_features(decoder=...)`` in a
+    production image."""
+    head = bytes(payload[:8])
+    if head[:2] == b"P6":
         return decode_ppm(payload)
+    if head == b"\x89PNG\r\n\x1a\n":
+        from sparkfuse.png import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
-        "no codec library in this environment for compressed image formats; "
-        "pass decoder= to extract_features (PPM decodes natively)"
+        "no codec library in this environment for this compressed image "
+        "format; pass decoder= to extract_features (PPM and PNG decode "
+        "natively)"
     )
 
 
@@ -250,10 +262,11 @@ def resize_images(
 ) -> DataFrame:
     """Resize every IMAGE payload to (out_h, out_w) — the task brief's
     resize step, real end-to-end for the formats this container can parse:
-    decode P6 PPM → nearest-neighbor resize (exact index math) → re-encode
-    P6, in Arrow-batched ``mapInPandas``. Non-image rows pass through
-    byte-identical; compressed image codecs raise through ``decode_image``
-    (the declared stub — the injection point is exercised by the PPM path).
+    decode (P6 PPM or PNG) → nearest-neighbor resize (exact index math) →
+    re-encode in the SAME container family, in Arrow-batched
+    ``mapInPandas``. Non-image rows pass through byte-identical; remaining
+    compressed codecs (JPEG/...) raise through ``decode_image`` (the
+    declared stub — the injection point is exercised by the PPM/PNG paths).
     meta.width/height/n_bytes are updated for resized rows; the schema is
     unchanged so the result composes with every other media operator
     (``media_decode_stats``, ``extract_features``, the byte-sized
@@ -262,17 +275,27 @@ def resize_images(
         raise ValueError("out_h and out_w must be >= 1")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sparkfuse.png import encode_png, smallest_filter_heuristic
+
         for pdf in batches:
             rows = []
             for r in pdf.to_dict("records"):
                 if r["kind"] == "image":
-                    px = decode_image(bytes(r["payload"]))
-                    payload = encode_ppm(resize_nearest(px, out_h, out_w))
+                    raw = bytes(r["payload"])
+                    px = decode_image(raw)
+                    resized = resize_nearest(px, out_h, out_w)
+                    if raw[:2] == b"P6":
+                        payload = encode_ppm(resized)
+                        mime = "image/x-portable-pixmap"
+                    else:
+                        payload = encode_png(
+                            resized, smallest_filter_heuristic(resized)
+                        )
+                        mime = "image/png"
                     meta = dict(r["meta"])
                     meta["width"], meta["height"] = out_w, out_h
                     meta["n_bytes"] = len(payload)
-                    r = {**r, "payload": payload, "meta": meta,
-                         "mime": "image/x-portable-pixmap"}
+                    r = {**r, "payload": payload, "meta": meta, "mime": mime}
                 rows.append(r)
             yield pd.DataFrame(rows)
 
@@ -304,19 +327,25 @@ def synth_codec_media(
 ) -> DataFrame:
     """Deterministic REAL-format media table over an id column: even ids
     become mono 16-bit PCM WAV payloads (stdlib ``wave`` writer), odd ids
-    binary-P6 PPM payloads. The sample/pixel patterns are simple integer
+    images — ``id % 4 == 1`` rows are REAL PNG (``sparkfuse.png`` encoder,
+    per-row filters chosen by the spec's minimum-sum heuristic), ``id % 4
+    == 3`` rows binary-P6 PPM. The sample/pixel patterns are simple integer
     arithmetic so an external oracle can recompute the decoded content
     exactly — the contract ``media_decode_stats``'s entry query is checked
     against (at the default ``scale=1``):
 
-      WAV  (id even): rate 8000 Hz, n = (80 + id % 50) * scale frames,
-                      sample[k] = (id + 7k) % 512 - 256
-      PPM  (id odd):  w = (4 + id % 9) * scale, h = (3 + id % 5) * scale,
-                      pixel[y][x][c] = (id + x + 2y + 3c) % 256
+      WAV  (id even):  rate 8000 Hz, n = (80 + id % 50) * scale frames,
+                       sample[k] = (id + 7k) % 512 - 256
+      image (id odd):  w = (4 + id % 9) * scale, h = (3 + id % 5) * scale,
+                       pixel[y][x][c] = (id + x + 2y + 3c) % 256
 
-    ``scale`` multiplies payload sizes (bench-realistic media without
-    changing the per-element formulas).
+    The pixel formula is container-independent — the oracle recomputes the
+    same decoded stats whether the bytes travelled as PPM or PNG, so the
+    driver's hash match certifies the PNG encode→filter→DEFLATE→decode
+    round-trip too. ``scale`` multiplies payload sizes (bench-realistic
+    media without changing the per-element formulas).
     """
+    from sparkfuse.png import encode_png, smallest_filter_heuristic
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -336,8 +365,12 @@ def synth_codec_media(
                     y = np.arange(h)[:, None, None]
                     c = np.arange(3)[None, None, :]
                     px = ((mid + x + 2 * y + 3 * c) % 256).astype(np.uint8)
-                    payload = encode_ppm(px)
-                    kind, mime = "image", "image/x-portable-pixmap"
+                    if mid % 4 == 1:
+                        payload = encode_png(px, smallest_filter_heuristic(px))
+                        kind, mime = "image", "image/png"
+                    else:
+                        payload = encode_ppm(px)
+                        kind, mime = "image", "image/x-portable-pixmap"
                     wh = (w, h)
                     duration_ms = None
                 rows.append(
@@ -398,9 +431,14 @@ def media_decode_stats(media_df: DataFrame) -> DataFrame:
                         (int(mid), "audio", len(samples), rate, 0, 0,
                          int(s64.sum()), peak)
                     )
-                elif mime == "image/x-portable-pixmap":
-                    px = decode_ppm(p).astype(np.int64)
-                    h, w, _ = px.shape
+                elif mime in ("image/x-portable-pixmap", "image/png"):
+                    if mime == "image/png":
+                        from sparkfuse.png import decode_png
+
+                        px = decode_png(p).astype(np.int64)
+                    else:
+                        px = decode_ppm(p).astype(np.int64)
+                    h, w = px.shape[:2]
                     rows.append(
                         (int(mid), "image", 0, 0, w, h,
                          int(px.sum()), int(px.max()))

@@ -1,0 +1,286 @@
+"""From-scratch PNG codec on stdlib ``zlib`` — no codec library required.
+
+Turns PNG from a *declared stub* (rounds 3-5: "no codec library ships in
+this container") into a REAL decode/encode path: the container does ship
+everything PNG actually needs — DEFLATE (``zlib``) and CRC-32
+(``zlib.crc32``) — so the remaining work is the PNG spec itself (chunk
+framing, scanline filters), implemented here from the public specification
+(RFC 2083 / W3C PNG, second edition).
+
+Scope (validated, everything else fails loudly rather than mis-decoding):
+
+  * bit depth 8; color types 0 (grayscale), 2 (RGB), 6 (RGBA)
+  * non-interlaced (Adam7 raises NotImplementedError)
+  * all five scanline filters (None/Sub/Up/Average/Paeth) on BOTH sides:
+    the encoder can force any per-row filter, the decoder reconstructs
+    exactly — so the filter algebra is testable without an external golden
+  * multi-IDAT streams, ancillary chunks skipped, per-chunk CRC verified
+
+The filter reconstruction is vectorized where the data dependence allows:
+Sub is a per-lane modular cumulative sum, Up is a whole-row add; Average
+and Paeth carry a true left-neighbor dependence so they walk pixels along
+x with all channels vectorized (width-bounded loop, not per-byte Python).
+
+Reference for behavioral parity: the library treats compressed-image
+payloads exactly like the reference treats opaque keys — decode feeds
+``multimodal.media_decode_stats``/``resize_images`` whose outputs are
+oracle-checked against generation arithmetic end-to-end.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (bit depth 8 only)
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+_COLOR_TYPE = {1: 0, 3: 2, 4: 6}  # channels -> color type
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _filter_rows_bpp(arr: np.ndarray, bpp: int, filters: np.ndarray) -> bytes:
+    """Apply the per-row filter choices and return the filtered byte
+    stream (filter byte + filtered scanline, per row). ``arr`` is
+    (H, W*C) uint8; ``filters`` is (H,) int with values 0-4. Filtering
+    operates on the ORIGINAL bytes of this and the prior scanline (the
+    decoder reconstructs those exactly), per the spec."""
+    h, stride = arr.shape
+    a16 = arr.astype(np.int16)
+    left = np.zeros_like(a16)
+    left[:, bpp:] = a16[:, :-bpp]
+    up = np.zeros_like(a16)
+    up[1:] = a16[:-1]
+    ul = np.zeros_like(a16)
+    ul[1:, bpp:] = a16[:-1, :-bpp]
+
+    out = bytearray()
+    for y in range(h):
+        f = int(filters[y])
+        row = a16[y]
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left[y]
+        elif f == 2:
+            filt = row - up[y]
+        elif f == 3:
+            filt = row - (left[y] + up[y]) // 2
+        elif f == 4:
+            p = left[y] + up[y] - ul[y]
+            pa = np.abs(p - left[y])
+            pb = np.abs(p - up[y])
+            pc = np.abs(p - ul[y])
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left[y], np.where(pb <= pc, up[y], ul[y])
+            )
+            filt = row - pred
+        else:
+            raise ValueError(f"bad filter type {f}")
+        out.append(f)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+    return bytes(out)
+
+
+def encode_png(
+    pixels: np.ndarray,
+    filters: int | np.ndarray | list[int] = 0,
+    compress_level: int = 6,
+) -> bytes:
+    """PNG bytes from a uint8 array: (H, W) grayscale, (H, W, 3) RGB, or
+    (H, W, 4) RGBA. ``filters`` picks the per-scanline filter: a single
+    int applies to every row, a length-H sequence forces row-by-row choices
+    (the hook the filter-algebra tests use)."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in _COLOR_TYPE:
+        raise ValueError(f"expected (H,W[,1|3|4]) uint8 pixels, got shape {pixels.shape}")
+    h, w, ch = a.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    color_type = _COLOR_TYPE[ch]
+
+    fil = np.asarray(filters, dtype=np.int64)
+    if fil.ndim == 0:
+        fil = np.full(h, int(fil), dtype=np.int64)
+    if fil.shape != (h,) or fil.min() < 0 or fil.max() > 4:
+        raise ValueError("filters must be an int 0-4 or a length-H sequence of them")
+
+    flat = np.ascontiguousarray(a).reshape(h, w * ch)
+    raw = _filter_rows_bpp(flat, ch, fil)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, compress_level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the scanline filters: raw is h*(1+stride) bytes of
+    (filter_byte, filtered_row). Returns (h, stride) uint8."""
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"decompressed IDAT length {len(raw)} != expected {h * (1 + stride)}"
+        )
+    data = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes = data[:, 0]
+    if ftypes.max(initial=0) > 4:
+        raise ValueError(f"bad filter type {int(ftypes.max())}")
+    rows = data[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    # lane view: x-position major, channels minor — lets Average/Paeth walk
+    # pixels (width steps) with all bpp channels vectorized per step
+    n_px = stride // bpp
+    for y in range(h):
+        f = int(ftypes[y])
+        row = rows[y]
+        if f == 0:
+            rec = row
+        elif f == 1:
+            # recon[i] = filt[i] + recon[i-bpp]  (mod 256): per-lane cumsum.
+            # int64 accumulator — int16 would overflow past ~128 pixels.
+            rec = (
+                row.reshape(n_px, bpp).astype(np.int64).cumsum(axis=0) % 256
+            ).reshape(stride).astype(np.int16)
+        elif f == 2:
+            rec = (row + prev) % 256
+        elif f == 3:
+            rec = np.empty(stride, dtype=np.int16)
+            pr = prev.reshape(n_px, bpp)
+            rw = row.reshape(n_px, bpp)
+            rc = rec.reshape(n_px, bpp)
+            lastpx = np.zeros(bpp, dtype=np.int16)
+            for x in range(n_px):
+                lastpx = (rw[x] + (lastpx + pr[x]) // 2) % 256
+                rc[x] = lastpx
+        elif f == 4:
+            rec = np.empty(stride, dtype=np.int16)
+            pr = prev.reshape(n_px, bpp)
+            rw = row.reshape(n_px, bpp)
+            rc = rec.reshape(n_px, bpp)
+            lastpx = np.zeros(bpp, dtype=np.int16)
+            ulpx = np.zeros(bpp, dtype=np.int16)
+            for x in range(n_px):
+                p = lastpx + pr[x] - ulpx
+                pa = np.abs(p - lastpx)
+                pb = np.abs(p - pr[x])
+                pc = np.abs(p - ulpx)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), lastpx, np.where(pb <= pc, pr[x], ulpx)
+                )
+                lastpx = (rw[x] + pred) % 256
+                ulpx = pr[x]
+                rc[x] = lastpx
+        out[y] = rec
+        prev = out[y]
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes, verify_crc: bool = True) -> np.ndarray:
+    """uint8 pixels from PNG bytes: (H, W) for grayscale, (H, W, 3) for
+    RGB, (H, W, 4) for RGBA. Walks the real chunk stream (multi-IDAT
+    concatenation, ancillary chunks skipped, CRC-32 verified per chunk),
+    inflates with stdlib zlib, and reverses the scanline filters exactly.
+
+    Validated subset: bit depth 8, color types 0/2/6, non-interlaced;
+    anything else raises with the offending field named (palette/16-bit/
+    Adam7 are out of scope, never silently mis-decoded)."""
+    buf = bytes(payload)
+    if buf[:8] != _SIGNATURE:
+        raise ValueError("not a PNG (bad signature)")
+    i = 8
+    ihdr = None
+    idat = bytearray()
+    seen_iend = False
+    while i < len(buf):
+        if i + 8 > len(buf):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", buf[i : i + 4])
+        tag = buf[i + 4 : i + 8]
+        body = buf[i + 8 : i + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated {tag!r} chunk")
+        if verify_crc:
+            (crc,) = struct.unpack(">I", buf[i + 8 + length : i + 12 + length])
+            if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
+                raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        i += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not seen_iend:
+        raise ValueError("PNG missing IEND")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} unsupported (8 only)")
+    if color_type not in _CHANNELS:
+        raise NotImplementedError(
+            f"color type {color_type} unsupported (0/2/6 only; palette out of scope)"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad compression/filter method ({comp}/{filt})")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlacing unsupported")
+    if w < 1 or h < 1:
+        raise ValueError("empty image")
+    ch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    flat = _unfilter(raw, h, w * ch, ch)
+    return flat.reshape(h, w) if ch == 1 else flat.reshape(h, w, ch)
+
+
+def smallest_filter_heuristic(pixels: np.ndarray) -> np.ndarray:
+    """Per-row filter choice by the spec's minimum-sum-of-absolute-
+    differences heuristic — what real encoders do. Returns (H,) ints."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    flat = np.ascontiguousarray(a).reshape(h, w * ch).astype(np.int16)
+    left = np.zeros_like(flat)
+    left[:, ch:] = flat[:, :-ch]
+    up = np.zeros_like(flat)
+    up[1:] = flat[:-1]
+    ul = np.zeros_like(flat)
+    ul[1:, ch:] = flat[:-1, :-ch]
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+
+    def cost(filt: np.ndarray) -> np.ndarray:
+        b = (filt % 256).astype(np.uint8).astype(np.int16)
+        return np.minimum(b, 256 - b).sum(axis=1)
+
+    costs = np.stack(
+        [
+            cost(flat),
+            cost(flat - left),
+            cost(flat - up),
+            cost(flat - (left + up) // 2),
+            cost(flat - paeth),
+        ]
+    )
+    return costs.argmin(axis=0)

@@ -682,9 +682,14 @@ def test_media_schema_and_features(spark):
 
 
 def test_media_decode_is_stub():
-    # compressed formats remain a declared stub (no codec library here)
+    # formats that truly need a codec library (JPEG here) remain a declared
+    # stub; PNG no longer is — sparkfuse.png decodes it (tests/test_png.py)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\xff\xd8\xff\xe0...jpeg...")
+    # a PNG-signed but malformed payload hits the REAL decoder's validation,
+    # not the stub branch
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
 
 
 def test_wav_roundtrip_and_validation():
@@ -736,7 +741,7 @@ def test_decode_image_real_for_ppm_and_decoder_injection(spark):
 
     from sparkfuse.multimodal import decode_image, extract_features, synth_codec_media
 
-    ids = spark.range(1, 20, 2).select(F.col("id").alias("media_id"))  # odd -> PPM
+    ids = spark.range(1, 20, 2).select(F.col("id").alias("media_id"))  # odd -> image (PNG/PPM)
     media = synth_codec_media(ids)
 
     def mean_feat(decoded):
@@ -828,10 +833,11 @@ def test_ivf_distributed_trainer_recall_and_determinism(spark):
 
 def test_resize_images_exact_and_passthrough(spark):
     """resize_images: decoded resized pixels equal the exact nearest-
-    neighbor index formula applied to the decoded originals; audio rows
-    pass through byte-identical; meta tracks the new dims."""
+    neighbor index formula applied to the decoded originals; the container
+    family is preserved (PPM stays PPM, PNG stays PNG); audio rows pass
+    through byte-identical; meta tracks the new dims."""
     from sparkfuse.multimodal import (
-        decode_ppm,
+        decode_image,
         media_decode_stats,
         resize_images,
         resize_nearest,
@@ -842,17 +848,21 @@ def test_resize_images_exact_and_passthrough(spark):
     media = synth_codec_media(ids).cache()
     out = resize_images(media, out_h=6, out_w=10).cache()
     orig = {r["media_id"]: r for r in media.collect()}
+    seen_mimes = set()
     for r in out.collect():
         o = orig[r["media_id"]]
         if r["kind"] == "image":
-            want = resize_nearest(decode_ppm(bytes(o["payload"])), 6, 10)
-            got = decode_ppm(bytes(r["payload"]))
+            want = resize_nearest(decode_image(bytes(o["payload"])), 6, 10)
+            got = decode_image(bytes(r["payload"]))
             assert got.shape == (6, 10, 3)
             assert (got == want).all()
+            assert r["mime"] == o["mime"]  # container family preserved
+            seen_mimes.add(r["mime"])
             assert r["meta"]["width"] == 10 and r["meta"]["height"] == 6
             assert r["meta"]["n_bytes"] == len(bytes(r["payload"]))
         else:
             assert bytes(r["payload"]) == bytes(o["payload"])  # untouched
+    assert seen_mimes == {"image/x-portable-pixmap", "image/png"}
     # composes with the decode-stats operator (real end-to-end pipeline)
     stats = {
         r["media_id"]: r
@@ -862,8 +872,8 @@ def test_resize_images_exact_and_passthrough(spark):
     # upscale and 1x1 edge cases stay exact
     one = resize_images(media.filter(F.col("kind") == "image"), 1, 1).collect()
     for r in one:
-        px = decode_ppm(bytes(r["payload"]))
-        o = decode_ppm(bytes(orig[r["media_id"]]["payload"]))
+        px = decode_image(bytes(r["payload"]))
+        o = decode_image(bytes(orig[r["media_id"]]["payload"]))
         assert (px == o[:1, :1]).all()
     media.unpersist()
     out.unpersist()

@@ -1,0 +1,205 @@
+"""From-scratch PNG codec (sparkfuse.png) — filter algebra, foreign-encoder
+goldens, malformed-stream validation, and the Spark media integration.
+
+The codec has no external decoder to compare against in this container, so
+correctness rests on three independent legs:
+  1. round-trips through OUR encoder with every scanline filter FORCED
+     (filter algebra is self-inverse per the spec, so encode(f)/decode must
+     be identity for each f — and the filtered streams genuinely differ);
+  2. FOREIGN goldens: PNGs shipped by other packages in this container
+     (matplotlib/agg, PIL-encoded icons...) decode; one of them — an empty
+     matplotlib figure — has independently predictable content (all-white
+     RGBA), pinning byte values against an external encoder's real
+     filter+DEFLATE choices;
+  3. the driver's media_decode oracle recomputes decoded stats from
+     generation arithmetic, container-independent, so the PNG leg of
+     synth_codec_media is hash-checked end-to-end every round.
+"""
+
+import glob
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sparkfuse.png import (
+    _chunk,
+    decode_png,
+    encode_png,
+    smallest_filter_heuristic,
+)
+
+_FOREIGN_GLOB = "/root/.pyenv/versions/*/lib/python3*/**/*.png"
+
+
+def _px(shape, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 9), (6, 1), (8, 8), (13, 17)])
+@pytest.mark.parametrize("channels", [None, 3, 4])  # gray, RGB, RGBA
+@pytest.mark.parametrize("filt", [0, 1, 2, 3, 4])
+def test_roundtrip_every_filter(shape, channels, filt):
+    full = shape if channels is None else (*shape, channels)
+    px = _px(full)
+    out = decode_png(encode_png(px, filters=filt))
+    assert out.shape == full and out.dtype == np.uint8
+    assert (out == px).all()
+
+
+def test_filters_actually_differ_and_mixed_rows_roundtrip():
+    px = _px((16, 16, 3), seed=11)
+    streams = {f: encode_png(px, filters=f) for f in range(5)}
+    assert len(set(streams.values())) == 5  # each filter changes the bytes
+    # per-row mixed filter schedule (cycling 0..4) reconstructs exactly
+    mixed = encode_png(px, filters=[y % 5 for y in range(16)])
+    assert (decode_png(mixed) == px).all()
+
+
+def test_heuristic_filter_choice_roundtrips_and_compresses_gradients():
+    # smooth gradient: the min-sum heuristic should avoid filter 0 and the
+    # result must still reconstruct exactly
+    y, x = np.mgrid[0:32, 0:32]
+    px = ((x + 2 * y) % 256).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+    choice = smallest_filter_heuristic(px)
+    assert choice.shape == (32,) and choice.max() >= 1
+    b_heur = encode_png(px, filters=choice)
+    b_none = encode_png(px, filters=0)
+    assert (decode_png(b_heur) == px).all()
+    assert len(b_heur) < len(b_none)  # filters genuinely help DEFLATE
+
+
+def test_multi_idat_and_ancillary_chunks_decode():
+    px = _px((10, 12, 3), seed=3)
+    raw = encode_png(px, filters=2)
+    # pull apart: sig + IHDR + IDAT + IEND, then split IDAT in two and
+    # inject an ancillary tEXt chunk between them
+    (ihdr_len,) = struct.unpack(">I", raw[8:12])
+    ihdr_end = 8 + 12 + ihdr_len
+    (idat_len,) = struct.unpack(">I", raw[ihdr_end : ihdr_end + 4])
+    idat_body = raw[ihdr_end + 8 : ihdr_end + 8 + idat_len]
+    cut = idat_len // 2
+    rebuilt = (
+        raw[:ihdr_end]
+        + _chunk(b"IDAT", idat_body[:cut])
+        + _chunk(b"tEXt", b"Comment\x00hand-built")
+        + _chunk(b"IDAT", idat_body[cut:])
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(rebuilt) == px).all()
+
+
+def test_malformed_streams_fail_loudly():
+    px = _px((4, 5, 3))
+    good = encode_png(px)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNX" + good[4:])
+    # flip one IDAT payload byte -> CRC mismatch
+    bad = bytearray(good)
+    bad[-20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-6])
+    with pytest.raises(ValueError, match="IEND"):
+        decode_png(good[: len(good) - 12])  # drop the IEND chunk exactly
+
+
+def _ihdr_variant(**over):
+    fields = dict(w=3, h=2, depth=8, color=2, comp=0, filt=0, interlace=0)
+    fields.update(over)
+    body = struct.pack(
+        ">IIBBBBB",
+        fields["w"], fields["h"], fields["depth"], fields["color"],
+        fields["comp"], fields["filt"], fields["interlace"],
+    )
+    raw = zlib.compress(b"\x00" + b"\x00" * 9 + b"\x00" + b"\x00" * 9)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", body)
+        + _chunk(b"IDAT", raw)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_out_of_scope_headers_raise_named_not_misdecode():
+    with pytest.raises(NotImplementedError, match="bit depth 16"):
+        decode_png(_ihdr_variant(depth=16))
+    with pytest.raises(NotImplementedError, match="color type 3"):
+        decode_png(_ihdr_variant(color=3))  # palette
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(_ihdr_variant(interlace=1))
+    with pytest.raises(ValueError, match="bad filter type"):
+        # filter byte 9 on row 0
+        bad_raw = zlib.compress(b"\x09" + b"\x00" * 9 + b"\x00" + b"\x00" * 9)
+        decode_png(
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0))
+            + _chunk(b"IDAT", bad_raw)
+            + _chunk(b"IEND", b"")
+        )
+
+
+def _foreign_pngs():
+    return sorted(glob.glob(_FOREIGN_GLOB, recursive=True))
+
+
+def test_foreign_golden_matplotlib_empty_figure_is_all_white():
+    """An empty matplotlib baseline figure is pure white — externally
+    predictable content, so decoding it pins our filter reconstruction and
+    DEFLATE handling against a REAL foreign encoder's output."""
+    hits = [p for p in _foreign_pngs() if p.endswith("test_display_empty_graph.png")]
+    if not hits:
+        pytest.skip("matplotlib baseline PNG not present in this container")
+    px = decode_png(open(hits[0], "rb").read())
+    assert px.shape == (600, 800, 4)
+    assert (px == 255).all()
+
+
+def test_foreign_pngs_decode_and_reencode_roundtrip():
+    """Every in-scope foreign PNG in the container decodes (CRC-verified),
+    its shape matches its IHDR, and re-encoding with our encoder then
+    decoding again is pixel-identical."""
+    decoded = 0
+    for path in _foreign_pngs():
+        buf = open(path, "rb").read()
+        try:
+            px = decode_png(buf)
+        except NotImplementedError:
+            continue  # palette/16-bit/interlaced — declared out of scope
+        w, h = struct.unpack(">II", buf[16:24])
+        assert px.shape[:2] == (h, w), path
+        again = decode_png(encode_png(px, smallest_filter_heuristic(px)))
+        assert (again == px).all(), path
+        decoded += 1
+    if decoded == 0:
+        pytest.skip("no foreign PNGs present in this container")
+    assert decoded >= 5  # multiple independent encoders exercised
+
+
+def test_synth_codec_media_png_rows_real_end_to_end(spark):
+    """The id%4==1 rows of synth_codec_media are REAL PNGs (signature +
+    foreign-decodable chunk stream) and media_decode_stats recovers the
+    exact generation arithmetic through decode_png — the same contract the
+    driver's media_decode oracle hash-checks at sf0.01."""
+    from sparkfuse.multimodal import media_decode_stats, synth_codec_media
+
+    ids = spark.range(1, 41, 4).select(F.col("id").alias("media_id"))
+    media = synth_codec_media(ids).cache()
+    rows = media.collect()
+    assert rows and all(r["mime"] == "image/png" for r in rows)
+    assert all(bytes(r["payload"])[:8] == b"\x89PNG\r\n\x1a\n" for r in rows)
+    stats = {r["media_id"]: r for r in media_decode_stats(media).collect()}
+    for mid in range(1, 41, 4):
+        w, h = 4 + mid % 9, 3 + mid % 5
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        px = (mid + x + 2 * y + 3 * c) % 256
+        s = stats[mid]
+        assert (s["width"], s["height"]) == (w, h)
+        assert s["checksum"] == int(px.sum()) and s["peak"] == int(px.max())
+    media.unpersist()
