@@ -66,10 +66,16 @@ def test_heuristic_filter_choice_roundtrips_and_compresses_gradients():
     px = ((x + 2 * y) % 256).astype(np.uint8)[:, :, None].repeat(3, axis=2)
     choice = smallest_filter_heuristic(px)
     assert choice.shape == (32,) and choice.max() >= 1
+    assert choice.max() <= 2  # default fast search stays on vectorized-decode filters
     b_heur = encode_png(px, filters=choice)
     b_none = encode_png(px, filters=0)
     assert (decode_png(b_heur) == px).all()
     assert len(b_heur) < len(b_none)  # filters genuinely help DEFLATE
+    # full search may pick Average/Paeth; must still reconstruct exactly
+    full = smallest_filter_heuristic(px, search="full")
+    assert (decode_png(encode_png(px, filters=full)) == px).all()
+    with pytest.raises(ValueError, match="search"):
+        smallest_filter_heuristic(px, search="best")
 
 
 def test_multi_idat_and_ancillary_chunks_decode():
