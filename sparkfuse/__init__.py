@@ -92,6 +92,11 @@ _SPARK_LAYER = {
     "sessionize": ("sparkfuse.temporal", "sessionize"),
     "compact_sketch_states": ("sparkfuse.sketchsink", "compact_sketch_states"),
     "curate_transcripts": ("sparkfuse.transcripts", "curate_transcripts"),
+    "media_decode_stats": ("sparkfuse.multimodal", "media_decode_stats"),
+    "resize_images": ("sparkfuse.multimodal", "resize_images"),
+    "resample_audio": ("sparkfuse.multimodal", "resample_audio"),
+    "extract_features": ("sparkfuse.multimodal", "extract_features"),
+    "compression_stats": ("sparkfuse.textops", "compression_stats"),
     "write_bucketed_keys": ("sparkfuse.bucketing", "write_bucketed_keys"),
     "append_bucketed_keys": ("sparkfuse.bucketing", "append_bucketed_keys"),
     "bucketed_semi_join": ("sparkfuse.bucketing", "bucketed_semi_join"),

@@ -302,6 +302,51 @@ def resize_images(
     return media_df.mapInPandas(kernel, media_df.schema)
 
 
+def resample_nearest(samples: np.ndarray, n_out: int) -> np.ndarray:
+    """Nearest-index resample of a 1-D sample array — pure index math
+    (out[k] = in[k * n_in // n_out]), the audio analog of
+    ``resize_nearest``: exactly reproducible by any oracle, no
+    interpolation rounding."""
+    n_in = len(samples)
+    if n_out < 1 or n_in < 1:
+        raise ValueError("resample needs n_out >= 1 and non-empty input")
+    idx = (np.arange(n_out) * n_in) // n_out
+    return samples[idx]
+
+
+def resample_audio(media_df: DataFrame, out_rate: int) -> DataFrame:
+    """Resample every AUDIO payload to ``out_rate`` Hz — the audio leg of
+    the media-prep story beside ``resize_images``: decode WAV (stdlib RIFF
+    parser) → nearest-index resample (exact integer math; n_out =
+    n_in * out_rate // in_rate) → re-encode WAV at the new rate, in
+    Arrow-batched ``mapInPandas``. Non-audio rows pass through
+    byte-identical. meta.duration_ms tracks the (rounded) new duration and
+    n_bytes the new payload; the schema is unchanged so the result composes
+    with ``media_decode_stats``, ``extract_features``, and the byte-sized
+    repartition. Rows already at ``out_rate`` are re-encoded (not skipped)
+    so output payload bytes are uniformly writer-canonical."""
+    if out_rate < 1:
+        raise ValueError("out_rate must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                if r["kind"] == "audio":
+                    samples, in_rate = decode_wav_pcm16(bytes(r["payload"]))
+                    n_out = (len(samples) * out_rate) // in_rate
+                    out = resample_nearest(samples, max(1, n_out))
+                    payload = encode_wav_pcm16(out, out_rate)
+                    meta = dict(r["meta"])
+                    meta["duration_ms"] = int(round(len(out) * 1000 / out_rate))
+                    meta["n_bytes"] = len(payload)
+                    r = {**r, "payload": payload, "meta": meta}
+                rows.append(r)
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(kernel, media_df.schema)
+
+
 def media_repartition_by_bytes(
     media_df: DataFrame, target_mb: int = 64
 ) -> DataFrame:

@@ -53,7 +53,8 @@ class HllParams:
 class HyperLogLog:
     """Dense HLL over u64 keys. Merge = elementwise register max."""
 
-    def __init__(self, params: HllParams = HllParams(), registers: np.ndarray | None = None):
+    def __init__(self, params: HllParams | None = None, registers: np.ndarray | None = None):
+        params = params or HllParams()
         self.params = params
         self.registers = (
             registers if registers is not None else np.zeros(params.m, dtype=np.uint8)
@@ -136,7 +137,8 @@ class CmsParams:
 class CountMin:
     """Count-min sketch over u64 keys. Merge = elementwise add."""
 
-    def __init__(self, params: CmsParams = CmsParams(), table: np.ndarray | None = None):
+    def __init__(self, params: CmsParams | None = None, table: np.ndarray | None = None):
+        params = params or CmsParams()
         self.params = params
         self.table = (
             table
@@ -215,7 +217,8 @@ def _tree_build(keys_df: DataFrame, key_name: str, make, add, merge, to_bytes, f
     return final
 
 
-def build_hll(keys_df: DataFrame, key_name: str = "key", params: HllParams = HllParams()) -> HyperLogLog:
+def build_hll(keys_df: DataFrame, key_name: str = "key", params: HllParams | None = None) -> HyperLogLog:
+    params = params or HllParams()
     return _tree_build(
         keys_df,
         key_name,
@@ -227,7 +230,8 @@ def build_hll(keys_df: DataFrame, key_name: str = "key", params: HllParams = Hll
     )
 
 
-def build_cms(keys_df: DataFrame, key_name: str = "key", params: CmsParams = CmsParams()) -> CountMin:
+def build_cms(keys_df: DataFrame, key_name: str = "key", params: CmsParams | None = None) -> CountMin:
+    params = params or CmsParams()
     return _tree_build(
         keys_df,
         key_name,
@@ -334,11 +338,13 @@ def grouped_hll(
     df: DataFrame,
     group_cols: list[str],
     key_col: str,
-    params: HllParams = HllParams(),
+    params: HllParams | None = None,
 ) -> DataFrame:
     """Count-distinct estimate per group (HLL registers merged register-max).
     Returns group_cols + ``n_distinct_est`` double. Error: 1.04/sqrt(m)."""
     from pyspark.sql.types import DoubleType
+
+    params = params or HllParams()
 
     gfields = [df.schema[c] for c in group_cols]
     out_schema = StructType(

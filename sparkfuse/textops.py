@@ -16,10 +16,14 @@ Operators:
   simhash64       — 64-bit SimHash over token multiset (pure JVM: explode +
                     xxhash64 + 64 codegen bit-vote aggregates; the
                     locality-sensitive fingerprint for near-dup hunting)
+  compression_stats — zlib compressibility per doc (repetition/boilerplate
+                    signal; the one non-SQL op here — a single scalar
+                    pandas_udf returning the DEFLATE length)
 """
 
 from __future__ import annotations
 
+import pandas as pd  # module-global: pandas_udf resolves `pd.Series` annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -454,3 +458,47 @@ w AS (
 )
 SELECT {id_col}, unnest(list_distinct(wins)) AS fp FROM w
 """
+
+
+def compression_stats(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compressibility — the standard web-scale
+    repetition/boilerplate signal (Gopher-style curation: template spam and
+    repeated boilerplate DEFLATE far below natural prose; near-random text
+    barely compresses, so both tails of the ratio distribution are filter
+    candidates).
+
+    The one step SQL can't express — DEFLATE — is a single Arrow-batched
+    scalar ``pandas_udf`` returning the compressed LENGTH (8 bytes/row back
+    over Arrow, never the compressed payload); raw byte length and the
+    ratio stay JVM-side column arithmetic. No shuffle, no state: the plan
+    is scan → project, so at 100 TB it scales with scan bandwidth exactly
+    like token_stats. NULL text counts as empty (ratio 0 with raw_bytes 0;
+    zlib's empty-stream overhead keeps deflate_bytes > 0, so the ratio
+    column is total and division-safe).
+
+    Returns (id, raw_bytes, deflate_bytes, compression_ratio double).
+    Thresholding stays with the caller, matching ``quality_stats``. Not
+    DuckDB-oracle-expressible (no SQL DEFLATE); pinned instead by pytest
+    against direct ``zlib.compress`` ground truth (tests/test_pipeline_ops).
+    """
+    import zlib
+
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _deflate_len(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress((t or "").encode("utf-8"), level))
+        )
+
+    raw = F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).cast("long")
+    return df.select(
+        F.col(id_col),
+        raw.alias("raw_bytes"),
+        _deflate_len(F.col(text_col)).alias("deflate_bytes"),
+    ).withColumn(
+        "compression_ratio",
+        F.col("raw_bytes").cast("double") / F.col("deflate_bytes").cast("double"),
+    )

@@ -877,3 +877,85 @@ def test_resize_images_exact_and_passthrough(spark):
         assert (px == o[:1, :1]).all()
     media.unpersist()
     out.unpersist()
+
+
+def test_resample_audio_exact_and_passthrough(spark):
+    """resample_audio: decoded resampled samples equal the exact nearest-
+    index formula applied to the decoded originals (down- and upsample);
+    image rows pass through byte-identical; meta tracks duration/bytes."""
+    from sparkfuse.multimodal import (
+        decode_wav_pcm16,
+        media_decode_stats,
+        resample_audio,
+        resample_nearest,
+        synth_codec_media,
+    )
+
+    ids = spark.range(40).select(F.col("id").alias("media_id"))
+    media = synth_codec_media(ids).cache()
+    orig = {r["media_id"]: r for r in media.collect()}
+    for out_rate in (4000, 12000):  # down- and upsample around the 8000 source
+        out = resample_audio(media, out_rate=out_rate)
+        for r in out.collect():
+            o = orig[r["media_id"]]
+            if r["kind"] == "audio":
+                s_in, rate_in = decode_wav_pcm16(bytes(o["payload"]))
+                s_out, rate_out = decode_wav_pcm16(bytes(r["payload"]))
+                assert rate_in == 8000 and rate_out == out_rate
+                n_out = len(s_in) * out_rate // 8000
+                assert (s_out == resample_nearest(s_in, n_out)).all()
+                assert r["meta"]["duration_ms"] == int(round(n_out * 1000 / out_rate))
+                assert r["meta"]["n_bytes"] == len(bytes(r["payload"]))
+            else:
+                assert bytes(r["payload"]) == bytes(o["payload"])  # untouched
+    # identity rate: same samples, writer-canonical container
+    same = resample_audio(media.filter(F.col("kind") == "audio"), 8000)
+    for r in same.collect():
+        s_out, _ = decode_wav_pcm16(bytes(r["payload"]))
+        s_in, _ = decode_wav_pcm16(bytes(orig[r["media_id"]]["payload"]))
+        assert (s_out == s_in).all()
+    # composes with the decode-stats operator
+    stats = media_decode_stats(
+        resample_audio(media.filter(F.col("kind") == "audio"), 4000)
+    ).collect()
+    assert stats and all(s["sample_rate"] == 4000 for s in stats)
+    media.unpersist()
+
+
+def test_compression_stats_zlib_ground_truth(spark):
+    """compression_stats: deflate_bytes equals direct zlib.compress length
+    (the UDF is real, Arrow-batched), the ratio separates repetitive
+    boilerplate from high-entropy text, and NULL/empty text is total."""
+    import zlib
+
+    from sparkfuse.textops import compression_stats
+
+    rows = [
+        (1, "spam " * 400),                      # repetitive -> ratio >> 1
+        # deterministic high-entropy text: chained sha256 digests, base64
+        (2, __import__("base64").b64encode(
+            b"".join(
+                __import__("hashlib").sha256(bytes([i])).digest()
+                for i in range(64)
+            )
+        ).decode()),
+        (3, ""),                                  # empty
+        (4, None),                                # NULL counts as empty
+        (5, "The quick brown fox jumps over the lazy dog. " * 10),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in compression_stats(df, "doc_id", "text").collect()}
+    for doc_id, text in rows:
+        want = len(zlib.compress((text or "").encode("utf-8"), 6))
+        assert got[doc_id]["deflate_bytes"] == want, doc_id
+        assert got[doc_id]["raw_bytes"] == len((text or "").encode("utf-8"))
+        assert got[doc_id]["compression_ratio"] == pytest.approx(
+            got[doc_id]["raw_bytes"] / want
+        )
+    assert got[1]["compression_ratio"] > 20          # boilerplate collapses
+    assert got[2]["compression_ratio"] < 2           # entropy barely compresses
+    assert got[3]["compression_ratio"] == 0.0        # empty: total, not NULL
+    assert got[4]["compression_ratio"] == 0.0
+    # plan shape: scan -> project, no exchange
+    plan = compression_stats(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
