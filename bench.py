@@ -389,6 +389,23 @@ def main_bench():
     extra["media_decode_checksum"] = float(checksum)  # cross-round content check
     media.unpersist()
 
+    # REAL video frame sampling: uncompressed Y4M streams decoded, every
+    # 250 ms frame re-encoded as PNG (filters + DEFLATE, fast search) —
+    # decode + sample + image-encode all inside one Arrow batch pass
+    from sparkfuse.video import extract_frames, synth_y4m_media
+
+    video = synth_y4m_media(
+        spark.range(2_000).select(F.col("id").alias("media_id")), scale=12
+    ).cache()
+    video_bytes = video.agg(F.sum(F.octet_length("payload")).alias("b")).first()["b"]
+    t, n_frames_out = bench_row(
+        "video_frames_2k",
+        lambda: extract_frames(video, every_ms=250).count(),
+    )
+    extra["video_frames_out"] = float(n_frames_out)
+    extra["video_decode_mb_per_sec"] = video_bytes / 1024 / 1024 / t
+    video.unpersist()
+
     # checkpointable 5-sketch profile (HLL+CMS+Bloom over user_id,
     # t-digest+KLL over value): one shuffle of (shard, value) pairs, one
     # Arrow kernel pass per shard, distributed finish over KB states

@@ -97,6 +97,11 @@ _SPARK_LAYER = {
     "resample_audio": ("sparkfuse.multimodal", "resample_audio"),
     "extract_features": ("sparkfuse.multimodal", "extract_features"),
     "compression_stats": ("sparkfuse.textops", "compression_stats"),
+    "extract_frames": ("sparkfuse.video", "extract_frames"),
+    "synth_y4m_media": ("sparkfuse.video", "synth_y4m_media"),
+    "encode_y4m": ("sparkfuse.video", "encode_y4m"),
+    "decode_y4m": ("sparkfuse.video", "decode_y4m"),
+    "mp4_metadata": ("sparkfuse.video", "mp4_metadata"),
     "write_bucketed_keys": ("sparkfuse.bucketing", "write_bucketed_keys"),
     "append_bucketed_keys": ("sparkfuse.bucketing", "append_bucketed_keys"),
     "bucketed_semi_join": ("sparkfuse.bucketing", "bucketed_semi_join"),

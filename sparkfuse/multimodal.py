@@ -455,7 +455,9 @@ def media_decode_stats(media_df: DataFrame) -> DataFrame:
     """Decode every payload with the REAL stdlib codecs and emit exact
     integer stats over the DECODED content (not the container bytes):
     audio → (n_samples, sample_rate, sum, max of int16 samples); image →
-    (width, height, sum, max of uint8 raster). Inapplicable dimensions are
+    (width, height, sum, max of uint8 raster); Y4M video → (n_frames as
+    n_samples, whole fps as sample_rate, frame dims, sum/max over every
+    frame). Inapplicable dimensions are
     0, not NULL, so downstream value-compares stay total-orderable.
     Arrow-batched mapInPandas;
     payloads never leave the executor. Dispatch is by mime; formats without
@@ -475,6 +477,16 @@ def media_decode_stats(media_df: DataFrame) -> DataFrame:
                     rows.append(
                         (int(mid), "audio", len(samples), rate, 0, 0,
                          int(s64.sum()), peak)
+                    )
+                elif mime == "video/x-yuv4mpeg":
+                    from sparkfuse.video import decode_y4m
+
+                    frames, (num, den) = decode_y4m(p)
+                    f64 = frames.astype(np.int64)
+                    h, w = frames.shape[1:3]
+                    rows.append(
+                        (int(mid), "video", len(frames), num // den, w, h,
+                         int(f64.sum()), int(f64.max()))
                     )
                 elif mime in ("image/x-portable-pixmap", "image/png"):
                     if mime == "image/png":
@@ -503,8 +515,11 @@ def media_decode_stats(media_df: DataFrame) -> DataFrame:
 
 def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video → frame-extraction work items (media_id, frame_ts_ms): the
-    *plan* is pure column arithmetic (sequence over duration); the decode of
-    each frame is the stubbed step."""
+    *plan* is pure column arithmetic (sequence over duration). The decode
+    of each frame is REAL for Y4M streams — ``sparkfuse.video.
+    extract_frames`` materializes this grid into decoded PNG image rows —
+    and remains the declared stub for codec-bound containers (MP4 et al.,
+    whose structure ``sparkfuse.video.mp4_metadata`` still parses)."""
     return (
         media_df.filter(F.col("kind") == "video")
         .select(

@@ -1,0 +1,367 @@
+"""Video column operators: a REAL in-container video path plus honest
+metadata parsing for codec-bound containers.
+
+Two layers, split by what this container can genuinely do:
+
+  * ``encode_y4m``/``decode_y4m`` — a from-scratch YUV4MPEG2 (Y4M) codec.
+    Y4M is the standard UNCOMPRESSED video interchange format (the mjpegtools
+    header grammar: ``YUV4MPEG2 W.. H.. F<num>:<den> C..\\n`` then
+    ``FRAME\\n`` + planar payload per frame). Mono (``Cmono``) and full-rate
+    4:4:4 (``C444``) colorspaces are supported — both are integer-exact end
+    to end (no chroma subsampling rounding), so decoded frames are
+    reproducible by pure generation arithmetic, the same oracle contract the
+    WAV/PPM/PNG paths use. ``extract_frames`` makes the frame-sampling step
+    REAL: decode the Y4M stream, take the frame at each sampled timestamp,
+    re-encode each frame as PNG through ``sparkfuse.png`` — video → image
+    rows that compose with ``media_decode_stats``/``resize_images``/
+    ``extract_features`` unchanged.
+  * ``mp4_metadata`` — a real ISO BMFF box walk (size/fourcc framing,
+    64-bit largesize, ``moov``/``mvhd`` v0+v1 timescale+duration, ``trak``
+    count). Parsing the container structure is honest stdlib work, exactly
+    like the WAV RIFF walk; SAMPLE decode inside ``mdat`` still requires an
+    H.264/H.265 codec this container doesn't ship and stays the declared
+    stub (``decode_image`` contract).
+
+At 100 TB the plumbing matters more than the codec: frames explode row
+counts ~30-60x, so ``extract_frames`` keeps the explosion INSIDE one Arrow
+batch pass (payloads never leave the executor between decode and re-encode)
+and emits only the sampled frames — pair with
+``media_repartition_by_bytes`` before it so each task holds a bounded
+payload volume.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+_MAGIC = b"YUV4MPEG2"
+
+Y4M_MIME = "video/x-yuv4mpeg"
+
+
+def encode_y4m(
+    frames: np.ndarray, fps: tuple[int, int] = (25, 1)
+) -> bytes:
+    """Y4M bytes from uint8 frames: (T, H, W) mono or (T, H, W, 3) 4:4:4.
+    Planar layout per the spec (mono: Y plane; 444: Y, then U, then V)."""
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim == 3:
+        cspace = b"Cmono"
+    elif a.ndim == 4 and a.shape[3] == 3:
+        cspace = b"C444"
+    else:
+        raise ValueError(
+            f"expected (T,H,W) mono or (T,H,W,3) 444 uint8 frames, got {frames.shape}"
+        )
+    t, h, w = a.shape[:3]
+    if t < 1 or h < 1 or w < 1:
+        raise ValueError("empty video")
+    num, den = int(fps[0]), int(fps[1])
+    if num < 1 or den < 1:
+        raise ValueError(f"bad frame rate {fps}")
+    out = bytearray(
+        b"%s W%d H%d F%d:%d Ip A1:1 %s\n" % (_MAGIC, w, h, num, den, cspace)
+    )
+    for i in range(t):
+        out += b"FRAME\n"
+        if a.ndim == 3:
+            out += a[i].tobytes()
+        else:
+            # planar: all Y, all U, all V (channel-major per frame)
+            out += np.ascontiguousarray(a[i].transpose(2, 0, 1)).tobytes()
+    return bytes(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """(frames, (fps_num, fps_den)) from Y4M bytes — a real parse of the
+    header grammar and per-frame framing. Mono returns (T, H, W); C444
+    returns (T, H, W, 3). Subsampled colorspaces (C420 etc.) raise
+    NotImplementedError (they are not integer-exact roundtrippable without
+    resample policy); malformed streams raise ValueError naming the
+    problem."""
+    buf = bytes(payload)
+    nl = buf.find(b"\n")
+    if nl < 0 or not buf.startswith(_MAGIC + b" "):
+        raise ValueError("not a YUV4MPEG2 stream (bad magic)")
+    w = h = num = den = None
+    cspace = "C420jpeg"  # the spec's default when no C tag is present
+    for tok in buf[len(_MAGIC) + 1 : nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            n_, d_ = val.split(b":")
+            num, den = int(n_), int(d_)
+        elif tag == b"C":
+            cspace = tok.decode("ascii")
+        # Ip/A./X. tags carry no layout information here
+    if not w or not h or not num or not den:
+        raise ValueError("Y4M header missing W/H/F tags")
+    if cspace == "Cmono":
+        ch = 1
+    elif cspace == "C444":
+        ch = 3
+    else:
+        raise NotImplementedError(
+            f"Y4M colorspace {cspace} unsupported (Cmono/C444 only — "
+            "subsampled chroma is not integer-exact)"
+        )
+    fsize = w * h * ch
+    frames = []
+    i = nl + 1
+    while i < len(buf):
+        fnl = buf.find(b"\n", i)
+        if fnl < 0 or buf[i : i + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker in Y4M stream")
+        i = fnl + 1
+        plane = buf[i : i + fsize]
+        if len(plane) != fsize:
+            raise ValueError(
+                f"truncated Y4M frame: expected {fsize} bytes, got {len(plane)}"
+            )
+        arr = np.frombuffer(plane, dtype=np.uint8)
+        if ch == 1:
+            frames.append(arr.reshape(h, w))
+        else:
+            frames.append(arr.reshape(3, h, w).transpose(1, 2, 0))
+        i += fsize
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    return np.stack(frames), (num, den)
+
+
+def frame_index_at_ms(ts_ms: int, fps: tuple[int, int]) -> int:
+    """Frame shown at timestamp ``ts_ms`` — exact integer math shared by
+    ``extract_frames`` and any oracle: idx = ts_ms * num // (1000 * den)."""
+    return (int(ts_ms) * int(fps[0])) // (1000 * int(fps[1]))
+
+
+_FRAME_SCHEMA = None
+
+
+def _frame_schema():
+    global _FRAME_SCHEMA
+    if _FRAME_SCHEMA is None:
+        from sparkfuse.multimodal import MEDIA_SCHEMA
+
+        _FRAME_SCHEMA = StructType(
+            [
+                StructField("media_id", LongType(), False),
+                StructField("frame_idx", LongType(), False),
+                StructField("frame_ts_ms", LongType(), False),
+            ]
+            + [f for f in MEDIA_SCHEMA.fields if f.name != "media_id"]
+        )
+    return _FRAME_SCHEMA
+
+
+def extract_frames(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling over Y4M video rows: decode the stream, take the
+    frame at each ``every_ms`` timestamp (same arithmetic as
+    ``frame_sample_plan``: 0, every_ms, ... < duration_ms), and emit one
+    IMAGE row per sampled frame — payload re-encoded as PNG through
+    ``sparkfuse.png``, meta carrying the frame dims. Output columns are
+    (media_id, frame_idx, frame_ts_ms) + the media schema, so every media
+    operator (``media_decode_stats``, ``resize_images``,
+    ``extract_features``) composes by column name. Non-Y4M video mimes
+    raise (the declared MP4 stub — ``mp4_metadata`` parses their structure,
+    sample decode needs a codec). Non-video rows are filtered out, matching
+    ``frame_sample_plan``."""
+    from sparkfuse.png import encode_png, smallest_filter_heuristic
+
+    if every_ms < 1:
+        raise ValueError("every_ms must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                if r["mime"] != Y4M_MIME:
+                    raise NotImplementedError(
+                        f"no in-container frame decoder for video mime "
+                        f"{r['mime']!r} (Y4M decodes natively; MP4 et al. "
+                        "need a codec library)"
+                    )
+                frames, fps = decode_y4m(bytes(r["payload"]))
+                duration_ms = int(r["meta"]["duration_ms"])
+                h, w = frames.shape[1:3]
+                for ts in range(0, max(duration_ms, 1), every_ms):
+                    idx = min(frame_index_at_ms(ts, fps), len(frames) - 1)
+                    payload = encode_png(
+                        frames[idx], smallest_filter_heuristic(frames[idx])
+                    )
+                    rows.append(
+                        {
+                            "media_id": int(r["media_id"]),
+                            "frame_idx": idx,
+                            "frame_ts_ms": ts,
+                            "kind": "image",
+                            "mime": "image/png",
+                            "payload": payload,
+                            "meta": {
+                                "width": w,
+                                "height": h,
+                                "duration_ms": None,
+                                "n_bytes": len(payload),
+                            },
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _frame_schema().fields]
+            )
+
+    return media_df.filter(F.col("kind") == "video").mapInPandas(
+        kernel, _frame_schema()
+    )
+
+
+def synth_y4m_media(
+    ids_df: DataFrame, id_col: str = "media_id", scale: int = 1
+) -> DataFrame:
+    """Deterministic REAL Y4M video table over an id column — the video
+    sibling of ``synth_codec_media``, same oracle contract (every decoded
+    value is recomputable by integer arithmetic, at the default scale=1):
+
+      mono frames: w = (4 + id % 9) * scale, h = (3 + id % 5) * scale,
+                   n_frames = 2 + id % 4, fps = 4:1,
+                   pixel[t][y][x] = (id + x + 2y + 5t) % 256
+      duration_ms = n_frames * 250  (4 fps)
+    """
+    from sparkfuse.multimodal import MEDIA_SCHEMA
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                mid = int(i)
+                w, h = (4 + mid % 9) * scale, (3 + mid % 5) * scale
+                n_frames = 2 + mid % 4
+                x = np.arange(w)[None, None, :]
+                y = np.arange(h)[None, :, None]
+                t = np.arange(n_frames)[:, None, None]
+                frames = ((mid + x + 2 * y + 5 * t) % 256).astype(np.uint8)
+                payload = encode_y4m(frames, fps=(4, 1))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "video",
+                        "mime": Y4M_MIME,
+                        "payload": payload,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "duration_ms": n_frames * 250,
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids_df.select(F.col(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# ISO BMFF (MP4) structure parsing — metadata only, sample decode is the
+# declared codec stub
+# --------------------------------------------------------------------------
+
+
+def encode_mp4_skeleton(
+    duration_ms: int, timescale: int = 1000, n_tracks: int = 1
+) -> bytes:
+    """A structurally valid minimal MP4: ftyp + moov(mvhd + empty traks) +
+    empty mdat — real ISO BMFF box framing for exercising ``mp4_metadata``
+    without a codec. The mvhd is a spec-layout version-0 box."""
+    if duration_ms < 0 or timescale < 1 or n_tracks < 0:
+        raise ValueError("bad duration/timescale/track count")
+
+    def box(tag: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(
+            ">B3xIIII", 0, 0, 0, timescale, duration  # v0, flags, ctime, mtime
+        )
+        + b"\x00" * 80,  # rate/volume/matrix/predefines/next_track_id
+    )
+    traks = b"".join(box(b"trak", b"") for _ in range(n_tracks))
+    return (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + box(b"moov", mvhd + traks)
+        + box(b"mdat", b"")
+    )
+
+
+def mp4_metadata(payload: bytes) -> dict:
+    """Real ISO BMFF box walk: top-level size/fourcc framing (including
+    64-bit largesize and size==0 to-end boxes), ``moov`` descended one
+    level, ``mvhd`` v0/v1 parsed for timescale and duration. Returns
+    {major_brand, timescale, duration_ms, n_tracks, top_boxes}. This is
+    the honest boundary for MP4 in this container: structure parses for
+    real, SAMPLE decode needs an H.264-class codec and stays the declared
+    stub."""
+    buf = bytes(payload)
+    out = {
+        "major_brand": None,
+        "timescale": None,
+        "duration_ms": None,
+        "n_tracks": 0,
+        "top_boxes": [],
+    }
+
+    def walk(lo: int, hi: int):
+        i = lo
+        while i < hi:
+            if i + 8 > hi:
+                raise ValueError("truncated MP4 box header")
+            (size,) = struct.unpack(">I", buf[i : i + 4])
+            tag = buf[i + 4 : i + 8]
+            body_off = i + 8
+            if size == 1:  # 64-bit largesize
+                if i + 16 > hi:
+                    raise ValueError("truncated MP4 largesize header")
+                (size,) = struct.unpack(">Q", buf[i + 8 : i + 16])
+                body_off = i + 16
+            elif size == 0:  # box extends to end of file
+                size = hi - i
+            if size < body_off - i or i + size > hi:
+                raise ValueError(f"bad MP4 box size for {tag!r}")
+            yield tag, body_off, i + size
+            i += size
+
+    for tag, lo, hi in walk(0, len(buf)):
+        out["top_boxes"].append(tag.decode("latin-1"))
+        if tag == b"ftyp":
+            out["major_brand"] = buf[lo : lo + 4].decode("latin-1")
+        elif tag == b"moov":
+            for t2, lo2, hi2 in walk(lo, hi):
+                if t2 == b"mvhd":
+                    version = buf[lo2]
+                    if version == 1:
+                        ts, dur = struct.unpack(
+                            ">IQ", buf[lo2 + 20 : lo2 + 32]
+                        )
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", buf[lo2 + 12 : lo2 + 20]
+                        )
+                    out["timescale"] = ts
+                    out["duration_ms"] = dur * 1000 // ts if ts else None
+                elif t2 == b"trak":
+                    out["n_tracks"] += 1
+    if "moov" not in out["top_boxes"] and "ftyp" not in out["top_boxes"]:
+        raise ValueError("not an ISO BMFF stream (no ftyp/moov box)")
+    return out
