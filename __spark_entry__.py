@@ -69,24 +69,25 @@ def q_fuse8_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey")
 
 
-def q_fuse16_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fuse16 (C4, width 16): parts that appear in lineitem."""
+def q_fuse_wide_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuse16 AND fuse32 (C4, widths 16/32) in one driver row — a true-
+    redundancy merge (round 5) freeing a surface slot for pack_sequences:
+    both rows ran the same operator at different width parameters, so the
+    union (tagged by width) certifies exactly what the two rows did.
+    width=16: parts appearing in lineitem; width=32: suppliers appearing
+    in lineitem."""
     part = _t(spark, sf_dir, "part")
-    lineitem = _t(spark, sf_dir, "lineitem")
-    forest = _forest_over(lineitem, "l_partkey", kind="fuse", width=16, shard_bits=1)
-    return exact_member_semi_join(
-        part, "p_partkey", lineitem, "l_partkey", forest, spark
-    ).select("p_partkey")
-
-
-def q_fuse32_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fuse32 (C4, width 32): suppliers that appear in lineitem."""
     supplier = _t(spark, sf_dir, "supplier")
     lineitem = _t(spark, sf_dir, "lineitem")
-    forest = _forest_over(lineitem, "l_suppkey", kind="fuse", width=32, shard_bits=0)
-    return exact_member_semi_join(
-        supplier, "s_suppkey", lineitem, "l_suppkey", forest, spark
-    ).select("s_suppkey")
+    f16 = _forest_over(lineitem, "l_partkey", kind="fuse", width=16, shard_bits=1)
+    f32 = _forest_over(lineitem, "l_suppkey", kind="fuse", width=32, shard_bits=0)
+    parts = exact_member_semi_join(
+        part, "p_partkey", lineitem, "l_partkey", f16, spark
+    ).select(F.lit(16).cast("long").alias("width"), F.col("p_partkey").alias("key"))
+    sups = exact_member_semi_join(
+        supplier, "s_suppkey", lineitem, "l_suppkey", f32, spark
+    ).select(F.lit(32).cast("long").alias("width"), F.col("s_suppkey").alias("key"))
+    return parts.unionByName(sups)
 
 
 def q_xor8_members(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,6 +209,19 @@ def q_tok_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkfuse.textops import token_stats
 
     return token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (training-pipeline concat-and-chunk): lay documents
+    end-to-end in deterministic md5 order and cut 512-token packs, boundary
+    docs split across packs with exact offsets. Spark side is the two-level
+    distributed prefix sum (bucket windows + broadcast bases —
+    sparkfuse/packing.py); the oracle recomputes the identical plan with
+    one global window, so the hash match certifies that the bucketed
+    decomposition equals the global cumsum exactly."""
+    from sparkfuse.packing import pack_documents
+
+    return pack_documents(_t(spark, sf_dir, "documents"), 512)
 
 
 def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,13 +908,27 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes every stat from the generation arithmetic
     (synth_codec_media's documented contract), container-independent — so a
     hash match certifies the encode→filter→compress→decode round-trip
-    through each real binary format, PNG included (closing most of the
-    r3-r5 "compressed codecs are a stub" gap; JPEG/MP4 remain declared
-    stubs)."""
-    from sparkfuse.multimodal import media_decode_stats, synth_codec_media
+    through each real binary format. Round 5 extends the row with REAL
+    baseline JPEG (sparkfuse.jpeg, from-scratch T.81: DCT + quantizer +
+    Huffman entropy coder): a second id population (doc_id + 1e9, so the
+    two synths stay disjoint) becomes constant-8x8-block mosaics that
+    round-trip BIT-EXACTLY through the lossy codec (DC-exact design —
+    synth_jpeg_media's documented contract), so the same formula oracle now
+    certifies the JPEG path too. Only MP4 SAMPLE decode remains a declared
+    stub."""
+    from sparkfuse.multimodal import (
+        media_decode_stats,
+        synth_codec_media,
+        synth_jpeg_media,
+    )
 
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
-    return media_decode_stats(synth_codec_media(ids))
+    jpeg_ids = ids.select(
+        (F.col("media_id") + F.lit(1_000_000_000)).alias("media_id")
+    )
+    return media_decode_stats(synth_codec_media(ids)).unionByName(
+        media_decode_stats(synth_jpeg_media(jpeg_ids))
+    )
 
 
 def q_simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1310,8 +1338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_checkpoint_profile": q_sketch_checkpoint_profile,
     "curation_pipeline": q_curation_pipeline,
     "budgeted_members": q_budgeted_members,
-    "fuse16_members": q_fuse16_members,
-    "fuse32_members": q_fuse32_members,
+    "fuse_wide_members": q_fuse_wide_members,
     "xor8_members": q_xor8_members,
     "xor16_members": q_xor16_members,
     "fuse4wise_members": q_fuse4wise_members,
@@ -1320,6 +1347,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "forest_stats": q_forest_stats,
     "tok_stats": q_tok_stats,
+    "pack_sequences": q_pack_sequences,
     "quality_stats": q_quality_stats,
     "lang_id": q_lang_id,
     "dedup_fingerprint": q_dedup_fingerprint,
@@ -1373,12 +1401,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),
-        "fuse16_members": (
-            "SELECT p_partkey FROM part "
-            "WHERE p_partkey IN (SELECT l_partkey FROM lineitem)"
-        ),
-        "fuse32_members": (
-            "SELECT s_suppkey FROM supplier "
+        "fuse_wide_members": (
+            "SELECT CAST(16 AS BIGINT) AS width, p_partkey AS key FROM part "
+            "WHERE p_partkey IN (SELECT l_partkey FROM lineitem) "
+            "UNION ALL "
+            "SELECT CAST(32 AS BIGINT) AS width, s_suppkey AS key FROM supplier "
             "WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)"
         ),
         "xor8_members": (
@@ -1409,6 +1436,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "forest_stats": "SELECT COUNT(DISTINCT o_custkey) AS nkeys FROM orders",
+        # the global-window twin of the two-level distributed prefix sum:
+        # identical md5 order key, token count, and span arithmetic — the
+        # ONLY difference is that DuckDB may sort the whole corpus in one
+        # window while the Spark side must not (see sparkfuse/packing.py)
+        "pack_sequences": (
+            "WITH toks AS ("
+            "  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k,"
+            "         len(string_split_regex(trim(text), '[ \t\n\r\f]+')) AS n"
+            "  FROM documents WHERE text IS NOT NULL"
+            "), pos AS ("
+            "  SELECT doc_id, n,"
+            "         CAST(SUM(n) OVER (ORDER BY k, doc_id) - n AS BIGINT) AS s"
+            "  FROM toks WHERE n > 0"
+            "), spans AS ("
+            "  SELECT doc_id, n, s,"
+            "         unnest(generate_series(s // 512, (s + n - 1) // 512)) AS pack_id"
+            "  FROM pos"
+            ") SELECT doc_id, CAST(pack_id AS BIGINT) AS pack_id,"
+            "         CAST(GREATEST(s, pack_id*512) - pack_id*512 AS BIGINT)"
+            "           AS start_in_pack,"
+            "         CAST(GREATEST(s, pack_id*512) - s AS BIGINT) AS offset_in_doc,"
+            "         CAST(LEAST(s+n, (pack_id+1)*512) - GREATEST(s, pack_id*512)"
+            "           AS BIGINT) AS take"
+            "  FROM spans"
+        ),
         "tok_stats": (
             "SELECT doc_id, "
             f"len(string_split_regex(trim(text), '{TOKEN_SPLIT}')) AS n_tokens, "
@@ -1619,7 +1671,32 @@ def oracle_sql() -> dict[str, str]:
             "         CAST(MAX((media_id + ((i // 3) % w) + 2 * ((i // 3) // w)"
             "                   + 3 * (i % 3)) % 256) AS BIGINT) AS peak"
             "  FROM img_i GROUP BY media_id"
+            # the JPEG population (ids offset by 1e9): constant-8x8-block
+            # mosaics, block v(by,bx) = 2*((id + 3bx + 7by) % 128) — even
+            # values round-trip BIT-EXACTLY through the lossy baseline
+            # codec (DC-exact design, synth_jpeg_media's contract), so the
+            # decoded stats are pure arithmetic here too
+            "), jpg AS ("
+            "  SELECT doc_id + 1000000000 AS media_id,"
+            "         1 + (doc_id + 1000000000) % 4 AS nbx,"
+            "         1 + (doc_id + 1000000000) % 3 AS nby"
+            "  FROM documents"
+            "), jpg_b AS ("
+            "  SELECT media_id, nbx, nby,"
+            "         unnest(generate_series(0, nbx*nby - 1)) AS b FROM jpg"
+            "), jpg_stats AS ("
+            "  SELECT media_id, 'image' AS kind,"
+            "         CAST(0 AS BIGINT) AS n_samples,"
+            "         CAST(0 AS BIGINT) AS sample_rate,"
+            "         CAST(8 * any_value(nbx) AS BIGINT) AS width,"
+            "         CAST(8 * any_value(nby) AS BIGINT) AS height,"
+            "         CAST(64 * SUM(2 * ((media_id + 3 * (b % nbx)"
+            "                   + 7 * (b // nbx)) % 128)) AS BIGINT) AS checksum,"
+            "         CAST(MAX(2 * ((media_id + 3 * (b % nbx)"
+            "                   + 7 * (b // nbx)) % 128)) AS BIGINT) AS peak"
+            "  FROM jpg_b GROUP BY media_id"
             ") SELECT * FROM wav_stats UNION ALL SELECT * FROM img_stats"
+            "  UNION ALL SELECT * FROM jpg_stats"
         ),
         "winnow_overlap_pairs": _winnow_pairs_oracle(),
         "bpe_tok_stats": _bpe_oracle(),

@@ -406,6 +406,27 @@ def main_bench():
     extra["video_decode_mb_per_sec"] = video_bytes / 1024 / 1024 / t
     video.unpersist()
 
+    # REAL baseline JPEG: from-scratch T.81 decode (16-bit-LUT Huffman,
+    # vectorized dequant+IDCT) over block-mosaic images up to 256x192;
+    # reported as decoded-pixel MB/s (the Python entropy loop is the
+    # honest bottleneck, everything after it is whole-component numpy)
+    from sparkfuse.multimodal import synth_jpeg_media
+
+    jpeg = synth_jpeg_media(
+        spark.range(3_000).select(F.col("id").alias("media_id")), scale=8
+    ).cache()
+    jpeg_px = jpeg.select(
+        F.sum(
+            F.col("meta.width").cast("long") * F.col("meta.height").cast("long")
+        ).alias("px")
+    ).first()["px"]
+    t, _n = bench_row(
+        "jpeg_decode_3k",
+        lambda: media_decode_stats(jpeg).count(),
+    )
+    extra["jpeg_decoded_mpx_per_sec"] = jpeg_px / 1e6 / t
+    jpeg.unpersist()
+
     # checkpointable 5-sketch profile (HLL+CMS+Bloom over user_id,
     # t-digest+KLL over value): one shuffle of (shard, value) pairs, one
     # Arrow kernel pass per shard, distributed finish over KB states

@@ -20,6 +20,7 @@ from sparkfuse.kernels import (
     xor_contains,
 )
 from sparkfuse.params import fuse_parameters, xor_parameters
+from sparkfuse.jpeg import decode_jpeg, encode_jpeg
 from sparkfuse.png import decode_png, encode_png
 from sparkfuse.serialize import (
     load_fuse_bytes,
@@ -44,6 +45,8 @@ __all__ = [
     "save_xor_bytes",
     "decode_png",
     "encode_png",
+    "decode_jpeg",
+    "encode_jpeg",
 ]
 # The distributed layer resolves lazily via __getattr__ (sparkfuse.Forest,
 # sparkfuse.build_forest, ...) and is deliberately NOT in __all__ so
@@ -97,6 +100,9 @@ _SPARK_LAYER = {
     "resample_audio": ("sparkfuse.multimodal", "resample_audio"),
     "extract_features": ("sparkfuse.multimodal", "extract_features"),
     "compression_stats": ("sparkfuse.textops", "compression_stats"),
+    "synth_jpeg_media": ("sparkfuse.multimodal", "synth_jpeg_media"),
+    "pack_documents": ("sparkfuse.packing", "pack_documents"),
+    "pack_fill_stats": ("sparkfuse.packing", "pack_fill_stats"),
     "extract_frames": ("sparkfuse.video", "extract_frames"),
     "synth_y4m_media": ("sparkfuse.video", "synth_y4m_media"),
     "encode_y4m": ("sparkfuse.video", "encode_y4m"),

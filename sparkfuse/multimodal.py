@@ -13,11 +13,14 @@ container can genuinely parse:
     ``media_decode_stats`` drives them distributed (Arrow-batched
     mapInPandas; payloads never leave the executor) and is oracle-checked
     end-to-end (entry ``media_decode``).
-  * STUBBED formats: ``decode_image`` on JPEG/MP4/etc raises
-    NotImplementedError (no codec library ships here, and those formats
-    genuinely need one) — inject a real decoder via
-    ``extract_features(decoder=...)`` in a production image. PPM and PNG
-    payloads decode for real through the same entry point.
+  * ``sparkfuse.jpeg`` is a from-scratch baseline-JPEG codec (T.81:
+    Huffman + zigzag + quantizer + vectorized DCT/IDCT; decodes
+    foreign-encoder JPEGs incl. 4:2:0, see tests/test_jpeg.py).
+  * STUBBED formats: ``decode_image`` on progressive JPEG / WebP / MP4
+    sample data raises NotImplementedError (those genuinely need a codec
+    library this container doesn't ship) — inject a real decoder via
+    ``extract_features(decoder=...)`` in a production image. WAV, PPM,
+    PNG, baseline JPEG and Y4M payloads decode for real.
   * ``fake_feature_extract`` is the deterministic stand-in featurizer used
     by tests and benchmarks — it derives a feature vector from the payload
     bytes alone, so the full pipeline (scan → mapInPandas batches → feature
@@ -191,12 +194,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes):
     """Image decode entry point: binary-P6 PPM decodes FOR REAL
-    (``decode_ppm``), and so does PNG — ``sparkfuse.png`` implements the
-    spec's chunk framing, CRC, DEFLATE (stdlib zlib) and all five scanline
-    filters from scratch. Remaining compressed formats (JPEG/...) raise
-    NotImplementedError because they need a codec library this container
-    doesn't ship — inject one via ``extract_features(decoder=...)`` in a
-    production image."""
+    (``decode_ppm``), and so do PNG and baseline JPEG — ``sparkfuse.png``
+    implements the spec's chunk framing, CRC, DEFLATE (stdlib zlib) and all
+    five scanline filters from scratch; ``sparkfuse.jpeg`` implements
+    baseline sequential T.81 (Huffman + zigzag + dequant + IDCT, gray /
+    4:4:4 / 4:2:2 / 4:2:0) from scratch. Truly out-of-envelope formats
+    (progressive JPEG, WebP, ...) raise NotImplementedError — inject a
+    decoder via ``extract_features(decoder=...)`` in a production image."""
     head = bytes(payload[:8])
     if head[:2] == b"P6":
         return decode_ppm(payload)
@@ -204,10 +208,14 @@ def decode_image(payload: bytes):
         from sparkfuse.png import decode_png
 
         return decode_png(payload)
+    if head[:2] == b"\xff\xd8":
+        from sparkfuse.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
         "no codec library in this environment for this compressed image "
-        "format; pass decoder= to extract_features (PPM and PNG decode "
-        "natively)"
+        "format; pass decoder= to extract_features (PPM, PNG and baseline "
+        "JPEG decode natively)"
     )
 
 
@@ -262,11 +270,11 @@ def resize_images(
 ) -> DataFrame:
     """Resize every IMAGE payload to (out_h, out_w) — the task brief's
     resize step, real end-to-end for the formats this container can parse:
-    decode (P6 PPM or PNG) → nearest-neighbor resize (exact index math) →
-    re-encode in the SAME container family, in Arrow-batched
-    ``mapInPandas``. Non-image rows pass through byte-identical; remaining
-    compressed codecs (JPEG/...) raise through ``decode_image`` (the
-    declared stub — the injection point is exercised by the PPM/PNG paths).
+    decode (P6 PPM, PNG, or baseline JPEG) → nearest-neighbor resize
+    (exact index math) → re-encode, in Arrow-batched ``mapInPandas``. PPM
+    stays PPM; PNG — and JPEG, deliberately — re-encode as PNG (resizing
+    must not add a second lossy generation). Non-image rows pass through
+    byte-identical; out-of-envelope codecs raise through ``decode_image``.
     meta.width/height/n_bytes are updated for resized rows; the schema is
     unchanged so the result composes with every other media operator
     (``media_decode_stats``, ``extract_features``, the byte-sized
@@ -437,6 +445,62 @@ def synth_codec_media(
     return ids_df.select(F.col(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synth_jpeg_media(
+    ids_df: DataFrame,
+    id_col: str = "media_id",
+    quality: int = 50,
+    scale: int = 1,
+) -> DataFrame:
+    """Deterministic REAL baseline-JPEG table over an id column — the lossy
+    sibling of ``synth_codec_media``, with the same formula-oracle contract
+    DESPITE the lossy codec: every image is a mosaic of constant 8x8 blocks
+    whose values are even, which round-trips BIT-EXACTLY through
+    ``sparkfuse.jpeg`` at the default quality (DC = 8*(v-128) divides the
+    q[0][0]=16 quantizer; all AC quantize to zero — see sparkfuse/jpeg.py).
+    Documented generation arithmetic (what an external oracle recomputes):
+
+      nbx = 1 + id % 4, nby = 1 + id % 3   (w = 8*nbx, h = 8*nby)
+      block value v(by, bx) = 2 * ((id + 3*bx + 7*by) % 128)
+      decoded pixel[y][x]   = v(y // 8, x // 8)   — exactly
+
+    so decoded stats are: width = w, height = h, checksum = 64 * Σ v,
+    peak = max v. ``scale`` multiplies the BLOCK-GRID dims (the entry
+    oracle is written at scale=1): every block stays constant-even so the
+    bit-exactness holds at any scale — bench-realistic payloads without a
+    new contract. ``quality`` != 50 keeps the schema but voids the
+    exactness contract (quantizers change) — bench-only."""
+    from sparkfuse.jpeg import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                mid = int(i)
+                nbx, nby = (1 + mid % 4) * scale, (1 + mid % 3) * scale
+                bx = np.arange(nbx)[None, :]
+                by = np.arange(nby)[:, None]
+                vals = (2 * ((mid + 3 * bx + 7 * by) % 128)).astype(np.uint8)
+                img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                payload = encode_jpeg(img, quality=quality)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "mime": "image/jpeg",
+                        "payload": payload,
+                        "meta": {
+                            "width": 8 * nbx,
+                            "height": 8 * nby,
+                            "duration_ms": None,
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids_df.select(F.col(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 _DECODE_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -488,11 +552,17 @@ def media_decode_stats(media_df: DataFrame) -> DataFrame:
                         (int(mid), "video", len(frames), num // den, w, h,
                          int(f64.sum()), int(f64.max()))
                     )
-                elif mime in ("image/x-portable-pixmap", "image/png"):
+                elif mime in (
+                    "image/x-portable-pixmap", "image/png", "image/jpeg"
+                ):
                     if mime == "image/png":
                         from sparkfuse.png import decode_png
 
                         px = decode_png(p).astype(np.int64)
+                    elif mime == "image/jpeg":
+                        from sparkfuse.jpeg import decode_jpeg
+
+                        px = decode_jpeg(p).astype(np.int64)
                     else:
                         px = decode_ppm(p).astype(np.int64)
                     h, w = px.shape[:2]
