@@ -914,20 +914,30 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     two synths stay disjoint) becomes constant-8x8-block mosaics that
     round-trip BIT-EXACTLY through the lossy codec (DC-exact design —
     synth_jpeg_media's documented contract), so the same formula oracle now
-    certifies the JPEG path too. Only MP4 SAMPLE decode remains a declared
-    stub."""
+    certifies the JPEG path too — and with REAL MP4 (sparkfuse.mp4: full
+    ISO BMFF sample-table muxer/demuxer, MJPEG samples through the same
+    JPEG codec): a third population (doc_id + 2e9) of block-mosaic MOVIES
+    whose per-frame samples round-trip bit-exactly, so the oracle's video
+    stats certify container demux + per-sample decode together. Inter-frame
+    sample codecs (H.264-class) are the only remaining declared stub."""
     from sparkfuse.multimodal import (
         media_decode_stats,
         synth_codec_media,
         synth_jpeg_media,
     )
+    from sparkfuse.video import synth_mp4_media
 
     ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
     jpeg_ids = ids.select(
         (F.col("media_id") + F.lit(1_000_000_000)).alias("media_id")
     )
-    return media_decode_stats(synth_codec_media(ids)).unionByName(
-        media_decode_stats(synth_jpeg_media(jpeg_ids))
+    mp4_ids = ids.select(
+        (F.col("media_id") + F.lit(2_000_000_000)).alias("media_id")
+    )
+    return (
+        media_decode_stats(synth_codec_media(ids))
+        .unionByName(media_decode_stats(synth_jpeg_media(jpeg_ids)))
+        .unionByName(media_decode_stats(synth_mp4_media(mp4_ids)))
     )
 
 
@@ -1695,8 +1705,38 @@ def oracle_sql() -> dict[str, str]:
             "         CAST(MAX(2 * ((media_id + 3 * (b % nbx)"
             "                   + 7 * (b // nbx)) % 128)) AS BIGINT) AS peak"
             "  FROM jpg_b GROUP BY media_id"
+            # the MP4 population (ids offset by 2e9): block-mosaic MOVIES —
+            # nf frames of constant-even 8x8 blocks, frame t block
+            # v(t,by,bx) = 2*((id + 3bx + 7by + 11t) % 128) — demuxed via
+            # the real sample tables and decoded per-sample through the
+            # same DC-exact JPEG codec (synth_mp4_media's contract), so
+            # video stats are pure arithmetic as well
+            "), mp4 AS ("
+            "  SELECT doc_id + 2000000000 AS media_id,"
+            "         1 + (doc_id + 2000000000) % 4 AS nbx,"
+            "         1 + (doc_id + 2000000000) % 3 AS nby,"
+            "         2 + (doc_id + 2000000000) % 3 AS nf"
+            "  FROM documents"
+            "), mp4_t AS ("
+            "  SELECT media_id, nbx, nby, nf,"
+            "         unnest(generate_series(0, nf - 1)) AS t FROM mp4"
+            "), mp4_tb AS ("
+            "  SELECT media_id, nbx, nby, nf, t,"
+            "         unnest(generate_series(0, nbx*nby - 1)) AS b FROM mp4_t"
+            "), mp4_stats AS ("
+            "  SELECT media_id, 'video' AS kind,"
+            "         CAST(any_value(nf) AS BIGINT) AS n_samples,"
+            "         CAST(4 AS BIGINT) AS sample_rate,"
+            "         CAST(8 * any_value(nbx) AS BIGINT) AS width,"
+            "         CAST(8 * any_value(nby) AS BIGINT) AS height,"
+            "         CAST(64 * SUM(2 * ((media_id + 3 * (b % nbx)"
+            "                   + 7 * (b // nbx) + 11 * t) % 128)) AS BIGINT) AS checksum,"
+            "         CAST(MAX(2 * ((media_id + 3 * (b % nbx)"
+            "                   + 7 * (b // nbx) + 11 * t) % 128)) AS BIGINT) AS peak"
+            "  FROM mp4_tb GROUP BY media_id"
             ") SELECT * FROM wav_stats UNION ALL SELECT * FROM img_stats"
             "  UNION ALL SELECT * FROM jpg_stats"
+            "  UNION ALL SELECT * FROM mp4_stats"
         ),
         "winnow_overlap_pairs": _winnow_pairs_oracle(),
         "bpe_tok_stats": _bpe_oracle(),

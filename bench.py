@@ -427,6 +427,30 @@ def main_bench():
     extra["jpeg_decoded_mpx_per_sec"] = jpeg_px / 1e6 / t
     jpeg.unpersist()
 
+    # REAL MP4: ISO BMFF sample-table demux + per-sample MJPEG decode +
+    # PNG re-encode of every 250 ms frame, one Arrow pass per task
+    from sparkfuse.video import synth_mp4_media
+
+    mp4 = synth_mp4_media(
+        spark.range(1_000).select(F.col("id").alias("media_id")), scale=6
+    ).cache()
+    # every sample is decoded before frame selection: decoded pixel volume
+    # is frames * w * h per movie (duration_ms/250 frames at 4 fps)
+    mp4_px = mp4.select(
+        F.sum(
+            (F.col("meta.duration_ms").cast("long") / 250).cast("long")
+            * F.col("meta.width").cast("long")
+            * F.col("meta.height").cast("long")
+        ).alias("px")
+    ).first()["px"]
+    t, n_mp4_frames = bench_row(
+        "mp4_frames_1k",
+        lambda: extract_frames(mp4, every_ms=250).count(),
+    )
+    extra["mp4_frames_out"] = float(n_mp4_frames)
+    extra["mp4_decoded_mpx_per_sec"] = mp4_px / 1e6 / t
+    mp4.unpersist()
+
     # checkpointable 5-sketch profile (HLL+CMS+Bloom over user_id,
     # t-digest+KLL over value): one shuffle of (shard, value) pairs, one
     # Arrow kernel pass per shard, distributed finish over KB states

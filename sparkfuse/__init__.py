@@ -21,6 +21,11 @@ from sparkfuse.kernels import (
 )
 from sparkfuse.params import fuse_parameters, xor_parameters
 from sparkfuse.jpeg import decode_jpeg, encode_jpeg
+from sparkfuse.mp4 import (
+    decode_mp4_frames,
+    encode_mp4_mjpeg,
+    parse_mp4_sample_tables,
+)
 from sparkfuse.png import decode_png, encode_png
 from sparkfuse.serialize import (
     load_fuse_bytes,
@@ -47,6 +52,9 @@ __all__ = [
     "encode_png",
     "decode_jpeg",
     "encode_jpeg",
+    "encode_mp4_mjpeg",
+    "decode_mp4_frames",
+    "parse_mp4_sample_tables",
 ]
 # The distributed layer resolves lazily via __getattr__ (sparkfuse.Forest,
 # sparkfuse.build_forest, ...) and is deliberately NOT in __all__ so
@@ -105,6 +113,7 @@ _SPARK_LAYER = {
     "pack_fill_stats": ("sparkfuse.packing", "pack_fill_stats"),
     "extract_frames": ("sparkfuse.video", "extract_frames"),
     "synth_y4m_media": ("sparkfuse.video", "synth_y4m_media"),
+    "synth_mp4_media": ("sparkfuse.video", "synth_mp4_media"),
     "encode_y4m": ("sparkfuse.video", "encode_y4m"),
     "decode_y4m": ("sparkfuse.video", "decode_y4m"),
     "mp4_metadata": ("sparkfuse.video", "mp4_metadata"),

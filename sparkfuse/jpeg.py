@@ -1,29 +1,38 @@
-"""From-scratch baseline JPEG codec — no codec library required.
+"""From-scratch JPEG codec (baseline AND progressive) — no codec library
+required.
 
-Closes the last *image* entry on the declared-stub list (rounds 3-5:
-"JPEG needs a codec library this container doesn't ship"): everything
-baseline JPEG actually needs is integer/float math and bit twiddling, all
+Closes the JPEG entries on the declared-stub list (rounds 3-5: "JPEG needs
+a codec library this container doesn't ship"): everything Huffman-coded
+JPEG actually needs is integer/float math and bit twiddling, all
 implemented here from the public specification (ITU-T T.81 / ISO 10918-1).
 
 Scope (validated; everything else fails loudly rather than mis-decoding):
 
-  * decode: baseline sequential DCT (SOF0/SOF1), 8-bit precision, grayscale
+  * decode: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+    (SOF2 — spectral selection, successive approximation with DC/AC
+    refinement and EOB runs, per T.81 G.2), 8-bit precision, grayscale
     and 3-component YCbCr with any integer subsampling ratio (4:4:4, 4:2:2,
     4:2:0 — box/replication upsampling), interleaved or single-component
     scans, restart intervals, arbitrary DQT/DHT tables (16-bit quantizers
-    included). Progressive (SOF2) and arithmetic coding raise
-    NotImplementedError by name.
+    included). Arithmetic coding, lossless and hierarchical modes raise
+    NotImplementedError by name. Foreign progressive goldens: the Spark
+    distribution's mllib grayscale.jpg and the nodejs doc white-stripe
+    images (tests/test_jpeg.py — content-predictable + CRC-pinned).
   * encode: baseline sequential, grayscale or RGB (always 4:4:4 — chroma
     subsampling is deliberately NOT offered on the encode side because it
     is not integer-exact, the same policy as the Y4M codec's Cmono/C444
-    restriction). Quantization tables are this library's own
-    frequency-ramped tables scaled by the common 5000/q // 200-2q quality
-    rule; Huffman tables are fixed-length canonical tables (DC: 12 symbols
-    @5 bits, AC: 162 symbols @8 bits) written into DHT like any other —
-    T.81 permits arbitrary tables, and fixed lengths keep the encoder a
-    single pass. The DECODER takes whatever tables the file declares (the
-    foreign CPython-test-suite golden ships optimized tables), so decode
-    generality does not rest on the encoder's choices.
+    restriction); ``progressive=True`` emits a SOF2 successive-
+    approximation scan script over the SAME quantized coefficients
+    (progressive is entropy packaging, not extra loss — decodes agree
+    bit-for-bit with baseline, which the tests pin). Quantization tables
+    are this library's own frequency-ramped tables scaled by the common
+    5000/q // 200-2q quality rule; Huffman tables are fixed-length
+    canonical tables (DC: 12 symbols @5 bits, AC: 162 symbols @8 bits)
+    written into DHT like any other — T.81 permits arbitrary tables, and
+    fixed lengths keep the encoder a single pass. The DECODER takes
+    whatever tables the file declares (the foreign CPython-test-suite
+    golden ships optimized tables), so decode generality does not rest on
+    the encoder's choices.
 
 Exactness contract (what the driver's oracle leans on): an image made of
 constant 8x8 blocks whose values are EVEN round-trips bit-exactly at the
@@ -220,13 +229,21 @@ class _BitReader:
         self.acc &= (1 << self.n) - 1
         return int(sym[peek])
 
-    def receive_extend(self, size: int) -> int:
+    def receive(self, size: int) -> int:
+        """Raw unsigned bits (progressive EOBRUN lengths / correction and
+        sign bits read outside the EXTEND procedure)."""
         if size == 0:
             return 0
         self._fill(size)
         v = (self.acc >> (self.n - size)) & ((1 << size) - 1)
         self.n -= size
         self.acc &= (1 << self.n) - 1
+        return v
+
+    def receive_extend(self, size: int) -> int:
+        if size == 0:
+            return 0
+        v = self.receive(size)
         if v < (1 << (size - 1)):  # negative branch (F.2.2.1 EXTEND)
             v -= (1 << size) - 1
         return v
@@ -295,16 +312,145 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, 2 + len(body)) + body
 
 
+def _encode_progressive_scans(comp_zz: list[np.ndarray], nc: int) -> bytes:
+    """Successive-approximation scan script over the already-quantized
+    zigzag coefficients (T.81 G.1.2; control flow mirrors the spec's
+    reference flow): DC first (interleaved, Al=1) → AC first bands 1-5 and
+    6-63 per component at Al=1 → DC refine → AC refine bands. EOB runs are
+    emitted per block (run length 1) because the sequential Huffman tables
+    this encoder ships define no EOBn symbols — legal, and the decoder's
+    multi-block EOBRUN path is exercised by foreign progressive files
+    instead. Progressive is pure entropy packaging: the coefficients coded
+    here are identical to the baseline scan's, so decodes must agree
+    bit-for-bit."""
+    out = bytearray()
+    n_blocks = comp_zz[0].shape[0]
+    AL = 1  # one successive-approximation level
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    # DC first scan: DPCM over (DC >> Al), interleaved across components
+    out += sos([ci + 1 for ci in range(nc)], 0, 0, 0, AL)
+    wtr = _BitWriter()
+    preds = [0] * nc
+    for m in range(n_blocks):
+        for ci in range(nc):
+            v = int(comp_zz[ci][m][0]) >> AL
+            diff = v - preds[ci]
+            preds[ci] = v
+            size = abs(diff).bit_length()
+            wtr.put(size, _DC_ENC_LEN)
+            if size:
+                wtr.put(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    wtr.pad_to_byte()
+    out += wtr.out
+
+    # AC first scans: band magnitudes at Al, zero-run coded, EOB per block
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nc):
+            out += sos([ci + 1], ss, se, 0, AL)
+            wtr = _BitWriter()
+            for m in range(n_blocks):
+                zz = comp_zz[ci][m]
+                r = 0
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    t = abs(v) >> AL
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r >= 16:
+                        wtr.put(_AC_ENC_CODE[0xF0], _AC_ENC_LEN)
+                        r -= 16
+                    size = t.bit_length()
+                    wtr.put(_AC_ENC_CODE[(r << 4) | size], _AC_ENC_LEN)
+                    tv = t if v >= 0 else -t
+                    wtr.put(tv if tv >= 0 else tv + (1 << size) - 1, size)
+                    r = 0
+                if r:
+                    wtr.put(_AC_ENC_CODE[0x00], _AC_ENC_LEN)  # EOB
+            wtr.pad_to_byte()
+            out += wtr.out
+
+    # DC refinement: one raw bit (bit Al-1 of each DC) per block
+    out += sos([ci + 1 for ci in range(nc)], 0, 0, AL, 0)
+    wtr = _BitWriter()
+    for m in range(n_blocks):
+        for ci in range(nc):
+            wtr.put(int(comp_zz[ci][m][0]) & 1, 1)
+    wtr.pad_to_byte()
+    out += wtr.out
+
+    # AC refinement: newly-significant coefficients as (zero-history-run,
+    # ±1) pairs; correction bits for already-significant ones buffered and
+    # flushed after the next symbol (G.1.2.3 ordering)
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nc):
+            out += sos([ci + 1], ss, se, AL, 0)
+            wtr = _BitWriter()
+            for m in range(n_blocks):
+                zz = comp_zz[ci][m]
+                t = [abs(int(zz[k])) for k in range(ss, se + 1)]
+                pos = [int(zz[k]) >= 0 for k in range(ss, se + 1)]
+                eobpos = -1
+                for i2, tv in enumerate(t):
+                    if tv == 1:
+                        eobpos = i2
+                r = 0
+                br: list[int] = []
+                for i2, tv in enumerate(t):
+                    if tv == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i2 <= eobpos:
+                        wtr.put(_AC_ENC_CODE[0xF0], _AC_ENC_LEN)
+                        r -= 16
+                        for bit in br:
+                            wtr.put(bit, 1)
+                        br = []
+                    if tv > 1:  # already significant: correction bit
+                        br.append(tv & 1)
+                        continue
+                    wtr.put(_AC_ENC_CODE[(r << 4) | 1], _AC_ENC_LEN)
+                    wtr.put(1 if pos[i2] else 0, 1)
+                    for bit in br:
+                        wtr.put(bit, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    wtr.put(_AC_ENC_CODE[0x00], _AC_ENC_LEN)
+                    for bit in br:
+                        wtr.put(bit, 1)
+            wtr.pad_to_byte()
+            out += wtr.out
+    return bytes(out)
+
+
 def _dht_body(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([(tc << 4) | th] + bits + vals)
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 50, restart_interval: int = 0
+    img: np.ndarray,
+    quality: int = 50,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Baseline JFIF bytes from uint8 pixels: (H, W) grayscale or (H, W, 3)
-    RGB (encoded 4:4:4 — no chroma subsampling, see module docstring).
-    ``restart_interval`` > 0 emits RSTn markers every that many MCUs."""
+    """JFIF bytes from uint8 pixels: (H, W) grayscale or (H, W, 3) RGB
+    (encoded 4:4:4 — no chroma subsampling, see module docstring).
+    ``restart_interval`` > 0 emits RSTn markers every that many MCUs
+    (baseline only). ``progressive=True`` emits SOF2 with a
+    successive-approximation scan script (DC first Al=1 → AC first bands
+    1-5/6-63 per component at Al=1 → DC refine → AC refine bands), which
+    exercises every progressive decode path; the quantized coefficients are
+    IDENTICAL to the baseline encoding at the same quality — progressive is
+    entropy packaging, not extra loss — so progressive-decode ≡
+    baseline-decode bit-exactly for the same input."""
     a = np.asarray(img)
     if a.dtype != np.uint8:
         raise ValueError(f"expected uint8 pixels, got {a.dtype}")
@@ -341,9 +487,17 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, min(ci, 1)])  # 4:4:4, table 0/1
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
     out += _seg(0xC4, _dht_body(0, 0, _DC_BITS, _DC_VALS))
     out += _seg(0xC4, _dht_body(1, 0, _AC_BITS, _AC_VALS))
+    if progressive:
+        if restart_interval:
+            raise ValueError(
+                "restart_interval is a baseline-only option here"
+            )
+        out += _encode_progressive_scans(comp_zz, nc)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc])
@@ -377,7 +531,6 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive DCT (SOF2)",
     0xC3: "lossless sequential (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -392,7 +545,11 @@ _SOF_UNSUPPORTED = {
 
 
 class _Component:
-    __slots__ = ("cid", "h", "v", "tq", "dc_tbl", "ac_tbl", "pred", "coeffs", "bw", "bh")
+    __slots__ = (
+        "cid", "h", "v", "tq", "dc_tbl", "ac_tbl", "pred", "coeffs",
+        "bw", "bh",   # allocated (MCU-padded) block grid dims
+        "nbw", "nbh",  # actual block dims (ceil of component size / 8)
+    )
 
 
 def _scan_extent(buf: bytes, start: int) -> int:
@@ -412,6 +569,197 @@ def _scan_extent(buf: bytes, start: int) -> int:
         return j
 
 
+def _restart_intervals(data: bytes) -> list[bytes]:
+    """Split entropy data at RSTn markers (predictors/EOB runs reset per
+    interval); stuffed FF00 pairs are skipped, not split."""
+    intervals = []
+    start = 0
+    i = 0
+    while i < len(data) - 1:
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            intervals.append(data[start:i])
+            start = i + 2
+            i += 2
+        elif data[i] == 0xFF and data[i + 1] == 0x00:
+            i += 2
+        else:
+            i += 1
+    intervals.append(data[start:])
+    return intervals
+
+
+def _alloc_progressive(comps: list["_Component"], W: int, H: int) -> None:
+    """Allocate every component's coefficient grid once, before the first
+    progressive scan: MCU-padded dims for interleaved DC scans, with the
+    actual (ceil size / 8) dims kept separately for the non-interleaved
+    scans that iterate only real blocks (A.2.2 vs A.2.3 geometry)."""
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    mcux = (W + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c.bw = mcux * c.h
+        c.bh = mcuy * c.v
+        cw = (W * c.h + hmax - 1) // hmax
+        ch = (H * c.v + vmax - 1) // vmax
+        c.nbw = (cw + 7) // 8
+        c.nbh = (ch + 7) // 8
+        c.coeffs = np.zeros((c.bh * c.bw, 64), dtype=np.int64)
+        c.pred = 0
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    comps: list["_Component"],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+) -> None:
+    """One progressive scan (T.81 G.2): DC first/refine (interleaved or
+    not), AC first with EOB runs, AC refinement with correction bits. The
+    AC refinement loop follows the spec's G.1.2.3 control flow: newly
+    significant coefficients arrive as (run, ±1<<Al) pairs whose run counts
+    only ZERO-HISTORY positions, while every nonzero-history coefficient
+    crossed on the way emits one correction bit; EOB runs then carry
+    correction bits for the remainder of each block in the run."""
+    zig = ZIGZAG
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if not dc_scan and len(comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not dc_scan and ss > se or se > 63:
+        raise ValueError(f"bad spectral band {ss}..{se}")
+    for c in comps:
+        if dc_scan and ah == 0 and c.dc_tbl is None:
+            raise ValueError("DC scan references undefined Huffman table")
+        if not dc_scan and c.ac_tbl is None:
+            raise ValueError("AC scan references undefined Huffman table")
+
+    interleaved = dc_scan and len(comps) > 1
+    if interleaved:
+        mcux = comps[0].bw // comps[0].h
+        n_units = mcux * (comps[0].bh // comps[0].v)
+    else:
+        c = comps[0]
+        mcux = c.nbw
+        n_units = c.nbw * c.nbh
+
+    intervals = _restart_intervals(data)
+    if restart_interval:
+        expect = (n_units + restart_interval - 1) // restart_interval
+        if len(intervals) != expect:
+            raise ValueError(
+                f"restart-marker count mismatch: {len(intervals)} intervals "
+                f"for {n_units} units at DRI {restart_interval}"
+            )
+
+    p1 = 1 << al
+    band = [int(zig[k]) for k in range(ss, se + 1)] if not dc_scan else []
+    m = 0
+    for interval in intervals:
+        rdr = _BitReader(interval.replace(b"\xff\x00", b"\xff"))
+        eobrun = 0
+        for c in comps:
+            c.pred = 0
+        upper = (
+            min(m + restart_interval, n_units) if restart_interval else n_units
+        )
+        while m < upper:
+            my, mx = divmod(m, mcux)
+            if dc_scan:
+                for c in comps:
+                    for b in range(c.h * c.v if interleaved else 1):
+                        if interleaved:
+                            by, bx = divmod(b, c.h)
+                            bi = (my * c.v + by) * c.bw + mx * c.h + bx
+                        else:
+                            bi = my * c.bw + mx
+                        blk = c.coeffs[bi]
+                        if ah == 0:
+                            dsym, dlen = c.dc_tbl
+                            size = rdr.decode(dsym, dlen)
+                            c.pred += rdr.receive_extend(size)
+                            blk[0] = c.pred << al
+                        else:
+                            blk[0] |= rdr.receive(1) << al
+            else:
+                c = comps[0]
+                blk = c.coeffs[my * c.bw + mx]
+                asym, alen = c.ac_tbl
+                if ah == 0:
+                    # AC first scan: coefficient magnitudes at this
+                    # approximation level, EOB-run coded
+                    if eobrun:
+                        eobrun -= 1
+                    else:
+                        k = 0
+                        nb = len(band)
+                        while k < nb:
+                            sym = rdr.decode(asym, alen)
+                            r, s = sym >> 4, sym & 15
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += rdr.receive(r)
+                                break
+                            k += r
+                            if k >= nb:
+                                raise ValueError("AC run past band end")
+                            blk[band[k]] = rdr.receive_extend(s) << al
+                            k += 1
+                else:
+                    # AC refinement
+                    k = 0
+                    nb = len(band)
+                    if eobrun == 0:
+                        while k < nb:
+                            sym = rdr.decode(asym, alen)
+                            r, s = sym >> 4, sym & 15
+                            newval = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += rdr.receive(r)
+                                    break
+                                # r == 15: skip 16 zero-history positions
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "AC refinement symbol with s != 1"
+                                    )
+                                newval = p1 if rdr.receive(1) else -p1
+                            while k < nb:
+                                z = band[k]
+                                if blk[z] != 0:
+                                    if rdr.receive(1) and not (blk[z] & p1):
+                                        blk[z] += p1 if blk[z] > 0 else -p1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k < nb:
+                                blk[band[k]] = newval
+                            k += 1
+                    if eobrun > 0:
+                        # rest of this block: correction bits only
+                        while k < nb:
+                            z = band[k]
+                            if blk[z] != 0:
+                                if rdr.receive(1) and not (blk[z] & p1):
+                                    blk[z] += p1 if blk[z] > 0 else -p1
+                            k += 1
+                        eobrun -= 1
+            m += 1
+
+
 def _decode_to_coefficients(payload: bytes):
     """Parse + entropy-decode a baseline JPEG down to DEQUANTIZED-ready
     state: returns (components, W, H, adobe_transform) where each component
@@ -428,6 +776,7 @@ def _decode_to_coefficients(payload: bytes):
     restart_interval = 0
     adobe_transform = None
     seen_scan = False
+    progressive = False
     i = 2
     while i + 1 < len(buf):
         if buf[i] != 0xFF:
@@ -446,9 +795,10 @@ def _decode_to_coefficients(payload: bytes):
             raise NotImplementedError(
                 f"JPEG {_SOF_UNSUPPORTED[m]} unsupported (baseline SOF0/SOF1 only)"
             )
-        if m in (0xC0, 0xC1):  # baseline / extended sequential
+        if m in (0xC0, 0xC1, 0xC2):  # baseline / extended seq / progressive
             if comps:
                 raise ValueError("multiple SOF segments")
+            progressive = m == 0xC2
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision (8 only)")
@@ -494,14 +844,12 @@ def _decode_to_coefficients(payload: bytes):
         elif m == 0xEE and body[:5] == b"Adobe":  # APP14 color transform
             adobe_transform = body[11] if len(body) > 11 else None
         elif m == 0xDA:  # SOS
-            if seen_scan:
-                raise NotImplementedError(
-                    "multi-scan JPEG (one interleaved or single-component "
-                    "baseline scan only)"
-                )
             if not comps or W is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
             scan_comps = []
             for s in range(ns):
                 cs, tt = body[1 + 2 * s], body[2 + 2 * s]
@@ -510,22 +858,32 @@ def _decode_to_coefficients(payload: bytes):
                     raise ValueError(f"scan references unknown component {cs}")
                 comp.dc_tbl = htables.get((0, tt >> 4))
                 comp.ac_tbl = htables.get((1, tt & 15))
-                if comp.dc_tbl is None or comp.ac_tbl is None:
-                    raise ValueError("scan references undefined Huffman table")
                 scan_comps.append(comp)
-            if len(scan_comps) != len(comps):
-                raise NotImplementedError(
-                    "multi-scan JPEG (one interleaved or single-component "
-                    "baseline scan only)"
-                )
             data_end = _scan_extent(buf, i + 2 + seglen)
-            _decode_scan(
-                buf[i + 2 + seglen : data_end],
-                scan_comps,
-                W,
-                H,
-                restart_interval,
-            )
+            data = buf[i + 2 + seglen : data_end]
+            if progressive:
+                if not seen_scan:
+                    _alloc_progressive(comps, W, H)
+                _decode_progressive_scan(
+                    data, scan_comps, ss, se, ah, al, restart_interval
+                )
+            else:
+                if seen_scan:
+                    raise NotImplementedError(
+                        "multi-scan sequential JPEG (one interleaved or "
+                        "single-component baseline scan only)"
+                    )
+                if len(scan_comps) != len(comps):
+                    raise NotImplementedError(
+                        "multi-scan sequential JPEG (one interleaved or "
+                        "single-component baseline scan only)"
+                    )
+                for comp in scan_comps:
+                    if comp.dc_tbl is None or comp.ac_tbl is None:
+                        raise ValueError(
+                            "scan references undefined Huffman table"
+                        )
+                _decode_scan(data, scan_comps, W, H, restart_interval)
             seen_scan = True
             i = data_end
             continue

@@ -16,11 +16,14 @@ container can genuinely parse:
   * ``sparkfuse.jpeg`` is a from-scratch baseline-JPEG codec (T.81:
     Huffman + zigzag + quantizer + vectorized DCT/IDCT; decodes
     foreign-encoder JPEGs incl. 4:2:0, see tests/test_jpeg.py).
-  * STUBBED formats: ``decode_image`` on progressive JPEG / WebP / MP4
-    sample data raises NotImplementedError (those genuinely need a codec
-    library this container doesn't ship) — inject a real decoder via
+  * STUBBED formats: ``decode_image`` on arithmetic-coded JPEG / WebP —
+    and MP4 samples carrying inter-frame codecs (H.264-class) — raise
+    NotImplementedError (those genuinely need a codec library this
+    container doesn't ship); inject a real decoder via
     ``extract_features(decoder=...)`` in a production image. WAV, PPM,
-    PNG, baseline JPEG and Y4M payloads decode for real.
+    PNG, JPEG (baseline AND progressive), Y4M and MJPEG-in-MP4 payloads
+    decode for real (``sparkfuse.mp4`` demuxes the full sample-table
+    stack).
   * ``fake_feature_extract`` is the deterministic stand-in featurizer used
     by tests and benchmarks — it derives a feature vector from the payload
     bytes alone, so the full pipeline (scan → mapInPandas batches → feature
@@ -194,12 +197,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes):
     """Image decode entry point: binary-P6 PPM decodes FOR REAL
-    (``decode_ppm``), and so do PNG and baseline JPEG — ``sparkfuse.png``
+    (``decode_ppm``), and so do PNG and JPEG — ``sparkfuse.png``
     implements the spec's chunk framing, CRC, DEFLATE (stdlib zlib) and all
     five scanline filters from scratch; ``sparkfuse.jpeg`` implements
-    baseline sequential T.81 (Huffman + zigzag + dequant + IDCT, gray /
-    4:4:4 / 4:2:2 / 4:2:0) from scratch. Truly out-of-envelope formats
-    (progressive JPEG, WebP, ...) raise NotImplementedError — inject a
+    baseline sequential AND progressive T.81 (Huffman + zigzag + dequant +
+    IDCT; spectral selection + successive approximation; gray / 4:4:4 /
+    4:2:2 / 4:2:0) from scratch. Truly out-of-envelope formats
+    (arithmetic-coded JPEG, WebP, ...) raise NotImplementedError — inject a
     decoder via ``extract_features(decoder=...)`` in a production image."""
     head = bytes(payload[:8])
     if head[:2] == b"P6":
@@ -542,10 +546,15 @@ def media_decode_stats(media_df: DataFrame) -> DataFrame:
                         (int(mid), "audio", len(samples), rate, 0, 0,
                          int(s64.sum()), peak)
                     )
-                elif mime == "video/x-yuv4mpeg":
-                    from sparkfuse.video import decode_y4m
+                elif mime in ("video/x-yuv4mpeg", "video/mp4"):
+                    if mime == "video/mp4":
+                        from sparkfuse.mp4 import decode_mp4_frames
 
-                    frames, (num, den) = decode_y4m(p)
+                        frames, (num, den) = decode_mp4_frames(p)
+                    else:
+                        from sparkfuse.video import decode_y4m
+
+                        frames, (num, den) = decode_y4m(p)
                     f64 = frames.astype(np.int64)
                     h, w = frames.shape[1:3]
                     rows.append(
@@ -586,10 +595,11 @@ def media_decode_stats(media_df: DataFrame) -> DataFrame:
 def frame_sample_plan(media_df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video → frame-extraction work items (media_id, frame_ts_ms): the
     *plan* is pure column arithmetic (sequence over duration). The decode
-    of each frame is REAL for Y4M streams — ``sparkfuse.video.
-    extract_frames`` materializes this grid into decoded PNG image rows —
-    and remains the declared stub for codec-bound containers (MP4 et al.,
-    whose structure ``sparkfuse.video.mp4_metadata`` still parses)."""
+    of each frame is REAL for Y4M streams and MJPEG-in-MP4 —
+    ``sparkfuse.video.extract_frames`` materializes this grid into decoded
+    PNG image rows via ``decode_y4m``/``sparkfuse.mp4`` — and remains the
+    declared stub only for inter-frame sample codecs (H.264-class), whose
+    container ``mp4_metadata`` still parses."""
     return (
         media_df.filter(F.col("kind") == "video")
         .select(

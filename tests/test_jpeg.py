@@ -246,12 +246,108 @@ def test_sixteen_bit_dqt_branch():
 # ---------------------------------------------------------------------------
 
 
-def test_progressive_raises_by_name():
+def test_arithmetic_coded_raises_by_name():
+    # progressive (SOF2) decodes for real now; the named-raise boundary
+    # moved to arithmetic coding and the lossless/hierarchical modes
     buf = bytearray(encode_jpeg(_gradient(16, 16)))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    buf[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# progressive mode (SOF2: spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+_FOREIGN_PROGRESSIVE = [
+    # (path, is_color, min_whiteish_fraction, crc32 of decoded pixels)
+    (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/grayscale.jpg",
+        False,
+        None,
+        3528785342,
+    ),
+    ("/usr/share/doc/nodejs/full-white-stripe.jpg", True, 0.9, 4044904123),
+    ("/usr/share/doc/nodejs/thin-white-stripe.jpg", True, 0.8, 2445012792),
+]
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (24, 40), (7, 13), (64, 48)])
+def test_progressive_decode_equals_baseline_decode_gray(shape):
+    """Progressive is entropy packaging over the SAME quantized
+    coefficients — decodes must agree bit-for-bit with baseline. This
+    exercises every progressive path the encoder's scan script emits:
+    DC first, AC first with band splits, DC refinement, AC refinement."""
+    rng = np.random.default_rng(11)
+    img = (
+        np.add.outer(np.arange(shape[0]) * 3, np.arange(shape[1]) * 2)
+        + rng.integers(0, 30, shape)
+    ).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=50))
+    prog = decode_jpeg(encode_jpeg(img, quality=50, progressive=True))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_decode_equals_baseline_decode_rgb():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (33, 27, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=75))
+    prog = decode_jpeg(encode_jpeg(img, quality=75, progressive=True))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_mosaic_roundtrip_bit_exact():
+    """The DC-exact contract holds through the progressive scan script too
+    (DC survives the Al=1 split + refinement; every AC stays zero)."""
+    for mid in (0, 9, 42):
+        img = _mosaic(mid)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, progressive=True)), img
+        )
+
+
+def test_progressive_stream_is_really_sof2_multiscan():
+    buf = encode_jpeg(_gradient(24, 16), progressive=True)
+    assert b"\xff\xc2" in buf and b"\xff\xc0" not in buf
+    # scan script: DC first + 2 AC bands + DC refine + 2 AC refine = 6 SOS
+    assert buf.count(b"\xff\xda") == 6
+    buf3 = encode_jpeg(
+        np.zeros((8, 8, 3), dtype=np.uint8), progressive=True
+    )
+    # color: AC scans are per component -> 1 + 3*2 + 1 + 3*2 = 14 SOS
+    assert buf3.count(b"\xff\xda") == 14
+
+
+def test_progressive_rejects_restart_interval():
+    with pytest.raises(ValueError, match="baseline-only"):
+        encode_jpeg(_gradient(8, 8), progressive=True, restart_interval=2)
+
+
+@pytest.mark.parametrize("path,color,whiteish,crc", _FOREIGN_PROGRESSIVE)
+def test_foreign_progressive_files_decode(path, color, whiteish, crc):
+    """Foreign-encoder progressive JPEGs (libjpeg-era scan scripts with
+    multi-block EOB runs and successive approximation — paths this
+    repo's own encoder deliberately does not emit): the Spark
+    distribution's mllib grayscale image and the nodejs documentation
+    white-stripe images. Content checks are externally predictable
+    (white-stripe files are mostly white); the CRC pins regressions."""
+    import os
+    import zlib
+
+    if not os.path.exists(path):
+        pytest.skip(f"foreign golden {path} not on disk")
+    px = decode_jpeg(open(path, "rb").read())
+    if color:
+        assert px.ndim == 3 and px.shape[2] == 3
+        assert float((px >= 250).mean()) >= whiteish
+    else:
+        assert px.ndim == 2
+        # full-range, plausibly-exposed photograph
+        assert px.min() == 0 and px.max() == 255
+        assert 100 < float(px.mean()) < 180
+    assert zlib.crc32(px.tobytes()) == crc
 
 
 def test_not_a_jpeg_raises():

@@ -682,14 +682,17 @@ def test_media_schema_and_features(spark):
 
 
 def test_media_decode_is_stub():
-    # formats that truly need a codec library (JPEG here) remain a declared
-    # stub; PNG no longer is — sparkfuse.png decodes it (tests/test_png.py)
+    # formats that truly need a codec library (WebP here) remain a declared
+    # stub; PNG and baseline JPEG no longer are — sparkfuse.png /
+    # sparkfuse.jpeg decode them (tests/test_png.py, tests/test_jpeg.py)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0...jpeg...")
-    # a PNG-signed but malformed payload hits the REAL decoder's validation,
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # signed-but-malformed payloads hit the REAL decoders' validation,
     # not the stub branch
     with pytest.raises(ValueError, match="truncated"):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0...jpeg...")
 
 
 def test_wav_roundtrip_and_validation():

@@ -130,18 +130,31 @@ def test_media_decode_stats_video_branch(spark):
 
 
 def test_extract_frames_rejects_codec_bound_video(spark):
+    """MP4 itself demuxes for real now (sparkfuse.mp4); the honest boundary
+    is (a) unknown video mimes and (b) MP4s whose video track carries an
+    inter-frame codec — both raise through the same Arrow pass."""
     from pyspark.sql import Row
 
+    from sparkfuse.multimodal import MEDIA_SCHEMA
+
     row = Row(
-        media_id=1, kind="video", mime="video/mp4",
+        media_id=1, kind="video", mime="video/x-matroska",
+        payload=bytearray(b"\x1a\x45\xdf\xa3 not a codec we ship"),
+        meta=Row(width=None, height=None, duration_ms=1000, n_bytes=10),
+    )
+    df = spark.createDataFrame([row], MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="x-matroska"):
+        extract_frames(df, 500).collect()
+
+    # structurally valid MP4 but no decodable video track
+    row2 = Row(
+        media_id=2, kind="video", mime="video/mp4",
         payload=bytearray(encode_mp4_skeleton(1000)),
         meta=Row(width=None, height=None, duration_ms=1000, n_bytes=10),
     )
-    from sparkfuse.multimodal import MEDIA_SCHEMA
-
-    df = spark.createDataFrame([row], MEDIA_SCHEMA)
-    with pytest.raises(Exception, match="video/mp4"):
-        extract_frames(df, 500).collect()
+    df2 = spark.createDataFrame([row2], MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="video track"):
+        extract_frames(df2, 500).collect()
 
 
 def test_mp4_box_walk_metadata():
