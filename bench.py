@@ -586,17 +586,7 @@ def main_scaling():
         with open(out_json) as f:
             return json.load(f)
 
-    def merge_passes(runs: list[dict]) -> dict:
-        """Best-of-passes per row: min seconds, max rates; lineage columns
-        follow the pass that won build_sec."""
-        best_build = min(runs, key=lambda r: r["build_sec"])
-        out = dict(best_build)
-        for k in runs[0]:
-            if k.endswith("_sec"):
-                out[k] = min(r[k] for r in runs)
-            elif k.endswith("_per_sec") or k.endswith("per_sec"):
-                out[k] = max(r[k] for r in runs)
-        return out
+    from sparkfuse.scalebench import merge_level_passes as merge_passes
 
     cal_runs = [calibration(levels)]  # one ceiling read before the Spark passes
     per_level: dict[int, list[dict]] = {c: [] for c in levels}
@@ -676,10 +666,18 @@ def _scaling_markdown(cfg, cal, results, eff, use_submit, levels):
         f"| fuse8 build kernel (1M keys/task) | {cal['kernel_keys_per_sec_8p']/1e6:.2f} Mkeys/s "
         f"| {cal['kernel_keys_per_sec_32p']/1e6:.2f} Mkeys/s | **{cal['kernel_efficiency']:.2f}** |\n\n"
         "The ALU row is the ceiling this box gives 4x threads at all (all-core "
-        "turbo < 8-core turbo); the kernel row shows the numpy build kernel "
-        "itself scales AT that ceiling — the kernel is not bus-bound at "
-        "per-shard working-set size.\n\n"
-        "## Measured jobs (per level, through Spark)\n\n"
+        "turbo < 8-core turbo). "
+        + (
+            "The kernel rung reaches that ceiling too — the numpy build "
+            "kernel is not bus-bound at per-shard working-set size.\n\n"
+            if cal["kernel_efficiency"] >= 0.9 * cal["cpu_efficiency"]
+            else "The kernel rung lands below it this run — the gather/"
+            "scatter-heavy numpy kernel shares the one memory bus, and its "
+            "pool reads are the most throttle-sensitive (isolated sessions "
+            "on this box have measured it anywhere from ~0.2 to ~0.86; the "
+            "drift bracket above quantifies this run's spread).\n\n"
+        )
+        + "## Measured jobs (per level, through Spark)\n\n"
         f"| row | local[{lo}] | local[{hi}] | efficiency | what it isolates |\n"
         "|---|---|---|---|---|\n"
         f"| alu (mapInPandas burn) | {r8['alu_ops_per_sec']/1e6:.0f} Mops/s | "

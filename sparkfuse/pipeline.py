@@ -32,8 +32,16 @@ def curate_documents(
     max_token_len: int = 40,
     scale: bool = False,
     canonical: str = "components",
+    redact: bool = False,
 ) -> DataFrame:
-    """Returns the curated (kept) ids after dedup → quality → near-dup drop.
+    """Returns the curated (kept) ids after [redact →] dedup → quality →
+    near-dup drop.
+
+    ``redact=True`` applies PII redaction (sparkfuse.redact) FIRST, so
+    every later stage fingerprints/shingles the redacted text — two
+    documents differing only in the PII they carry become duplicates, the
+    correct curation semantics (and the reason redaction cannot run
+    after dedup). Costs one codegen projection; no extra exchange.
 
     Near-dup canonicalization policy:
 
@@ -46,6 +54,10 @@ def curate_documents(
     * ``canonical="pairwise"`` — drop id_b of every pair. Cheaper (no
       iteration) but a chain A~B~C keeps both A and C.
     """
+    if redact:
+        from sparkfuse.redact import redact_pii
+
+        docs = redact_pii(docs, text_col)
     # exact_dedup groups on the 128-bit fingerprint (two xxhash64 lanes), so
     # this stage shuffles 16 bytes + id per row, never document bodies.
     # 128-bit keeps fingerprint-equality ≡ text-equality even at 10^12 docs
@@ -82,10 +94,19 @@ def curate_documents_oracle_sql(
     min_tokens: int = 5,
     max_token_len: int = 40,
     canonical: str = "components",
+    redact: bool = False,
 ) -> str:
     """DuckDB twin of curate_documents (scale=False path). The components
-    policy is expressed as a recursive CTE (min reachable id per node)."""
+    policy is expressed as a recursive CTE (min reachable id per node);
+    ``redact=True`` prefixes the same RE2 redaction chain the Spark side
+    applies (sparkfuse.redact's cross-engine pattern contract)."""
     from sparkfuse.dedup import ngram_jaccard_pairs_oracle_sql
+
+    if redact:
+        from sparkfuse.redact import redact_oracle_sql
+
+        inner = redact_oracle_sql(table, id_col, text_col)
+        table = f"(SELECT {id_col}, redacted AS {text_col} FROM ({inner}))"
 
     toks = f"string_split_regex(trim({text_col}), '{TOKEN_SPLIT}')"
     pairs = ngram_jaccard_pairs_oracle_sql("kept2", id_col, text_col)

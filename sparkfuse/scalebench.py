@@ -188,6 +188,22 @@ def measure_level(spark, cores: int, cfg: ScaleConfig | None = None) -> dict:
     return out
 
 
+def merge_level_passes(runs: list[dict]) -> dict:
+    """Best-of-passes merge for one level: min seconds, max rates;
+    non-timing fields (lineage, sizes) follow the pass that won
+    ``build_sec`` so contention evidence and build time describe the same
+    run. Rationale: interleaved passes filter the ~10-min frequency
+    windows this VM throttles in (bench.py --scaling)."""
+    best_build = min(runs, key=lambda r: r["build_sec"])
+    out = dict(best_build)
+    for k in runs[0]:
+        if k.endswith("_per_sec"):  # before _sec — rates also end in _sec
+            out[k] = max(r[k] for r in runs)
+        elif k.endswith("_sec"):
+            out[k] = min(r[k] for r in runs)
+    return out
+
+
 # ------------------------------------------------------------ calibration
 
 _CAL_KEYS = None

@@ -144,3 +144,42 @@ def test_pattern_order_is_canonical():
     kinds = [k for k, _ in PII_PATTERNS]
     assert kinds.index("credit_card") < kinds.index("phone")
     assert kinds.index("ssn") < kinds.index("phone")
+
+
+def test_curate_documents_redact_stage(spark, tmp_path):
+    """redact=True makes documents differing ONLY in their PII collapse to
+    one canonical doc, and the whole pipeline still matches its DuckDB
+    twin (redaction CTE prefixed)."""
+    import pandas as pd
+
+    from sparkfuse.pipeline import curate_documents, curate_documents_oracle_sql
+
+    rows = [
+        (1, "contact alice at alice@example.com for the report today ok"),
+        (2, "contact alice at bob.smith@corp.io for the report today ok"),
+        (3, "a completely different document about distributed systems design"),
+        (4, "short doc"),  # fails min_tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"] for r in curate_documents(df, "doc_id", "text", redact=True).collect()
+    )
+    # 1 and 2 redact to identical text -> exact dup, min id kept; 4 too short
+    assert kept == [1, 3]
+    # without redaction they are distinct documents
+    kept_plain = sorted(
+        r["doc_id"] for r in curate_documents(df, "doc_id", "text").collect()
+    )
+    assert kept_plain == [1, 2, 3]
+
+    path = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(path, index=False)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW docs AS SELECT * FROM '{path}'")
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            curate_documents_oracle_sql("docs", "doc_id", "text", redact=True)
+        ).fetchall()
+    )
+    assert want == kept
