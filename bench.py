@@ -622,6 +622,7 @@ def main_scaling():
             ("alu", "ops_per_sec"),
             ("build", "keys_per_sec"),
             ("probe", "keys_per_sec"),
+            ("probe_small", "keys_per_sec"),
             ("sketch", "rows_per_sec"),
             ("media", "images_per_sec"),
         )
@@ -686,9 +687,16 @@ def _scaling_markdown(cfg, cal, results, eff, use_submit, levels):
         f"| build ({cfg.n_keys:,} keys, 64 shards) | {r8['build_keys_per_sec']/1e6:.2f} Mkeys/s | "
         f"{r32['build_keys_per_sec']/1e6:.2f} Mkeys/s | **{eff['build']:.2f}** | "
         "key shuffle + Arrow + kernel |\n"
-        f"| probe ({cfg.n_probes:,} keys, broadcast) | {r8['probe_keys_per_sec']/1e6:.1f} Mkeys/s | "
+        f"| probe ({cfg.n_probes:,} keys, broadcast, {r32.get('forest_mb', 0):.0f} MB forest/worker) | "
+        f"{r8['probe_keys_per_sec']/1e6:.1f} Mkeys/s | "
         f"{r32['probe_keys_per_sec']/1e6:.1f} Mkeys/s | **{eff['probe']:.2f}** | "
         "scan + Arrow boundary, no shuffle |\n"
+        f"| probe_small (same probes, {r32.get('forest_small_mb', 0):.0f} MB forest/worker) | "
+        f"{r8.get('probe_small_keys_per_sec', 0)/1e6:.1f} Mkeys/s | "
+        f"{r32.get('probe_small_keys_per_sec', 0)/1e6:.1f} Mkeys/s | **{eff.get('probe_small', 0):.2f}** | "
+        "working-set TEST twin: same plan, near-cache forest — matching "
+        "probe ⇒ the deficit is the frequency cap, not DRAM (observed); "
+        "a gap would indicate working-set bandwidth |\n"
         f"| sketch (4-kind, {cfg.n_sketch_rows:,} rows) | {r8['sketch_rows_per_sec']/1e6:.2f} Mrows/s | "
         f"{r32['sketch_rows_per_sec']/1e6:.2f} Mrows/s | **{eff['sketch']:.2f}** | "
         "(shard,value) shuffle + Arrow + sketch kernels |\n"

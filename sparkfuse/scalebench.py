@@ -140,11 +140,35 @@ def measure_level(spark, cores: int, cfg: ScaleConfig | None = None) -> dict:
     out["kernel_cpu_utilization"] = sum(best_shard_secs) / (tb * cores)
 
     # --- probe: broadcast pandas-UDF membership over 100M keys -----------
+    def _forest_mb(f) -> float:
+        return sum(x.fingerprints.nbytes for x in f.filters.values()) / 1e6
+
     probe_udf = approx_contains_udf(forest, spark)
     t_probe, _ = _min_of(
         lambda: probes.filter(probe_udf(F.col("key"))).count(), rep)
     out["probe_sec"] = t_probe
     out["probe_keys_per_sec"] = cfg.n_probes / t_probe
+    out["forest_mb"] = _forest_mb(forest)
+
+    # --- probe_small: same probes, 1/6-size forest -----------------------
+    # the probe's per-worker working set IS the forest (random gather per
+    # key); at n_keys=60M it is ~67 MB/worker — past L3, every probe a
+    # DRAM-random miss, the most bus-bound rung on one box. The small-
+    # forest twin pins that attribution: same plan, same probe volume,
+    # working set near cache ⇒ whatever efficiency gap separates the two
+    # rows is working-set bandwidth, not plan shape.
+    n_small = max(cfg.n_keys // 6, 4096)  # floor keeps tiny smoke runs sane
+    keys_small = spark.range(n_small).select(
+        F.xxhash64(F.col("id") + 3_000_000_000).alias("key"))
+    forest_small = Forest.from_df(
+        build_forest(keys_small, shard_bits=cfg.shard_bits))
+    probe_small_udf = approx_contains_udf(forest_small, spark)
+    t_ps, _ = _min_of(
+        lambda: probes.filter(probe_small_udf(F.col("key"))).count(), rep,
+        warmup=1)
+    out["probe_small_sec"] = t_ps
+    out["probe_small_keys_per_sec"] = cfg.n_probes / t_ps
+    out["forest_small_mb"] = _forest_mb(forest_small)
 
     # --- sketch: 4-kind per-shard state build (north_rule's own clause) --
     # Bloom is excluded here — its per-shard full-size bit array measures
