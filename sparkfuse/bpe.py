@@ -12,13 +12,19 @@ happens:
    aggregation absorbs the zipf head, one shuffle of (word, count).
    At 100 TB this is the same plan as every word-count; the OUTPUT is
    bounded by vocabulary growth (Heaps' law), not corpus size.
-2. **Driver-side merge loop** on the word-frequency table. This is NOT a
-   driver-size cheat: the table is orders of magnitude smaller than the
-   corpus (tens of millions of distinct words for trillions of tokens)
-   and the merge loop is inherently sequential (merge i+1's counts depend
-   on merge i). ``max_words`` bounds driver memory LOUDLY — above it the
-   tail is truncated by frequency with the dropped mass reported, the
-   standard practice (rare-word tail contributes ~nothing to pair counts).
+2. **Merge loop** on the word-frequency table — inherently sequential
+   (merge i+1's counts depend on merge i), with two interchangeable
+   engines producing the SAME merge list:
+   - ``learn_bpe``: driver-side incremental loop. NOT a driver-size
+     cheat at ordinary scale — the table is orders of magnitude smaller
+     than the corpus — and ``max_words`` bounds driver memory LOUDLY
+     (tail truncated by frequency, dropped mass reported).
+   - ``learn_bpe_distributed``: the word table never leaves the cluster;
+     each round is one Spark pair-count aggregation (output bounded by
+     the live pair vocabulary) plus a JVM-side fold rewriting only the
+     affected words. Use it when the distinct-word table is past driver
+     memory — the regime where ``max_words`` truncation would drop real
+     pair mass.
 3. **Distributed encode**: broadcast the learned ranks; a pandas UDF
    applies merges per word with a PER-BATCH MEMO over distinct words —
    zipf means a 65k-row Arrow batch hits a few thousand distinct words,
@@ -143,6 +149,114 @@ def learn_bpe(
             stacklevel=2,
         )
     return learn_bpe_from_counts([(r["word"], r["count"]) for r in head], n_merges)
+
+
+def symbols_table(df: DataFrame, text_col: str) -> DataFrame:
+    """``(syms: array<string>, count: long)`` — the word-frequency table
+    with each word pre-split into BPE symbols (characters, last one
+    carrying the ``</w>`` marker). Pure codegen; the distributed merge
+    loop's working table."""
+    return word_frequency_table(df, text_col).select(
+        F.expr(
+            "transform(sequence(1, length(word)), i -> "
+            "if(i = length(word), concat(substring(word, i, 1), '</w>'), "
+            "substring(word, i, 1)))"
+        ).alias("syms"),
+        "count",
+    )
+
+
+def _pair_hit(syms, la, lb):
+    """Boolean column: does ``syms`` contain the adjacent pair (la, lb)?"""
+    return F.exists(
+        F.transform(
+            F.slice(syms, 1, F.size(syms) - 1),
+            lambda s, i: (s == la) & (F.element_at(syms, i + F.lit(2)) == lb),
+        ),
+        lambda x: x,
+    )
+
+
+def _merge_pair(syms, a: str, b: str):
+    """Rewrite ``syms`` with every left-to-right non-overlapping (a, b)
+    adjacency replaced by the concatenated token — exact greedy BPE merge
+    as a left fold. Overlap correctness ("lll" with pair (l, l) merges
+    only the first two): the fold merges when the LAST accumulated symbol
+    equals ``a``; a just-merged token is ``a + b`` which can never equal
+    ``a`` (b is nonempty), so it is never re-used as a left side."""
+    la, lb, merged = F.lit(a), F.lit(b), F.lit(a + b)
+
+    def step(acc, s):
+        last = F.try_element_at(acc, F.lit(-1))  # null on empty acc (ANSI-safe)
+        return F.when(
+            last.isNotNull() & (last == la) & (s == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s)))
+
+    folded = F.aggregate(syms, F.array().cast("array<string>"), step)
+    return F.when(_pair_hit(syms, la, lb), folded).otherwise(syms)
+
+
+def learn_bpe_distributed(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    checkpoint_interval: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn BPE merges with the word table NEVER leaving the cluster —
+    the scale path past ``learn_bpe``'s ``max_words`` driver bound (at
+    10^12 tokens the distinct-word table can reach billions of rows;
+    truncation there drops real pair mass).
+
+    Per merge round (one Spark job each, n_merges rounds total):
+      1. pair counts: explode adjacent symbol pairs → partial+final agg
+         (the output is bounded by the LIVE PAIR vocabulary, not corpus
+         or word count — KBs to low MBs);
+      2. the single best (count DESC, pair ASC) row comes to the driver
+         — 3 values, nothing else ever does;
+      3. affected words (guard predicate ``_pair_hit``) are rewritten by
+         a JVM-side fold (``_merge_pair``); untouched words pass through
+         column-identical.
+
+    The result is bit-identical to ``learn_bpe_from_counts`` on the same
+    word-frequency table: same greedy merge, same (count DESC, lexicographic
+    pair ASC) tie-break — Spark's UTF8 binary ordering equals Python's
+    code-point ordering because UTF-8 byte order preserves code points.
+    The driver loop recomputes pair counts incrementally; here each round
+    re-scans the word table — the honest distributed trade (n_merges
+    bounded passes over a table that would not fit on any driver).
+
+    ``checkpoint_interval``: every k rounds the working table is
+    materialized via ``localCheckpoint`` so the iterative plan cannot
+    grow past k layers (same hygiene as graph.connected_components;
+    at cluster scale prefer a reliable checkpoint directory)."""
+    words = symbols_table(df, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for round_idx in range(n_merges):
+        pair_counts = (
+            words.select(
+                F.expr(
+                    "explode(transform(slice(syms, 1, size(syms) - 1), "
+                    "(s, i) -> struct(s as a, syms[i + 1] as b)))"
+                ).alias("p"),
+                "count",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("count").alias("cnt"))
+        )
+        best = (
+            pair_counts.orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # every word is a single symbol — nothing left to merge
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        words = words.withColumn("syms", _merge_pair(F.col("syms"), a, b))
+        if (round_idx + 1) % checkpoint_interval == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

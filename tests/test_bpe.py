@@ -10,10 +10,12 @@ from pyspark.sql import functions as F
 
 from sparkfuse.bpe import (
     END,
+    _merge_pair,
     apply_bpe,
     bpe_vocab,
     encode_word,
     learn_bpe,
+    learn_bpe_distributed,
     learn_bpe_from_counts,
     word_frequency_table,
 )
@@ -77,6 +79,73 @@ def test_learn_bpe_distributed_equals_driver(spark, corpus_df):
     merges = learn_bpe(corpus_df, "text", 4)
     wf = [("low", 6), ("lower", 3), ("newest", 7), ("widest", 4)]
     assert merges == learn_bpe_from_counts(wf, 4)
+
+
+def test_distributed_merge_rounds_equal_driver_loop(spark, corpus_df):
+    # checkpoint_interval=2 exercises the mid-loop localCheckpoint boundary
+    wf = [("low", 6), ("lower", 3), ("newest", 7), ("widest", 4)]
+    merges = learn_bpe_distributed(corpus_df, "text", 6, checkpoint_interval=2)
+    assert merges == learn_bpe_from_counts(wf, 6)
+
+
+def _merge_once_py(syms, pair):
+    # reference greedy left-to-right single-pair merge
+    out, j = [], 0
+    while j < len(syms):
+        if j + 1 < len(syms) and (syms[j], syms[j + 1]) == pair:
+            out.append(pair[0] + pair[1])
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return out
+
+
+def test_merge_pair_fold_overlap_semantics(spark):
+    cases = [
+        (["l", "l", "l"], ("l", "l")),  # greedy: first two merge, third survives
+        (["a", "b", "a", "b"], ("a", "b")),  # two disjoint merges in one pass
+        (["a", "a", "b", "b"], ("a", "b")),  # middle merge; no (a,b) re-created
+        (["x"], ("x", "x")),  # single symbol untouched
+        (["a", "b"], ("b", "a")),  # absent pair untouched (guard branch)
+        (["ab", "c", "ab", "c", "c"], ("ab", "c")),  # multi-char symbols
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "id long, syms array<string>"
+    )
+    for i, (syms, pair) in enumerate(cases):
+        got = (
+            df.filter(F.col("id") == i)
+            .select(_merge_pair(F.col("syms"), *pair).alias("m"))
+            .first()["m"]
+        )
+        assert got == _merge_once_py(syms, pair), (syms, pair)
+
+
+def test_distributed_rounds_equal_driver_on_random_corpus(spark):
+    # non-ASCII alphabet char exercises code-point splitting + the UTF-8
+    # binary vs Python code-point tie-break ordering equivalence
+    import random
+
+    rng = random.Random(7)
+    words = [
+        "".join(rng.choice("abcé") for _ in range(rng.randint(1, 6)))
+        for _ in range(120)
+    ]
+    docs = [(i, " ".join(rng.sample(words, rng.randint(1, 8)))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    wf = [(r["word"], r["count"]) for r in word_frequency_table(df, "text").collect()]
+    n = 12
+    assert learn_bpe_distributed(df, "text", n, checkpoint_interval=5) == (
+        learn_bpe_from_counts(wf, n)
+    )
+
+
+def test_distributed_rounds_exhaust_gracefully(spark):
+    # "ab" -> (a, b</w>) is the only possible merge; the loop must stop
+    # early when every word is a single symbol (empty pair table)
+    df = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    assert learn_bpe_distributed(df, "text", 5) == [("a", "b" + END)]
 
 
 def test_apply_bpe_matches_per_word_encode(spark, corpus_df):
