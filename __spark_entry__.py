@@ -229,13 +229,23 @@ def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     match counts (sparkfuse.redact — round 5: the redaction chain is pure
     codegen and its patterns are the cross-engine contract, so the oracle
     recomputes every count through RE2; a hash match certifies Java and
-    RE2 agree match-for-match on organic text)."""
+    RE2 agree match-for-match on organic text), plus Gopher-style
+    repetition counts (sparkfuse.repetition — late round 5: dup-line and
+    dup-n-gram measurements via the total-minus-distinct identity, zero
+    exchange; the hash match certifies the split/distinct/char-sum
+    semantics agree across engines on organic text). All three stat
+    families are pure projections over the same scan — the joins here are
+    the correctness-gate composition; production fuses them into one
+    projection via repetition_cols (tests/test_repetition.py pins it)."""
     from sparkfuse.redact import pii_stats
+    from sparkfuse.repetition import repetition_stats
     from sparkfuse.textops import quality_stats
 
     docs = _t(spark, sf_dir, "documents")
-    return quality_stats(docs, "doc_id", "text").join(
-        pii_stats(docs, "doc_id", "text"), "doc_id"
+    return (
+        quality_stats(docs, "doc_id", "text")
+        .join(pii_stats(docs, "doc_id", "text"), "doc_id")
+        .join(repetition_stats(docs, "doc_id", "text", ngram_ns=(2, 3)), "doc_id")
     )
 
 
@@ -1492,6 +1502,8 @@ def oracle_sql() -> dict[str, str]:
             "['the','a','and','of','to','is','in','that'])) AS n_stopword_kinds, "
             "length(text) AS n_chars_text, "
             + _pii_count_exprs()
+            + ", "
+            + _repetition_exprs()
             + " FROM "
             f"(SELECT doc_id, text, string_split_regex(trim(text), '{TOKEN_SPLIT}') AS ts "
             "FROM documents)"
@@ -1784,6 +1796,14 @@ def _pii_count_exprs() -> str:
     from sparkfuse.redact import pii_count_exprs_sql
 
     return pii_count_exprs_sql("text")
+
+
+def _repetition_exprs() -> str:
+    """Repetition-count columns for the quality_stats oracle (dup lines /
+    dup 2- and 3-grams) — reuses the subselect's token list ``ts``."""
+    from sparkfuse.repetition import repetition_exprs_sql
+
+    return repetition_exprs_sql("text", ngram_ns=(2, 3), tokens_sql="ts")
 
 
 def _lang_id_oracle() -> str:

@@ -108,6 +108,14 @@ _SPARK_LAYER = {
     "resample_audio": ("sparkfuse.multimodal", "resample_audio"),
     "extract_features": ("sparkfuse.multimodal", "extract_features"),
     "compression_stats": ("sparkfuse.textops", "compression_stats"),
+    "repetition_stats": ("sparkfuse.repetition", "repetition_stats"),
+    "top_gram_counts": ("sparkfuse.repetition", "top_gram_counts"),
+    "dup_fraction_gate": ("sparkfuse.repetition", "dup_fraction_gate"),
+    "redact_pii": ("sparkfuse.redact", "redact_pii"),
+    "pii_stats": ("sparkfuse.redact", "pii_stats"),
+    "learn_bpe": ("sparkfuse.bpe", "learn_bpe"),
+    "learn_bpe_distributed": ("sparkfuse.bpe", "learn_bpe_distributed"),
+    "apply_bpe": ("sparkfuse.bpe", "apply_bpe"),
     "synth_jpeg_media": ("sparkfuse.multimodal", "synth_jpeg_media"),
     "pack_documents": ("sparkfuse.packing", "pack_documents"),
     "pack_fill_stats": ("sparkfuse.packing", "pack_fill_stats"),

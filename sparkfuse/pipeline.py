@@ -33,15 +33,27 @@ def curate_documents(
     scale: bool = False,
     canonical: str = "components",
     redact: bool = False,
+    max_dup_line_frac: float | None = None,
+    max_dup_gram_frac: float | None = None,
+    dup_gram_n: int = 3,
 ) -> DataFrame:
-    """Returns the curated (kept) ids after [redact →] dedup → quality →
-    near-dup drop.
+    """Returns the curated (kept) ids after [redact →] dedup → quality
+    [→ repetition gate] → near-dup drop.
 
     ``redact=True`` applies PII redaction (sparkfuse.redact) FIRST, so
     every later stage fingerprints/shingles the redacted text — two
     documents differing only in the PII they carry become duplicates, the
     correct curation semantics (and the reason redaction cannot run
     after dedup). Costs one codegen projection; no extra exchange.
+
+    ``max_dup_line_frac`` / ``max_dup_gram_frac`` enable the Gopher-style
+    within-document repetition gates (sparkfuse.repetition): drop a
+    document when its duplicate-line (or duplicate-``dup_gram_n``-gram)
+    occurrences exceed the given fraction of the total. The gate is a
+    plain codegen filter over the text column — no join, no exchange —
+    sitting between the quality gate and the shingle join, which is the
+    right order at scale: boilerplate-heavy documents are exactly the
+    ones that explode shingle fan-out downstream.
 
     Near-dup canonicalization policy:
 
@@ -70,6 +82,14 @@ def curate_documents(
         & (F.col("max_token_len") <= max_token_len)
     )
     kept2 = kept1.join(q.select(id_col), id_col, "left_semi")
+    if max_dup_line_frac is not None or max_dup_gram_frac is not None:
+        from sparkfuse.repetition import dup_fraction_gate
+
+        kept2 = kept2.filter(
+            dup_fraction_gate(
+                text_col, max_dup_line_frac, max_dup_gram_frac, dup_gram_n
+            )
+        )
     pairs = ngram_jaccard_pairs(kept2, id_col, text_col, scale=scale)
     if canonical == "components":
         from sparkfuse.graph import connected_components
@@ -95,12 +115,17 @@ def curate_documents_oracle_sql(
     max_token_len: int = 40,
     canonical: str = "components",
     redact: bool = False,
+    max_dup_line_frac: float | None = None,
+    max_dup_gram_frac: float | None = None,
+    dup_gram_n: int = 3,
 ) -> str:
     """DuckDB twin of curate_documents (scale=False path). The components
     policy is expressed as a recursive CTE (min reachable id per node);
     ``redact=True`` prefixes the same RE2 redaction chain the Spark side
-    applies (sparkfuse.redact's cross-engine pattern contract)."""
+    applies (sparkfuse.redact's cross-engine pattern contract); the
+    repetition-gate params add the identical boolean predicate to kept2."""
     from sparkfuse.dedup import ngram_jaccard_pairs_oracle_sql
+    from sparkfuse.repetition import dup_fraction_gate_sql
 
     if redact:
         from sparkfuse.redact import redact_oracle_sql
@@ -135,6 +160,7 @@ kept2 AS (
   SELECT {id_col}, {text_col} FROM kept1
   WHERE len({toks}) >= {min_tokens}
     AND list_max(list_transform({toks}, t -> length(t))) <= {max_token_len}
+    AND {dup_fraction_gate_sql(text_col, max_dup_line_frac, max_dup_gram_frac, dup_gram_n)}
 ),
 pairs AS ({pairs}),
 {drop}

@@ -1,0 +1,260 @@
+"""Within-document repetition signals (Gopher-style quality filters).
+
+LLM curation pipelines drop documents dominated by repeated content —
+boilerplate headers, navigation menus, scraped tables, log spew — using
+per-document repetition fractions (Rae et al., "Scaling Language Models:
+Gopher", §A1.1: duplicate-line and duplicate-n-gram filters). This module
+computes the integer measurements those fractions are made of; the
+thresholds stay with the caller, like ``textops.quality_stats``.
+
+100-TB design — the whole point of the formulation:
+
+* ``repetition_stats`` is a SINGLE CODEGEN PROJECTION over the scan — no
+  exchange, no Python, no per-doc group-by. Every count uses the
+  total-minus-distinct identity (``size(arr) - size(array_distinct(arr))``
+  and its character-sum analog), so "how repeated is this document" never
+  needs a (doc, gram) shuffle. Repetition filtering therefore runs at
+  scan speed beside the other quality gates, which is what lets it sit
+  in the first pipeline stage at 10^12 documents.
+* ``top_gram_counts`` (the one metric that genuinely needs per-gram
+  counting — the most-frequent-n-gram load) pays exactly one shuffle of
+  (doc, gram) pairs; partial aggregation collapses each document's gram
+  multiset map-side because a document's exploded rows stay in its input
+  partition, so the exchange carries near-distinct (doc, gram) keys.
+
+Definitions (exact, deterministic, shared verbatim with the DuckDB
+oracle twins — every count is BIGINT):
+
+* lines = non-empty elements of ``split(text, '\\n')``.
+* n-grams = space-joined runs of ``n`` consecutive tokens
+  (``textops.tokens_col`` tokenization — the explicit ``[ \\t\\n\\r\\f]+``
+  class both engines agree on); a document with fewer than ``n`` tokens
+  has zero n-grams.
+* "dup" counts occurrences BEYOND THE FIRST of each distinct value:
+  ``n_dup_lines = n_lines - n_distinct_lines``; ``chars_dup_*`` is the
+  character sum of those beyond-first occurrences (for n-grams this
+  includes the joining spaces). A fully boilerplate document (one line
+  repeated L times) scores ``n_dup_lines / n_lines = (L-1)/L → 1``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparkfuse.textops import TOKEN_SPLIT, tokens_col
+
+DEFAULT_NGRAM_NS = (2, 3)
+
+
+def _chars(arr: Column) -> Column:
+    """Total character count of an array<string> (0 for empty)."""
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _lines_col(text: str | Column) -> Column:
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, "\n"), lambda l: l != F.lit(""))
+
+
+def _grams_col(toks: Column, n: int) -> Column:
+    """Array of space-joined n-grams; empty when size(toks) < n.
+
+    The guard matters: Spark's ``sequence(1, stop)`` generates a
+    DESCENDING sequence when stop < 1 (so ``sequence(1, 0)`` is [1, 0],
+    not []) — unguarded it would fabricate grams for short documents."""
+    g = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
+    )
+    return F.when(F.size(toks) >= n, g).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _dup_cols(arr: Column, suffix: str) -> list[Column]:
+    distinct = F.array_distinct(arr)
+    return [
+        F.size(arr).cast("long").alias(f"n_{suffix}"),
+        (F.size(arr) - F.size(distinct)).cast("long").alias(f"n_dup_{suffix}"),
+        (_chars(arr) - _chars(distinct)).cast("long").alias(f"chars_dup_{suffix}"),
+    ]
+
+
+def repetition_cols(
+    text_col: str | Column, ngram_ns=DEFAULT_NGRAM_NS
+) -> list[Column]:
+    """The per-document repetition columns as plain Column expressions, so
+    callers can fuse them into an existing projection (one scan, one
+    codegen span) instead of paying a join — the production composition
+    with the other quality gates."""
+    cols = _dup_cols(_lines_col(text_col), "lines")
+    toks = tokens_col(text_col)
+    for n in ngram_ns:
+        cols.extend(_dup_cols(_grams_col(toks, n), f"grams_{n}"))
+    return cols
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, ngram_ns=DEFAULT_NGRAM_NS
+) -> DataFrame:
+    """Per-document repetition measurements (see module docstring for the
+    exact definitions). One codegen projection — no exchange."""
+    return df.select(F.col(id_col), *repetition_cols(text_col, ngram_ns))
+
+
+def repetition_exprs_sql(
+    text_sql: str, ngram_ns=DEFAULT_NGRAM_NS, tokens_sql: str | None = None
+) -> str:
+    """The DuckDB column expressions twinning ``repetition_cols``
+    (comma-joined, same names, BIGINT each) — reusable inside a larger
+    oracle SELECT. ``tokens_sql`` lets a caller that already computed the
+    token list (e.g. the quality_stats oracle's ``ts``) reuse it."""
+    toks = tokens_sql or (
+        f"string_split_regex(trim({text_sql}), '{TOKEN_SPLIT}')"
+    )
+    chars = (
+        "coalesce(cast(list_sum(list_transform({a}, x -> length(x))) "
+        "as bigint), 0)"
+    )
+
+    def dup_exprs(arr: str, suffix: str) -> list[str]:
+        dis = f"list_distinct({arr})"
+        return [
+            f"cast(len({arr}) as bigint) as n_{suffix}",
+            f"cast(len({arr}) - len({dis}) as bigint) as n_dup_{suffix}",
+            f"cast({chars.format(a=arr)} - {chars.format(a=dis)} as bigint)"
+            f" as chars_dup_{suffix}",
+        ]
+
+    lines = f"list_filter(string_split({text_sql}, chr(10)), l -> l <> '')"
+    exprs = dup_exprs(lines, "lines")
+    for n in ngram_ns:
+        grams = (
+            f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+            f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+        )
+        exprs.extend(dup_exprs(grams, f"grams_{n}"))
+    return ", ".join(exprs)
+
+
+def repetition_oracle_sql(
+    table: str, id_col: str, text_col: str, ngram_ns=DEFAULT_NGRAM_NS
+) -> str:
+    """DuckDB twin of ``repetition_stats``."""
+    return (
+        f"SELECT {id_col}, {repetition_exprs_sql(text_col, ngram_ns)} "
+        f"FROM {table}"
+    )
+
+
+def dup_fraction_gate(
+    text_col: str | Column,
+    max_dup_line_frac: float | None = None,
+    max_dup_gram_frac: float | None = None,
+    gram_n: int = 3,
+) -> Column:
+    """Boolean keep-predicate for repetition gating — a plain codegen
+    filter over the text column (no join, no exchange), which is how the
+    gate composes into ``pipeline.curate_documents``.
+
+    Keeps a document when ``n_dup_X <= frac * n_X`` for each enabled
+    gate. Documents with zero lines/grams pass (0 <= frac*0). Both sides
+    of the comparison are IEEE doubles; the SQL twin casts its literal to
+    DOUBLE explicitly because DuckDB would otherwise read ``0.3`` as
+    exact DECIMAL and disagree with Spark's double on boundary ratios."""
+
+    def pred(arr: Column, frac: float) -> Column:
+        dup = F.size(arr) - F.size(F.array_distinct(arr))
+        return dup.cast("double") <= (
+            F.lit(float(frac)) * F.size(arr).cast("double")
+        )
+
+    preds = []
+    if max_dup_line_frac is not None:
+        preds.append(pred(_lines_col(text_col), max_dup_line_frac))
+    if max_dup_gram_frac is not None:
+        preds.append(
+            pred(_grams_col(tokens_col(text_col), gram_n), max_dup_gram_frac)
+        )
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def dup_fraction_gate_sql(
+    text_sql: str,
+    max_dup_line_frac: float | None = None,
+    max_dup_gram_frac: float | None = None,
+    gram_n: int = 3,
+) -> str:
+    """DuckDB twin of ``dup_fraction_gate`` (a boolean SQL expression)."""
+
+    def pred(arr: str, frac: float) -> str:
+        dup = f"len({arr}) - len(list_distinct({arr}))"
+        return (
+            f"(CAST({dup} AS DOUBLE) <= "
+            f"CAST('{float(frac)!r}' AS DOUBLE) * CAST(len({arr}) AS DOUBLE))"
+        )
+
+    preds = []
+    if max_dup_line_frac is not None:
+        lines = f"list_filter(string_split({text_sql}, chr(10)), l -> l <> '')"
+        preds.append(pred(lines, max_dup_line_frac))
+    if max_dup_gram_frac is not None:
+        toks = f"string_split_regex(trim({text_sql}), '{TOKEN_SPLIT}')"
+        grams = (
+            f"list_transform(generate_series(1, len({toks}) - {gram_n - 1}), "
+            f"i -> array_to_string(list_slice({toks}, i, i + {gram_n - 1}), ' '))"
+        )
+        preds.append(pred(grams, max_dup_gram_frac))
+    return " AND ".join(preds) if preds else "TRUE"
+
+
+def top_gram_counts(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """``(id, top_gram_count)`` — the highest occurrence count any single
+    n-gram reaches within each document (the most-frequent-n-gram signal;
+    e.g. Gopher gates on top-gram character load). Documents with fewer
+    than ``n`` tokens have no grams and emit NO row, mirroring SQL GROUP
+    BY semantics — callers joining back should coalesce to 0.
+
+    This is the one repetition metric that needs true per-gram counting:
+    explode → two-level aggregate, one shuffle of (doc, gram) keys. The
+    exploded rows of a document never leave its input partition before
+    the exchange, so the partial aggregate collapses each document's gram
+    multiset map-side and the shuffle carries ~distinct (doc, gram) pairs.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(_grams_col(tokens_col(text_col), n)).alias("gram"),
+    )
+    return (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(F.max("cnt").cast("long").alias("top_gram_count"))
+    )
+
+
+def top_gram_counts_oracle_sql(
+    table: str, id_col: str, text_col: str, n: int = 3
+) -> str:
+    """DuckDB twin of ``top_gram_counts``."""
+    toks = f"string_split_regex(trim({text_col}), '{TOKEN_SPLIT}')"
+    grams = (
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' '))"
+    )
+    return (
+        f"SELECT {id_col}, CAST(MAX(cnt) AS BIGINT) AS top_gram_count FROM ("
+        f"SELECT {id_col}, gram, COUNT(*) AS cnt FROM "
+        f"(SELECT {id_col}, unnest({grams}) AS gram FROM {table}) "
+        f"GROUP BY {id_col}, gram) GROUP BY {id_col}"
+    )
