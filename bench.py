@@ -331,6 +331,41 @@ def main_bench():
     )
     extra["simhash_pairs_found"] = float(n_sh)
 
+    # Within-document repetition signals (PLANS.md §28): dup-line + dup-2/3-
+    # gram counts via the total-minus-distinct identity — one codegen
+    # projection, zero exchanges, so the row measures pure scan+expression
+    # throughput. The sf corpus is ~1.5 MB of text; replicate 40x (~59 MB,
+    # 200k docs) so the row times work, not task dispatch.
+    from sparkfuse.repetition import repetition_stats
+
+    # repartition + cache: the sf corpus is ONE parquet file, and the
+    # crossJoin preserves that single partition — uncached the row would
+    # time one core, not the operator
+    rep_docs = (
+        docs_df.crossJoin(spark.range(40).select(F.col("id").alias("rep")))
+        .select((F.col("doc_id") * 40 + F.col("rep")).alias("doc_id"), "text")
+        .repartition(CPUS)
+        .cache()
+    )
+    rep_bytes = rep_docs.agg(F.sum(F.length("text"))).first()[0]
+
+    def run_repetition():
+        return (
+            repetition_stats(rep_docs, "doc_id", "text", ngram_ns=(2, 3))
+            .agg(
+                F.sum("n_dup_lines").alias("dl"),
+                F.sum("n_dup_grams_2").alias("d2"),
+                F.sum("n_dup_grams_3").alias("d3"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .first()["n"]
+        )
+
+    t, n_rep = bench_row("repetition_scan_200k", run_repetition, repeats=4)
+    extra["repetition_docs"] = float(n_rep)
+    extra["repetition_mb_per_sec"] = rep_bytes / 1e6 / t
+    rep_docs.unpersist()
+
     # near-dup scale preset on a boilerplate-skewed corpus (PLANS.md par.5a):
     # every doc shares an 11-token header; stop-shingle pruning keeps the
     # candidate set O(near-dups) instead of O(hot-shingle^2)

@@ -103,6 +103,7 @@ _SPARK_LAYER = {
     "sessionize": ("sparkfuse.temporal", "sessionize"),
     "compact_sketch_states": ("sparkfuse.sketchsink", "compact_sketch_states"),
     "curate_transcripts": ("sparkfuse.transcripts", "curate_transcripts"),
+    "conversation_validity": ("sparkfuse.transcripts", "conversation_validity"),
     "media_decode_stats": ("sparkfuse.multimodal", "media_decode_stats"),
     "resize_images": ("sparkfuse.multimodal", "resize_images"),
     "resample_audio": ("sparkfuse.multimodal", "resample_audio"),

@@ -62,16 +62,23 @@ def _lines_col(text: str | Column) -> Column:
 def _grams_col(toks: Column, n: int) -> Column:
     """Array of space-joined n-grams; empty when size(toks) < n.
 
-    The guard matters: Spark's ``sequence(1, stop)`` generates a
-    DESCENDING sequence when stop < 1 (so ``sequence(1, 0)`` is [1, 0],
-    not []) — unguarded it would fabricate grams for short documents."""
-    g = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(n))),
-    )
-    return F.when(F.size(toks) >= n, g).otherwise(
-        F.array().cast("array<string>")
-    )
+    Built by CHAINED zip_with, never by indexing ``toks`` inside a
+    lambda: higher-order functions evaluate interpreted, re-running any
+    expression the lambda body CAPTURES once per element — a first
+    formulation (``transform(sequence(...), i -> concat_ws(slice(toks,
+    i, n)))``) re-ran the full regex tokenization per gram, O(tokens²)
+    splits per document (jstack-confirmed: StringSplit under
+    ArrayTransform.eval). Here every occurrence of ``toks`` is a HOF
+    CHILD, evaluated once per row; lambda bodies touch only lambda
+    variables and literals. zip_with pads the shorter side with NULL and
+    ``concat`` propagates it, so positions with fewer than ``n`` tokens
+    remaining become NULL grams — dropped by the final filter, which
+    also makes short documents yield [] with no size guard."""
+    grams = toks
+    for k in range(1, n):
+        nxt = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        grams = F.zip_with(grams, nxt, lambda g, t: F.concat(g, F.lit(" "), t))
+    return F.filter(grams, lambda g: g.isNotNull())
 
 
 def _dup_cols(arr: Column, suffix: str) -> list[Column]:
@@ -101,8 +108,61 @@ def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, ngram_ns=DEFAULT_NGRAM_NS
 ) -> DataFrame:
     """Per-document repetition measurements (see module docstring for the
-    exact definitions). One codegen projection — no exchange."""
-    return df.select(F.col(id_col), *repetition_cols(text_col, ngram_ns))
+    exact definitions). Projection-only — no exchange.
+
+    Staged through explicit projections (tokens → gram/line arrays +
+    their distincts → counts) so each array materializes ONCE per row:
+    inlined, the interpreted HOF evaluator recomputes a repeated
+    subexpression at every use site (4 uses per array here, and the
+    tokenization under all of them). CollapseProject leaves the stages
+    alone because every staged alias is non-cheap and multiply
+    referenced. ``repetition_cols`` remains the single-expression form
+    for fusing into an existing projection — correct but with a
+    constant-factor re-evaluation cost; this staged form is the one to
+    benchmark and the one the entry row uses."""
+    toks = df.select(
+        F.col(id_col),
+        _lines_col(text_col).alias("_lines"),
+        tokens_col(text_col).alias("_toks"),
+    )
+    arrays = toks.select(
+        F.col(id_col),
+        F.col("_lines"),
+        F.array_distinct("_lines").alias("_lines_d"),
+        *[
+            c
+            for n in ngram_ns
+            for c in (
+                _grams_col(F.col("_toks"), n).alias(f"_g{n}"),
+            )
+        ],
+    )
+    arrays = arrays.select(
+        F.col(id_col),
+        "_lines",
+        "_lines_d",
+        *[
+            c
+            for n in ngram_ns
+            for c in (
+                F.col(f"_g{n}"),
+                F.array_distinct(f"_g{n}").alias(f"_g{n}_d"),
+            )
+        ],
+    )
+
+    def counts(arr: str, dis: str, suffix: str) -> list[Column]:
+        a, d = F.col(arr), F.col(dis)
+        return [
+            F.size(a).cast("long").alias(f"n_{suffix}"),
+            (F.size(a) - F.size(d)).cast("long").alias(f"n_dup_{suffix}"),
+            (_chars(a) - _chars(d)).cast("long").alias(f"chars_dup_{suffix}"),
+        ]
+
+    out = [F.col(id_col)] + counts("_lines", "_lines_d", "lines")
+    for n in ngram_ns:
+        out += counts(f"_g{n}", f"_g{n}_d", f"grams_{n}")
+    return arrays.select(*out)
 
 
 def repetition_exprs_sql(

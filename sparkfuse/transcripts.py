@@ -133,6 +133,101 @@ def conversation_stats(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def conversation_validity(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation structural well-formedness — the measurements a
+    transcript-curation job gates malformed conversations on (training on
+    a conversation with shuffled/missing turns or collapsed role
+    alternation corrupts the chat template downstream):
+
+      n_turns              BIGINT
+      turn_idx_contiguous  BOOLEAN  turn_idx values are exactly 0..n-1
+                                    (the sorted index sequence compared
+                                    to ``sequence(0, n-1)`` — duplicates
+                                    or gaps both fail)
+      first_role           STRING   role of the first turn (deterministic:
+                                    the (turn_idx, role) struct sort
+                                    tie-breaks a duplicated first turn_idx
+                                    lexicographically — both engines
+                                    compare strings as binary UTF-8)
+      n_role_repeats       BIGINT   adjacent same-role pairs in
+                                    (turn_idx, role) order (0 = strict
+                                    alternation)
+      n_empty_turns        BIGINT   NULL or whitespace-only text
+      n_tool_turns         BIGINT   non-null, non-empty tool
+
+    Policy (which combinations to drop) stays with the caller, like
+    ``textops.quality_stats``.
+
+    Scale shape: ONE shuffle on conv_id, one plain hash aggregation (the
+    contiguity check reads the sorted struct array instead of a
+    countDistinct, which would plan a second distinct-aggregate pass).
+    The scalar columns partial-aggregate map-side; the (turn_idx, role)
+    sequence rides a collect_list bounded by conversation length — the
+    same in-buffer assumption ``ordered_rollup`` makes (conversations
+    are bounded; corpora are not)."""
+    n = F.count(F.lit(1))
+    empty = F.col("text").isNull() | (F.trim(F.col("text")) == "")
+    tool_turn = F.col("tool").isNotNull() & (F.col("tool") != "")
+    agged = transcripts.groupBy("conv_id").agg(
+        n.alias("n_turns"),
+        F.sort_array(F.collect_list(F.struct("turn_idx", "role"))).alias("_seq"),
+        F.sum(empty.cast("long")).alias("n_empty_turns"),
+        F.sum(tool_turn.cast("long")).alias("n_tool_turns"),
+    )
+    seq = F.col("_seq")
+    roles = F.transform(seq, lambda s: s["role"])
+    idxs = F.transform(seq, lambda s: s["turn_idx"])
+    # adjacent pairs via zip_with (all subexpressions are HOF CHILDREN —
+    # an expression captured in a lambda body re-evaluates per element;
+    # see repetition._grams_col). zip_with pads the shorter side with
+    # NULL, so the 1-turn conversation yields (role, NULL) -> NULL ->
+    # filtered: no descending-sequence or ANSI element_at guard needed.
+    shifted = F.slice(roles, 2, F.greatest(F.size(roles) - 1, F.lit(0)))
+    adjacent_same = F.size(
+        F.filter(
+            F.zip_with(roles, shifted, lambda a, b: a == b), lambda x: x
+        )
+    )
+    return agged.select(
+        "conv_id",
+        "n_turns",
+        (idxs == F.sequence(F.lit(0), F.size(seq) - 1)).alias(
+            "turn_idx_contiguous"
+        ),
+        F.element_at(roles, 1).alias("first_role"),
+        adjacent_same.cast("long").alias("n_role_repeats"),
+        "n_empty_turns",
+        "n_tool_turns",
+    )
+
+
+def conversation_validity_oracle_sql(table: str) -> str:
+    """DuckDB twin of ``conversation_validity`` (role sequence via
+    ``list(role ORDER BY turn_idx, role)`` — the same (turn_idx, role)
+    total order the Spark side sorts structs by)."""
+    return f"""
+SELECT conv_id,
+  CAST(n_turns AS BIGINT) AS n_turns,
+  (min_idx = 0 AND max_idx = n_turns - 1 AND n_idx = n_turns)
+    AS turn_idx_contiguous,
+  roles[1] AS first_role,
+  CAST(len(list_filter(generate_series(1, len(roles) - 1),
+       i -> roles[i] = roles[i + 1])) AS BIGINT) AS n_role_repeats,
+  CAST(n_empty_turns AS BIGINT) AS n_empty_turns,
+  CAST(n_tool_turns AS BIGINT) AS n_tool_turns
+FROM (
+  SELECT conv_id, COUNT(*) AS n_turns,
+    MIN(turn_idx) AS min_idx, MAX(turn_idx) AS max_idx,
+    COUNT(DISTINCT turn_idx) AS n_idx,
+    list(role ORDER BY turn_idx, role) AS roles,
+    SUM(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+      AS n_empty_turns,
+    SUM(CASE WHEN tool IS NOT NULL AND tool <> '' THEN 1 ELSE 0 END)
+      AS n_tool_turns
+  FROM {table} GROUP BY conv_id)
+"""
+
+
 def curate_transcripts(
     transcripts: DataFrame,
     bench_df: DataFrame | None = None,

@@ -14,6 +14,8 @@ from sparkfuse.transcripts import (
     audit_filter,
     build_transcript_filter,
     conversation_stats,
+    conversation_validity,
+    conversation_validity_oracle_sql,
     probe_turns,
 )
 
@@ -69,6 +71,83 @@ def test_conversation_stats_invariant(spark, tr):
     a = {r["conv_id"]: r["content_hash"] for r in stats.collect()}
     b = {r["conv_id"]: r["content_hash"] for r in conversation_stats(changed).collect()}
     assert all(a[c] != b[c] for c in a)
+
+
+_VALIDITY_PLANTED = [
+    # well-formed: contiguous 0..2, alternating, starts with user
+    ("ok", 0, "user", "hi", None),
+    ("ok", 1, "assistant", "hello", None),
+    ("ok", 2, "user", "bye", None),
+    # gap in turn_idx (0, 2)
+    ("gap", 0, "user", "a", None),
+    ("gap", 2, "assistant", "b", None),
+    # duplicate turn_idx (not contiguous: 2 distinct for 3 turns)
+    ("dup", 0, "user", "x", None),
+    ("dup", 1, "assistant", "y", None),
+    ("dup", 1, "assistant", "z", None),
+    # role repeat + empty/NULL texts + tool turns
+    ("rep", 0, "assistant", "lead", None),
+    ("rep", 1, "assistant", "  ", "search"),
+    ("rep", 2, "tool", None, "search"),
+    # single-turn conversation (the sequence(1, 0) guard)
+    ("one", 0, "user", "solo", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def validity_df(spark):
+    return spark.createDataFrame(
+        [(c, i, r, t, tool) for c, i, r, t, tool in _VALIDITY_PLANTED],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+
+
+def test_conversation_validity_planted(spark, validity_df):
+    rows = {
+        r["conv_id"]: r.asDict()
+        for r in conversation_validity(validity_df).collect()
+    }
+    ok = rows["ok"]
+    assert ok["n_turns"] == 3 and ok["turn_idx_contiguous"]
+    assert ok["first_role"] == "user" and ok["n_role_repeats"] == 0
+    assert ok["n_empty_turns"] == 0 and ok["n_tool_turns"] == 0
+    assert not rows["gap"]["turn_idx_contiguous"]
+    assert not rows["dup"]["turn_idx_contiguous"]
+    rep = rows["rep"]
+    assert rep["first_role"] == "assistant"
+    assert rep["n_role_repeats"] == 1  # assistant,assistant then tool
+    assert rep["n_empty_turns"] == 2  # whitespace-only + NULL
+    assert rep["n_tool_turns"] == 2  # '' tool on 'one' does not count
+    one = rows["one"]
+    assert one["n_turns"] == 1 and one["turn_idx_contiguous"]
+    assert one["n_role_repeats"] == 0 and one["n_tool_turns"] == 0
+
+
+def _validity_twin(df, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    path = str(tmp_path / "tr.parquet")
+    pdf = df.toPandas()
+    # synth ts is datetime64; parquet-write flow matches FIXTURES gotcha
+    pdf.to_parquet(path, index=False)
+    con = duckdb.connect()
+    con.sql(f"create view tr as select * from '{path}'")
+    want = con.sql(conversation_validity_oracle_sql("tr")).df()
+    got = conversation_validity(df).toPandas()
+    cols = sorted(got.columns)
+    assert cols == sorted(want.columns)
+    got = got[cols].sort_values("conv_id").reset_index(drop=True)
+    want = want[cols].sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_conversation_validity_matches_twin_planted(spark, validity_df, tmp_path):
+    _validity_twin(validity_df, tmp_path)
+
+
+def test_conversation_validity_matches_twin_synth(spark, tr, tmp_path):
+    _validity_twin(tr.drop("ts"), tmp_path)
 
 
 def test_spark_submit_job_and_resume(spark, tr, tmp_path):
