@@ -766,14 +766,66 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_documents(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _events_as_transcripts(ev: DataFrame) -> DataFrame:
+    """Deterministic transcript frame derived from the events table (the
+    oracle derives the identical frame in SQL): conv_id = user_id,
+    turn_idx = per-conversation (ts, event_id) rank, PERTURBED (+1 when
+    event_id % 37 == 0) so contiguity genuinely fails for most
+    conversations and duplicate turn_idx values exercise the
+    (turn_idx, role) tie-break; text NULLed / whitespace-collapsed and
+    tool set/emptied on other coprime residues so every validity counter
+    sees non-zero traffic."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    eid = F.col("event_id")
+    return ev.select(
+        F.col("user_id").alias("conv_id"),
+        (
+            F.row_number().over(w)
+            - 1
+            + F.when(eid % 37 == 0, 1).otherwise(0)
+        ).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.when(eid % 29 == 0, F.lit(None).cast("string"))
+        .when(eid % 13 == 0, F.lit(" "))
+        .otherwise(F.col("props"))
+        .alias("text"),
+        F.when(eid % 11 == 0, F.lit("search"))
+        .when(eid % 17 == 0, F.lit(""))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+    )
+
+
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive per-user event rollup (the north-star per-turn-text-
     equality-under-stable-ordering invariant as a comparable value): props
-    concatenated in (ts, event_id) order via one sort_array aggregation."""
-    from sparkfuse.transcripts import ordered_rollup
+    concatenated in (ts, event_id) order via one sort_array aggregation —
+    JOINED with ``transcripts.conversation_validity`` over a transcript
+    frame both engines derive identically from the same events (late
+    round 5: one driver row certifies the rollup AND the malformed-
+    conversation gate — turn_idx contiguity, deterministic first_role
+    under duplicated indices, adjacent role repeats, empty/tool-turn
+    counts). Both aggregations hash-partition on the same key, so the
+    join plans with no exchange beyond the two aggs."""
+    from sparkfuse.transcripts import conversation_validity, ordered_rollup
 
-    return ordered_rollup(
-        _t(spark, sf_dir, "events"), "user_id", ["ts", "event_id"], "props"
+    ev = _t(spark, sf_dir, "events")
+    roll = ordered_rollup(ev, "user_id", ["ts", "event_id"], "props")
+    val = conversation_validity(_events_as_transcripts(ev))
+    return roll.join(
+        val, roll["user_id"] == val["conv_id"]
+    ).select(
+        "user_id",
+        "n_rows",
+        "content",
+        "n_turns",
+        "turn_idx_contiguous",
+        "first_role",
+        "n_role_repeats",
+        "n_empty_turns",
+        "n_tool_turns",
     )
 
 
@@ -1762,11 +1814,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "winnow_overlap_pairs": _winnow_pairs_oracle(),
         "bpe_tok_stats": _bpe_oracle(),
-        "event_rollup": (
-            "SELECT user_id, COUNT(*) AS n_rows, "
-            "string_agg(props, '|' ORDER BY ts, event_id, props) AS content "
-            "FROM events GROUP BY user_id"
-        ),
+        "event_rollup": _event_rollup_oracle(),
         # the final append-mode output equals the plain GROUP BY over the
         # on-time rows ONLY if watermark late-drop, window-close emission,
         # and open-window non-emission all behave (see q_windowed_event_counts)
@@ -1804,6 +1852,41 @@ def _repetition_exprs() -> str:
     from sparkfuse.repetition import repetition_exprs_sql
 
     return repetition_exprs_sql("text", ngram_ns=(2, 3), tokens_sql="ts")
+
+
+def _event_rollup_oracle() -> str:
+    """Rollup + conversation-validity twin: the tr CTE mirrors
+    ``_events_as_transcripts`` term for term (row_number over the same
+    total order, the same coprime-residue perturbations), then the
+    validity SELECT comes from ``conversation_validity_oracle_sql`` —
+    the single source of truth both the pytest twins and this driver
+    row replay."""
+    from sparkfuse.transcripts import conversation_validity_oracle_sql
+
+    val = conversation_validity_oracle_sql("tr")
+    return f"""
+WITH tr AS (
+  SELECT user_id AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+         + CASE WHEN event_id % 37 = 0 THEN 1 ELSE 0 END AS INT) AS turn_idx,
+    event_type AS role,
+    CASE WHEN event_id % 29 = 0 THEN NULL
+         WHEN event_id % 13 = 0 THEN ' '
+         ELSE props END AS text,
+    CASE WHEN event_id % 11 = 0 THEN 'search'
+         WHEN event_id % 17 = 0 THEN ''
+         ELSE NULL END AS tool
+  FROM events),
+val AS ({val}),
+roll AS (
+  SELECT user_id, COUNT(*) AS n_rows,
+    string_agg(props, '|' ORDER BY ts, event_id, props) AS content
+  FROM events GROUP BY user_id)
+SELECT roll.user_id, roll.n_rows, roll.content,
+  val.n_turns, val.turn_idx_contiguous, val.first_role,
+  val.n_role_repeats, val.n_empty_turns, val.n_tool_turns
+FROM roll JOIN val ON roll.user_id = val.conv_id
+"""
 
 
 def _lang_id_oracle() -> str:
