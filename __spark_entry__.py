@@ -988,8 +988,13 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ISO BMFF sample-table muxer/demuxer, MJPEG samples through the same
     JPEG codec): a third population (doc_id + 2e9) of block-mosaic MOVIES
     whose per-frame samples round-trip bit-exactly, so the oracle's video
-    stats certify container demux + per-sample decode together. Inter-frame
-    sample codecs (H.264-class) are the only remaining declared stub."""
+    stats certify container demux + per-sample decode together. Late round
+    5 adds a FOURTH population (doc_id + 3e9) of the same mosaics encoded
+    with ARITHMETIC entropy coding (SOF9, sparkfuse.jpegarith's QM coder —
+    libjpeg-interop-certified in tests/test_jpeg_arith.py): entropy
+    packaging preserves the coefficients, so the identical formula oracle
+    certifies the QM decode path as well. Inter-frame sample codecs
+    (H.264-class) are the only remaining declared stub."""
     from sparkfuse.multimodal import (
         media_decode_stats,
         synth_codec_media,
@@ -1004,10 +1009,16 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mp4_ids = ids.select(
         (F.col("media_id") + F.lit(2_000_000_000)).alias("media_id")
     )
+    jarith_ids = ids.select(
+        (F.col("media_id") + F.lit(3_000_000_000)).alias("media_id")
+    )
     return (
         media_decode_stats(synth_codec_media(ids))
         .unionByName(media_decode_stats(synth_jpeg_media(jpeg_ids)))
         .unionByName(media_decode_stats(synth_mp4_media(mp4_ids)))
+        .unionByName(
+            media_decode_stats(synth_jpeg_media(jarith_ids, arithmetic=True))
+        )
     )
 
 
@@ -1808,9 +1819,33 @@ def oracle_sql() -> dict[str, str]:
             "         CAST(MAX(2 * ((media_id + 3 * (b % nbx)"
             "                   + 7 * (b // nbx) + 11 * t) % 128)) AS BIGINT) AS peak"
             "  FROM mp4_tb GROUP BY media_id"
+            # the arithmetic-coded JPEG population (ids offset by 3e9):
+            # identical mosaic formula, SOF9/QM entropy layer — entropy
+            # packaging preserves the coefficients, so the same pure
+            # arithmetic recomputes the decoded stats
+            "), jar AS ("
+            "  SELECT doc_id + 3000000000 AS media_id,"
+            "         1 + (doc_id + 3000000000) % 4 AS nbx,"
+            "         1 + (doc_id + 3000000000) % 3 AS nby"
+            "  FROM documents"
+            "), jar_b AS ("
+            "  SELECT media_id, nbx, nby,"
+            "         unnest(generate_series(0, nbx*nby - 1)) AS b FROM jar"
+            "), jar_stats AS ("
+            "  SELECT media_id, 'image' AS kind,"
+            "         CAST(0 AS BIGINT) AS n_samples,"
+            "         CAST(0 AS BIGINT) AS sample_rate,"
+            "         CAST(8 * any_value(nbx) AS BIGINT) AS width,"
+            "         CAST(8 * any_value(nby) AS BIGINT) AS height,"
+            "         CAST(64 * SUM(2 * ((media_id + 3 * (b % nbx)"
+            "                   + 7 * (b // nbx)) % 128)) AS BIGINT) AS checksum,"
+            "         CAST(MAX(2 * ((media_id + 3 * (b % nbx)"
+            "                   + 7 * (b // nbx)) % 128)) AS BIGINT) AS peak"
+            "  FROM jar_b GROUP BY media_id"
             ") SELECT * FROM wav_stats UNION ALL SELECT * FROM img_stats"
             "  UNION ALL SELECT * FROM jpg_stats"
             "  UNION ALL SELECT * FROM mp4_stats"
+            "  UNION ALL SELECT * FROM jar_stats"
         ),
         "winnow_overlap_pairs": _winnow_pairs_oracle(),
         "bpe_tok_stats": _bpe_oracle(),

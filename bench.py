@@ -462,6 +462,27 @@ def main_bench():
     extra["jpeg_decoded_mpx_per_sec"] = jpeg_px / 1e6 / t
     jpeg.unpersist()
 
+    # ARITHMETIC-coded JPEG (SOF9, QM coder): unlike the Huffman path's
+    # LUT, every decision is adaptive — an honest per-decision Python
+    # loop. Parallelism across images is the scale story; per-core px/s
+    # is ~20x below Huffman by construction.
+    jarith = synth_jpeg_media(
+        spark.range(2_000).select(F.col("id").alias("media_id")),
+        scale=4,
+        arithmetic=True,
+    ).cache()
+    jarith_px = jarith.select(
+        F.sum(
+            F.col("meta.width").cast("long") * F.col("meta.height").cast("long")
+        ).alias("px")
+    ).first()["px"]
+    t, _n = bench_row(
+        "jpeg_arith_decode_2k",
+        lambda: media_decode_stats(jarith).count(),
+    )
+    extra["jpeg_arith_decoded_mpx_per_sec"] = jarith_px / 1e6 / t
+    jarith.unpersist()
+
     # REAL MP4: ISO BMFF sample-table demux + per-sample MJPEG decode +
     # PNG re-encode of every 250 ms frame, one Arrow pass per task
     from sparkfuse.video import synth_mp4_media

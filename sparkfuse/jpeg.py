@@ -1,20 +1,25 @@
-"""From-scratch JPEG codec (baseline AND progressive) — no codec library
-required.
+"""From-scratch JPEG codec (baseline, progressive AND arithmetic-coded) —
+no codec library required.
 
 Closes the JPEG entries on the declared-stub list (rounds 3-5: "JPEG needs
-a codec library this container doesn't ship"): everything Huffman-coded
-JPEG actually needs is integer/float math and bit twiddling, all
-implemented here from the public specification (ITU-T T.81 / ISO 10918-1).
+a codec library this container doesn't ship"): everything DCT-mode JPEG
+actually needs is integer/float math and bit twiddling, all implemented
+here from the public specification (ITU-T T.81 / ISO 10918-1).
 
 Scope (validated; everything else fails loudly rather than mis-decoding):
 
-  * decode: baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+  * decode: baseline sequential DCT (SOF0/SOF1), progressive DCT
     (SOF2 — spectral selection, successive approximation with DC/AC
-    refinement and EOB runs, per T.81 G.2), 8-bit precision, grayscale
-    and 3-component YCbCr with any integer subsampling ratio (4:4:4, 4:2:2,
+    refinement and EOB runs, per T.81 G.2), AND the arithmetic-coded
+    modes SOF9 (sequential) / SOF10 (progressive) via the QM coder in
+    jpegarith.py (T.81 Annexes D/F/G, DAC conditioning honored) — every
+    arithmetic decode path is interop-certified bit-exactly at the
+    quantized-coefficient level against the system libjpeg-turbo
+    (tests/test_jpeg_arith.py). 8-bit precision, grayscale and
+    3-component YCbCr with any integer subsampling ratio (4:4:4, 4:2:2,
     4:2:0 — box/replication upsampling), interleaved or single-component
     scans, restart intervals, arbitrary DQT/DHT tables (16-bit quantizers
-    included). Arithmetic coding, lossless and hierarchical modes raise
+    included). Lossless, hierarchical and differential modes raise
     NotImplementedError by name. Foreign progressive goldens: the Spark
     distribution's mllib grayscale.jpg and the nodejs doc white-stripe
     images (tests/test_jpeg.py — content-predictable + CRC-pinned).
@@ -24,9 +29,11 @@ Scope (validated; everything else fails loudly rather than mis-decoding):
     restriction); ``progressive=True`` emits a SOF2 successive-
     approximation scan script over the SAME quantized coefficients
     (progressive is entropy packaging, not extra loss — decodes agree
-    bit-for-bit with baseline, which the tests pin). Quantization tables
-    are this library's own frequency-ramped tables scaled by the common
-    5000/q // 200-2q quality rule; Huffman tables are fixed-length
+    bit-for-bit with baseline, which the tests pin); ``arithmetic=True``
+    emits SOF9 with default DAC conditioning, same coefficients again,
+    and the streams decode bit-identically in libjpeg. Quantization
+    tables are this library's own frequency-ramped tables scaled by the
+    common 5000/q // 200-2q quality rule; Huffman tables are fixed-length
     canonical tables (DC: 12 symbols @5 bits, AC: 162 symbols @8 bits)
     written into DHT like any other — T.81 permits arbitrary tables, and
     fixed lengths keep the encoder a single pass. The DECODER takes
@@ -440,17 +447,22 @@ def encode_jpeg(
     quality: int = 50,
     restart_interval: int = 0,
     progressive: bool = False,
+    arithmetic: bool = False,
 ) -> bytes:
     """JFIF bytes from uint8 pixels: (H, W) grayscale or (H, W, 3) RGB
     (encoded 4:4:4 — no chroma subsampling, see module docstring).
     ``restart_interval`` > 0 emits RSTn markers every that many MCUs
-    (baseline only). ``progressive=True`` emits SOF2 with a
+    (baseline or arithmetic). ``progressive=True`` emits SOF2 with a
     successive-approximation scan script (DC first Al=1 → AC first bands
     1-5/6-63 per component at Al=1 → DC refine → AC refine bands), which
     exercises every progressive decode path; the quantized coefficients are
     IDENTICAL to the baseline encoding at the same quality — progressive is
     entropy packaging, not extra loss — so progressive-decode ≡
-    baseline-decode bit-exactly for the same input."""
+    baseline-decode bit-exactly for the same input. ``arithmetic=True``
+    emits SOF9 (sequential, T.81 Annex D/F QM coding, default DAC
+    conditioning) — like progressive, pure entropy packaging over the same
+    coefficients; streams interop with libjpeg both ways
+    (tests/test_jpeg_arith.py)."""
     a = np.asarray(img)
     if a.dtype != np.uint8:
         raise ValueError(f"expected uint8 pixels, got {a.dtype}")
@@ -484,12 +496,19 @@ def encode_jpeg(
             0xDB, bytes([ti]) + bytes(q.reshape(64)[ZIGZAG].astype(np.uint8))
         )
     nc = len(planes)
+    if progressive and arithmetic:
+        raise NotImplementedError(
+            "JPEG arithmetic-coded progressive (SOF10) encode unsupported"
+        )
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for ci in range(nc):
         sof += bytes([ci + 1, 0x11, min(ci, 1)])  # 4:4:4, table 0/1
-    out += _seg(0xC2 if progressive else 0xC0, sof)
-    out += _seg(0xC4, _dht_body(0, 0, _DC_BITS, _DC_VALS))
-    out += _seg(0xC4, _dht_body(1, 0, _AC_BITS, _AC_VALS))
+    if arithmetic:
+        out += _seg(0xC9, sof)
+    else:
+        out += _seg(0xC2 if progressive else 0xC0, sof)
+        out += _seg(0xC4, _dht_body(0, 0, _DC_BITS, _DC_VALS))
+        out += _seg(0xC4, _dht_body(1, 0, _AC_BITS, _AC_VALS))
     if progressive:
         if restart_interval:
             raise ValueError(
@@ -500,6 +519,10 @@ def encode_jpeg(
         return bytes(out)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
+    if arithmetic:
+        out += _encode_arith_scan(comp_zz, nc, restart_interval)
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
     sos = bytes([nc])
     for ci in range(nc):
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for every comp
@@ -526,6 +549,59 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _encode_arith_scan(
+    comp_zz: list[np.ndarray], nc: int, restart_interval: int
+) -> bytes:
+    """DAC + SOS + QM-coded entropy data for one interleaved sequential
+    scan over 4:4:4 zigzag coefficients (T.81 F.1.4.4): entropy table 0
+    for luma, 1 for chroma (each with its own adaptive statistics, reset
+    at restarts), default conditioning (L=0, U=1, Kx=5)."""
+    from sparkfuse import jpegarith as ja
+
+    tids = [0 if ci == 0 else 1 for ci in range(nc)]
+    dac = b""
+    for t in sorted(set(tids)):
+        dac += bytes([t, (ja.DEFAULT_DC_U << 4) | ja.DEFAULT_DC_L])
+        dac += bytes([0x10 | t, ja.DEFAULT_AC_KX])
+    out = bytearray(_seg(0xCC, dac))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, (tids[ci] << 4) | tids[ci]])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+
+    n_mcus = comp_zz[0].shape[0]
+    ntab = len(set(tids))
+
+    def fresh():
+        return (
+            ja.QMEncoder(),
+            [ja.new_stats(ja.DC_STAT_BINS) for _ in range(ntab)],
+            [ja.new_stats(ja.AC_STAT_BINS) for _ in range(ntab)],
+            ja.fixed_bin(),
+            [ja.SeqCompState() for _ in range(nc)],
+        )
+
+    enc, dc_stats, ac_stats, fixed, states = fresh()
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            enc, dc_stats, ac_stats, fixed, states = fresh()
+        for ci in range(nc):
+            t = tids[ci]
+            zz = [int(v) for v in comp_zz[ci][m]]
+            ja.encode_dc(
+                enc, dc_stats[t], states[ci], zz[0],
+                ja.DEFAULT_DC_L, ja.DEFAULT_DC_U,
+            )
+            ja.encode_ac_seq(enc, ac_stats[t], fixed, zz, ja.DEFAULT_AC_KX)
+    out += enc.flush()
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
@@ -535,8 +611,6 @@ _SOF_UNSUPPORTED = {
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
     0xC7: "differential lossless (SOF7)",
-    0xC9: "arithmetic-coded sequential (SOF9)",
-    0xCA: "arithmetic-coded progressive (SOF10)",
     0xCB: "arithmetic-coded lossless (SOF11)",
     0xCD: "differential arithmetic sequential (SOF13)",
     0xCE: "differential arithmetic progressive (SOF14)",
@@ -549,6 +623,7 @@ class _Component:
         "cid", "h", "v", "tq", "dc_tbl", "ac_tbl", "pred", "coeffs",
         "bw", "bh",   # allocated (MCU-padded) block grid dims
         "nbw", "nbh",  # actual block dims (ceil of component size / 8)
+        "dc_tid", "ac_tid",  # entropy table IDS (arithmetic conditioning)
     )
 
 
@@ -777,6 +852,10 @@ def _decode_to_coefficients(payload: bytes):
     adobe_transform = None
     seen_scan = False
     progressive = False
+    arithmetic = False
+    # DAC conditioning; defaults apply to any table id never mentioned
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     i = 2
     while i + 1 < len(buf):
         if buf[i] != 0xFF:
@@ -795,10 +874,13 @@ def _decode_to_coefficients(payload: bytes):
             raise NotImplementedError(
                 f"JPEG {_SOF_UNSUPPORTED[m]} unsupported (baseline SOF0/SOF1 only)"
             )
-        if m in (0xC0, 0xC1, 0xC2):  # baseline / extended seq / progressive
+        if m in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # baseline / extended sequential / progressive, Huffman or
+            # arithmetic-coded (SOF9/SOF10)
             if comps:
                 raise ValueError("multiple SOF segments")
-            progressive = m == 0xC2
+            progressive = m in (0xC2, 0xCA)
+            arithmetic = m in (0xC9, 0xCA)
             prec = body[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision (8 only)")
@@ -839,6 +921,16 @@ def _decode_to_coefficients(payload: bytes):
                 vals = list(body[j + 17 : j + 17 + nv])
                 htables[(tc, th)] = _build_decode_lut(bits, vals)
                 j += 17 + nv
+        elif m == 0xCC:  # DAC: arithmetic conditioning (possibly several)
+            j = 0
+            while j + 1 < len(body):
+                tc, tb = body[j] >> 4, body[j] & 15
+                cs = body[j + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 15, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs  # Kx
+                j += 2
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif m == 0xEE and body[:5] == b"Adobe":  # APP14 color transform
@@ -858,15 +950,23 @@ def _decode_to_coefficients(payload: bytes):
                     raise ValueError(f"scan references unknown component {cs}")
                 comp.dc_tbl = htables.get((0, tt >> 4))
                 comp.ac_tbl = htables.get((1, tt & 15))
+                comp.dc_tid = tt >> 4
+                comp.ac_tid = tt & 15
                 scan_comps.append(comp)
             data_end = _scan_extent(buf, i + 2 + seglen)
             data = buf[i + 2 + seglen : data_end]
             if progressive:
                 if not seen_scan:
                     _alloc_progressive(comps, W, H)
-                _decode_progressive_scan(
-                    data, scan_comps, ss, se, ah, al, restart_interval
-                )
+                if arithmetic:
+                    _decode_progressive_scan_arith(
+                        data, scan_comps, ss, se, ah, al,
+                        restart_interval, dc_cond, ac_cond,
+                    )
+                else:
+                    _decode_progressive_scan(
+                        data, scan_comps, ss, se, ah, al, restart_interval
+                    )
             else:
                 if seen_scan:
                     raise NotImplementedError(
@@ -878,12 +978,18 @@ def _decode_to_coefficients(payload: bytes):
                         "multi-scan sequential JPEG (one interleaved or "
                         "single-component baseline scan only)"
                     )
-                for comp in scan_comps:
-                    if comp.dc_tbl is None or comp.ac_tbl is None:
-                        raise ValueError(
-                            "scan references undefined Huffman table"
-                        )
-                _decode_scan(data, scan_comps, W, H, restart_interval)
+                if arithmetic:
+                    _decode_scan_arith(
+                        data, scan_comps, W, H, restart_interval,
+                        dc_cond, ac_cond,
+                    )
+                else:
+                    for comp in scan_comps:
+                        if comp.dc_tbl is None or comp.ac_tbl is None:
+                            raise ValueError(
+                                "scan references undefined Huffman table"
+                            )
+                    _decode_scan(data, scan_comps, W, H, restart_interval)
             seen_scan = True
             i = data_end
             continue
@@ -979,6 +1085,235 @@ def _decode_scan(
                         if k > 63:
                             raise ValueError("AC run past block end")
                         blk[zig[k]] = rdr.receive_extend(sym & 15)
+                        k += 1
+            m += 1
+
+
+def _decode_scan_arith(
+    data: bytes,
+    comps: list[_Component],
+    W: int,
+    H: int,
+    restart_interval: int,
+    dc_cond: dict[int, tuple[int, int]],
+    ac_cond: dict[int, int],
+) -> None:
+    """Sequential arithmetic-coded scan (T.81 F.2.2): same MCU geometry as
+    the Huffman `_decode_scan`, QM-coded entropy layer.  Statistics areas
+    live per entropy-table ID (components sharing a table share its
+    adaptation) and reset — with the coder registers and DC model state —
+    at every restart marker."""
+    from sparkfuse import jpegarith as ja
+
+    hmax = max(c.h for c in comps)
+    vmax = max(c.v for c in comps)
+    interleaved = len(comps) > 1
+    if interleaved:
+        mcux = (W + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (H + 8 * vmax - 1) // (8 * vmax)
+        for c in comps:
+            c.bw = mcux * c.h
+            c.bh = mcuy * c.v
+    else:
+        c = comps[0]
+        cw = (W * c.h + hmax - 1) // hmax
+        ch = (H * c.v + vmax - 1) // vmax
+        c.bw = (cw + 7) // 8
+        c.bh = (ch + 7) // 8
+        mcux, mcuy = c.bw, c.bh
+    n_mcus = mcux * mcuy
+    for c in comps:
+        c.coeffs = np.zeros((c.bh * c.bw, 64), dtype=np.int64)
+
+    intervals = _restart_intervals(data)
+    if restart_interval:
+        expect = (n_mcus + restart_interval - 1) // restart_interval
+        if len(intervals) != expect:
+            raise ValueError(
+                f"restart-marker count mismatch: {len(intervals)} intervals "
+                f"for {n_mcus} MCUs at DRI {restart_interval}"
+            )
+
+    zig = ZIGZAG
+    m = 0
+    for interval in intervals:
+        dec = ja.QMDecoder(interval)
+        dc_stats = {c.dc_tid: ja.new_stats(ja.DC_STAT_BINS) for c in comps}
+        ac_stats = {c.ac_tid: ja.new_stats(ja.AC_STAT_BINS) for c in comps}
+        fixed = ja.fixed_bin()
+        states = [ja.SeqCompState() for _ in comps]
+        upper = (
+            min(m + restart_interval, n_mcus) if restart_interval else n_mcus
+        )
+        while m < upper:
+            my, mx = divmod(m, mcux)
+            for ci, c in enumerate(comps):
+                lo, up = dc_cond.get(
+                    c.dc_tid, (ja.DEFAULT_DC_L, ja.DEFAULT_DC_U)
+                )
+                kx = ac_cond.get(c.ac_tid, ja.DEFAULT_AC_KX)
+                dstats = dc_stats[c.dc_tid]
+                astats = ac_stats[c.ac_tid]
+                for b in range(c.h * c.v if interleaved else 1):
+                    if interleaved:
+                        by, bx = divmod(b, c.h)
+                        bi = (my * c.v + by) * c.bw + mx * c.h + bx
+                    else:
+                        bi = m
+                    zz = [0] * 64
+                    zz[0] = ja.decode_dc(dec, dstats, states[ci], lo, up)
+                    ja.decode_ac_seq(dec, astats, fixed, zz, kx)
+                    c.coeffs[bi][zig] = zz
+            m += 1
+
+
+def _decode_progressive_scan_arith(
+    data: bytes,
+    comps: list[_Component],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    dc_cond: dict[int, tuple[int, int]],
+    ac_cond: dict[int, int],
+) -> None:
+    """One arithmetic-coded progressive scan (T.81 G.2): DC first scans
+    reuse the sequential DC model on point-transformed values, DC
+    refinement is one fixed-bin bit per block, AC first is the sequential
+    AC model over the spectral band (no EOB runs — the per-block EOB
+    decision replaces them), AC refinement codes newly-significant
+    (run, ±1<<Al) decisions with per-coefficient correction bits.
+    Statistics reset per scan and per restart interval."""
+    from sparkfuse import jpegarith as ja
+
+    zig = ZIGZAG
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("progressive DC scan with Se != 0")
+    if not dc_scan and len(comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not dc_scan and ss > se or se > 63:
+        raise ValueError(f"bad spectral band {ss}..{se}")
+
+    interleaved = dc_scan and len(comps) > 1
+    if interleaved:
+        mcux = comps[0].bw // comps[0].h
+        n_units = mcux * (comps[0].bh // comps[0].v)
+    else:
+        c = comps[0]
+        mcux = c.nbw
+        n_units = c.nbw * c.nbh
+
+    intervals = _restart_intervals(data)
+    if restart_interval:
+        expect = (n_units + restart_interval - 1) // restart_interval
+        if len(intervals) != expect:
+            raise ValueError(
+                f"restart-marker count mismatch: {len(intervals)} intervals "
+                f"for {n_units} units at DRI {restart_interval}"
+            )
+
+    p1 = 1 << al
+    m1 = -p1
+    m = 0
+    for interval in intervals:
+        dec = ja.QMDecoder(interval)
+        dc_stats = {c.dc_tid: ja.new_stats(ja.DC_STAT_BINS) for c in comps}
+        ac_stats = {c.ac_tid: ja.new_stats(ja.AC_STAT_BINS) for c in comps}
+        fixed = ja.fixed_bin()
+        states = [ja.SeqCompState() for _ in comps]
+        upper = (
+            min(m + restart_interval, n_units) if restart_interval else n_units
+        )
+        while m < upper:
+            my, mx = divmod(m, mcux)
+            if dc_scan:
+                for ci, c in enumerate(comps):
+                    lo, up = dc_cond.get(
+                        c.dc_tid, (ja.DEFAULT_DC_L, ja.DEFAULT_DC_U)
+                    )
+                    for b in range(c.h * c.v if interleaved else 1):
+                        if interleaved:
+                            by, bx = divmod(b, c.h)
+                            bi = (my * c.v + by) * c.bw + mx * c.h + bx
+                        else:
+                            bi = my * c.bw + mx
+                        blk = c.coeffs[bi]
+                        if ah == 0:
+                            v = ja.decode_dc(
+                                dec, dc_stats[c.dc_tid], states[ci], lo, up
+                            )
+                            blk[0] = v << al
+                        else:
+                            if dec.decode(fixed, 0):
+                                blk[0] |= p1
+            else:
+                c = comps[0]
+                kx = ac_cond.get(c.ac_tid, ja.DEFAULT_AC_KX)
+                astats = ac_stats[c.ac_tid]
+                blk = c.coeffs[my * c.bw + mx]
+                if ah == 0:
+                    # AC first scan: sequential model over the band,
+                    # magnitudes point-transformed by Al (G.2.3)
+                    k = ss
+                    while k <= se:
+                        base = 3 * (k - 1)
+                        if dec.decode(astats, base):  # EOB
+                            break
+                        while dec.decode(astats, base + 1) == 0:
+                            base += 3
+                            k += 1
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                        sign = dec.decode(fixed, 0)
+                        i = base + 2
+                        mg = dec.decode(astats, i)
+                        if mg:
+                            if dec.decode(astats, i):
+                                mg = 2
+                                i = 189 if k <= kx else 217
+                                while dec.decode(astats, i):
+                                    mg <<= 1
+                                    if mg == 0x8000:
+                                        raise ValueError(
+                                            "arithmetic AC magnitude overflow"
+                                        )
+                                    i += 1
+                        v = mg
+                        i += 14
+                        mg >>= 1
+                        while mg:
+                            if dec.decode(astats, i):
+                                v |= mg
+                            mg >>= 1
+                        v += 1
+                        blk[zig[k]] = (-v if sign else v) << al
+                        k += 1
+                else:
+                    # AC refinement (G.2.4; control flow mirrors the
+                    # encoder's Figure G.10)
+                    kex = se
+                    while kex > 0 and blk[zig[kex]] == 0:
+                        kex -= 1
+                    k = ss
+                    while k <= se:
+                        base = 3 * (k - 1)
+                        if k > kex and dec.decode(astats, base):
+                            break  # EOB
+                        while True:
+                            z = zig[k]
+                            if blk[z] != 0:  # correction bit
+                                if dec.decode(astats, base + 2):
+                                    blk[z] += m1 if blk[z] < 0 else p1
+                                break
+                            if dec.decode(astats, base + 1):
+                                blk[z] = m1 if dec.decode(fixed, 0) else p1
+                                break
+                            base += 3
+                            k += 1
+                            if k > se:
+                                raise ValueError("AC run past band end")
                         k += 1
             m += 1
 

@@ -454,6 +454,7 @@ def synth_jpeg_media(
     id_col: str = "media_id",
     quality: int = 50,
     scale: int = 1,
+    arithmetic: bool = False,
 ) -> DataFrame:
     """Deterministic REAL baseline-JPEG table over an id column — the lossy
     sibling of ``synth_codec_media``, with the same formula-oracle contract
@@ -472,7 +473,10 @@ def synth_jpeg_media(
     oracle is written at scale=1): every block stays constant-even so the
     bit-exactness holds at any scale — bench-realistic payloads without a
     new contract. ``quality`` != 50 keeps the schema but voids the
-    exactness contract (quantizers change) — bench-only."""
+    exactness contract (quantizers change) — bench-only.
+    ``arithmetic=True`` swaps the entropy layer for SOF9 QM coding
+    (sparkfuse.jpegarith) — entropy packaging only, so the SAME formula
+    contract holds bit-exactly over arithmetic-coded payloads."""
     from sparkfuse.jpeg import encode_jpeg
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -485,7 +489,9 @@ def synth_jpeg_media(
                 by = np.arange(nby)[:, None]
                 vals = (2 * ((mid + 3 * bx + 7 * by) % 128)).astype(np.uint8)
                 img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-                payload = encode_jpeg(img, quality=quality)
+                payload = encode_jpeg(
+                    img, quality=quality, arithmetic=arithmetic
+                )
                 rows.append(
                     {
                         "media_id": mid,

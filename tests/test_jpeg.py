@@ -246,13 +246,17 @@ def test_sixteen_bit_dqt_branch():
 # ---------------------------------------------------------------------------
 
 
-def test_arithmetic_coded_raises_by_name():
-    # progressive (SOF2) decodes for real now; the named-raise boundary
-    # moved to arithmetic coding and the lossless/hierarchical modes
+def test_lossless_raises_by_name():
+    # arithmetic coding (SOF9/SOF10) decodes for real now
+    # (tests/test_jpeg_arith.py); the named-raise boundary moved to the
+    # lossless / hierarchical / differential modes
     buf = bytearray(encode_jpeg(_gradient(16, 16)))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC9
-    with pytest.raises(NotImplementedError, match="arithmetic"):
+    buf[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(bytes(buf))
+    buf[i + 1] = 0xCB
+    with pytest.raises(NotImplementedError, match="arithmetic-coded lossless"):
         decode_jpeg(bytes(buf))
 
 
