@@ -807,8 +807,13 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 5: one driver row certifies the rollup AND the malformed-
     conversation gate — turn_idx contiguity, deterministic first_role
     under duplicated indices, adjacent role repeats, empty/tool-turn
-    counts). Both aggregations hash-partition on the same key, so the
-    join plans with no exchange beyond the two aggs."""
+    counts). Plan shape (audited): one window exchange for the FIXTURE's
+    turn_idx derivation, one hash-agg exchange per side (both partial-agg
+    map-side), and AQE broadcasts the rollup side into the join — both
+    join inputs are per-conversation aggregates, orders of magnitude
+    smaller than the turns table, so the broadcast is the right call at
+    any corpus scale where conversations fit a broadcast; past that the
+    join degrades to SMJ over two already-aggregated sides."""
     from sparkfuse.transcripts import conversation_validity, ordered_rollup
 
     ev = _t(spark, sf_dir, "events")
