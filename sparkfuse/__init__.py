@@ -112,6 +112,11 @@ _SPARK_LAYER = {
     "repetition_stats": ("sparkfuse.repetition", "repetition_stats"),
     "top_gram_counts": ("sparkfuse.repetition", "top_gram_counts"),
     "dup_fraction_gate": ("sparkfuse.repetition", "dup_fraction_gate"),
+    "boilerplate_lines": ("sparkfuse.repetition", "boilerplate_lines"),
+    "strip_boilerplate_lines": (
+        "sparkfuse.repetition",
+        "strip_boilerplate_lines",
+    ),
     "redact_pii": ("sparkfuse.redact", "redact_pii"),
     "pii_stats": ("sparkfuse.redact", "pii_stats"),
     "learn_bpe": ("sparkfuse.bpe", "learn_bpe"),

@@ -318,3 +318,204 @@ def top_gram_counts_oracle_sql(
         f"(SELECT {id_col}, unnest({grams}) AS gram FROM {table}) "
         f"GROUP BY {id_col}, gram) GROUP BY {id_col}"
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate lines (CCNet-style corpus-level line dedup)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level boilerplate census: ``(line, n_docs)`` for every
+    distinct non-empty line at least ``min_chars`` long that appears in at
+    least ``min_docs`` DISTINCT documents (the CCNet-style line-dedup
+    candidate set: headers, navigation menus, license banners — the
+    cross-document complement of the within-document signals above).
+
+    Scale shape: in-document duplicates collapse BEFORE the exchange
+    (``array_distinct`` runs projection-side, so the explode emits each
+    (doc, line) pair once and a plain COUNT(*) is the distinct-document
+    count — no two-pass countDistinct), partial aggregation absorbs hot
+    lines map-side, and the single shuffle carries (line) keys only."""
+    lines = df.select(
+        F.explode(F.array_distinct(_lines_col(text_col))).alias("line")
+    )
+    if min_chars > 1:
+        lines = lines.where(F.length("line") >= min_chars)
+    return (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(min_docs))
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    boilerplate: DataFrame | None = None,
+    min_docs: int = 2,
+    min_chars: int = 1,
+    regime: str = "broadcast",
+    max_broadcast: int = 100_000,
+) -> DataFrame:
+    """Remove the boilerplate lines from every document; returns
+    ``(id_col, text, n_lines_kept, n_lines_stripped)`` where ``text`` is
+    the surviving non-empty lines rejoined by newline in original order
+    (blank lines are canonicalized away — the same lines definition every
+    repetition measurement here uses).
+
+    ``boilerplate`` defaults to ``boilerplate_lines(df, ...)``; pass a
+    precomputed frame (one ``line`` column) to reuse a census across
+    tables or thresholds.
+
+    Two regimes, the probe-planner pattern:
+
+    * ``"broadcast"`` (default): collect the census — loud failure past
+      ``max_broadcast`` lines with the remediation spelled out — and
+      strip as ONE projection over the scan (an InSet per line inside a
+      ``filter`` HOF; the set literal is a hash lookup, legal inside the
+      interpreted lambda). Total cost: the census's single line shuffle;
+      the strip itself adds ZERO exchanges.
+    * ``"join"``: exact at any census size — posexplode to (doc, pos,
+      line), left-anti join against the census, rebuild per document via
+      one sort_array aggregation. Costs one extra shuffle of every line
+      of the corpus plus the per-doc rebuild shuffle; use it when the
+      census genuinely exceeds broadcast (min_docs near 2 over a huge
+      near-duplicate corpus)."""
+    if boilerplate is None:
+        boilerplate = boilerplate_lines(
+            df, id_col, text_col, min_docs=min_docs, min_chars=min_chars
+        )
+    if regime == "broadcast":
+        rows = boilerplate.select("line").limit(max_broadcast + 1).collect()
+        if len(rows) > max_broadcast:
+            raise ValueError(
+                f"boilerplate census exceeds max_broadcast={max_broadcast}; "
+                "raise min_docs/min_chars, raise max_broadcast, or use "
+                'regime="join"'
+            )
+        bl = [r["line"] for r in rows]
+        staged = df.select(
+            F.col(id_col), _lines_col(text_col).alias("_lines")
+        )
+        if bl:
+            kept_col = F.filter("_lines", lambda l: ~l.isin(bl))
+        else:
+            kept_col = F.col("_lines")
+        # staged projections: _lines/_kept are each referenced more than
+        # once below — never inline a non-cheap expression into multiple
+        # use sites that a HOF forces onto the interpreted path (PLANS §28)
+        staged = staged.select(
+            F.col(id_col), F.col("_lines"), kept_col.alias("_kept")
+        )
+        return staged.select(
+            F.col(id_col),
+            F.array_join("_kept", "\n").alias("text"),
+            F.size("_kept").cast("long").alias("n_lines_kept"),
+            (F.size("_lines") - F.size("_kept"))
+            .cast("long")
+            .alias("n_lines_stripped"),
+        )
+    if regime != "join":
+        raise ValueError(f"unknown regime {regime!r}")
+    lines_pos = df.select(
+        F.col(id_col),
+        F.posexplode(_lines_col(text_col)).alias("pos", "line"),
+    )
+    kept = lines_pos.join(boilerplate.select("line"), "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(_lines_col(text_col)).cast("long").alias("_n_total"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long")).alias(
+            "n_lines_kept"
+        ),
+        (
+            F.col("_n_total")
+            - F.coalesce(F.col("n_lines_kept"), F.lit(0).cast("long"))
+        ).alias("n_lines_stripped"),
+    )
+
+
+def _boilerplate_sql(
+    table: str, id_col: str, text_col: str, min_docs: int, min_chars: int
+) -> str:
+    lines = (
+        f"list_filter(string_split({text_col}, chr(10)), l -> l <> '')"
+    )
+    return (
+        f"SELECT line, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ("
+        f"SELECT DISTINCT {id_col}, line FROM "
+        f"(SELECT {id_col}, unnest({lines}) AS line FROM {table}) "
+        f"WHERE length(line) >= {min_chars}"
+        f") GROUP BY line HAVING COUNT(*) >= {min_docs}"
+    )
+
+
+def boilerplate_lines_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> str:
+    """DuckDB twin of ``boilerplate_lines``."""
+    return _boilerplate_sql(table, id_col, text_col, min_docs, min_chars)
+
+
+def strip_boilerplate_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> str:
+    """DuckDB twin of ``strip_boilerplate_lines`` (either regime — the
+    regimes are required to agree bit-for-bit)."""
+    lines = (
+        f"list_filter(string_split({text_col}, chr(10)), l -> l <> '')"
+    )
+    bl = _boilerplate_sql(table, id_col, text_col, min_docs, min_chars)
+    return f"""
+WITH dl AS (
+  SELECT {id_col}, lines,
+         unnest(generate_series(1, len(lines))) AS pos
+  FROM (SELECT {id_col}, {lines} AS lines FROM {table})
+), dlp AS (
+  SELECT {id_col}, pos, lines[pos] AS line FROM dl
+), bl AS ({bl}),
+kept AS (
+  SELECT {id_col}, pos, line FROM dlp
+  WHERE line NOT IN (SELECT line FROM bl)
+), reb AS (
+  SELECT {id_col}, string_agg(line, chr(10) ORDER BY pos) AS text,
+         CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+  FROM kept GROUP BY {id_col}
+)
+SELECT tot.{id_col},
+  coalesce(reb.text, '') AS text,
+  CAST(coalesce(reb.n_lines_kept, 0) AS BIGINT) AS n_lines_kept,
+  CAST(tot.n - coalesce(reb.n_lines_kept, 0) AS BIGINT) AS n_lines_stripped
+FROM (SELECT {id_col}, len({lines}) AS n FROM {table}) tot
+LEFT JOIN reb USING ({id_col})
+"""

@@ -219,3 +219,153 @@ def test_repetition_cols_fuse_with_quality_projection(spark, planted):
     for i in got:
         assert got[i]["n_dup_grams_2"] == ref[i]["n_dup_grams_2"]
         assert got[i]["n_chars_text"] == ref[i]["n_chars_text"]
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate lines (CCNet-style corpus-level line dedup)
+# ---------------------------------------------------------------------------
+
+_BL_PLANTED = [
+    (0, "NAV MENU BAR\nreal content zero\nCOPYRIGHT FOOTER LINE"),
+    (1, "NAV MENU BAR\nunique middle one\nCOPYRIGHT FOOTER LINE"),
+    (2, "NAV MENU BAR\nanother body two"),
+    (3, "NAV MENU BAR\nCOPYRIGHT FOOTER LINE"),      # all-boilerplate doc
+    (4, "ok\nok\nsolo document body"),               # short line, in-doc dup
+    (5, "ok\ntotally different text"),               # 'ok' in 2 docs, short
+    (6, ""),                                          # empty doc
+]
+
+
+@pytest.fixture(scope="module")
+def bl_planted(spark, tmp_path_factory):
+    from sparkfuse.repetition import boilerplate_lines
+
+    df = spark.createDataFrame(_BL_PLANTED, "doc_id long, text string")
+    path = str(tmp_path_factory.mktemp("bl") / "planted.parquet")
+    pd.DataFrame(_BL_PLANTED, columns=["doc_id", "text"]).to_parquet(
+        path, index=False
+    )
+    return df, path
+
+
+def test_boilerplate_lines_hand(spark, bl_planted):
+    from sparkfuse.repetition import boilerplate_lines
+
+    df, _ = bl_planted
+    census = {
+        r["line"]: r["n_docs"]
+        for r in boilerplate_lines(
+            df, "doc_id", "text", min_docs=2, min_chars=3
+        ).collect()
+    }
+    # distinct-document counts: doc 4's in-doc 'ok' duplicate never
+    # double-counts, and min_chars=3 keeps 'ok' out entirely
+    assert census == {"NAV MENU BAR": 4, "COPYRIGHT FOOTER LINE": 3}
+    with_short = {
+        r["line"]: r["n_docs"]
+        for r in boilerplate_lines(
+            df, "doc_id", "text", min_docs=2, min_chars=1
+        ).collect()
+    }
+    assert with_short["ok"] == 2
+
+
+def test_boilerplate_census_matches_duckdb_twin(spark, bl_planted):
+    from sparkfuse.repetition import (
+        boilerplate_lines,
+        boilerplate_lines_oracle_sql,
+    )
+
+    df, path = bl_planted
+    _twin_frames(
+        boilerplate_lines(df, "doc_id", "text", min_docs=2, min_chars=3),
+        boilerplate_lines_oracle_sql(
+            "t", "doc_id", "text", min_docs=2, min_chars=3
+        ),
+        path,
+    )
+
+
+@pytest.mark.parametrize("regime", ["broadcast", "join"])
+def test_strip_boilerplate_hand(spark, bl_planted, regime):
+    from sparkfuse.repetition import strip_boilerplate_lines
+
+    df, _ = bl_planted
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in strip_boilerplate_lines(
+            df, "doc_id", "text", min_docs=2, min_chars=3, regime=regime
+        ).collect()
+    }
+    assert len(rows) == len(_BL_PLANTED)  # every doc survives, even empty
+    assert rows[0]["text"] == "real content zero"
+    assert rows[0]["n_lines_kept"] == 1 and rows[0]["n_lines_stripped"] == 2
+    assert rows[3]["text"] == "" and rows[3]["n_lines_kept"] == 0
+    assert rows[3]["n_lines_stripped"] == 2
+    # 'ok' is under min_chars: kept, and doc 4's in-doc duplicate survives
+    assert rows[4]["text"] == "ok\nok\nsolo document body"
+    assert rows[6]["text"] == "" and rows[6]["n_lines_stripped"] == 0
+
+
+def test_strip_regimes_agree_and_match_duckdb_twin(spark, bl_planted):
+    from sparkfuse.repetition import (
+        strip_boilerplate_lines,
+        strip_boilerplate_oracle_sql,
+    )
+
+    df, path = bl_planted
+    for regime in ("broadcast", "join"):
+        _twin_frames(
+            strip_boilerplate_lines(
+                df, "doc_id", "text", min_docs=2, min_chars=3, regime=regime
+            ),
+            strip_boilerplate_oracle_sql(
+                "t", "doc_id", "text", min_docs=2, min_chars=3
+            ),
+            path,
+        )
+
+
+def test_strip_boilerplate_organic_twin(spark, tmp_path):
+    """Organic corpus, min_docs=2: any naturally repeated line across the
+    synthetic documents is stripped identically in both engines."""
+    from sparkfuse.repetition import (
+        strip_boilerplate_lines,
+        strip_boilerplate_oracle_sql,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    path = str(tmp_path / "docs.parquet")
+    docs.toPandas().to_parquet(path, index=False)
+    _twin_frames(
+        strip_boilerplate_lines(docs, "doc_id", "text", min_docs=2),
+        strip_boilerplate_oracle_sql("t", "doc_id", "text", min_docs=2),
+        path,
+    )
+
+
+def test_strip_broadcast_is_projection_only(spark, bl_planted):
+    """With the census collected, the broadcast-regime strip plans with
+    ZERO exchanges — boilerplate removal rides the scan like the other
+    repetition gates."""
+    from sparkfuse.repetition import strip_boilerplate_lines
+
+    df, _ = bl_planted
+    out = strip_boilerplate_lines(
+        df, "doc_id", "text", min_docs=2, min_chars=3, regime="broadcast"
+    )
+    assert exchange_count(out) == 0
+
+
+def test_strip_broadcast_budget_raises(spark, bl_planted):
+    from sparkfuse.repetition import strip_boilerplate_lines
+
+    df, _ = bl_planted
+    with pytest.raises(ValueError, match="max_broadcast"):
+        strip_boilerplate_lines(
+            df, "doc_id", "text", min_docs=2, min_chars=1, max_broadcast=1
+        )
