@@ -235,6 +235,9 @@ def curate_transcripts(
     holdout_fraction: float = 0.1,
     n: int = 13,
     spark=None,
+    require_contiguous: bool = False,
+    max_role_repeats: int | None = None,
+    max_empty_turns: int | None = None,
 ) -> DataFrame:
     """Conversation-level curation over the input_hint transcript shape —
     the transcripts twin of ``pipeline.curate_documents``, composed from the
@@ -259,20 +262,45 @@ def curate_transcripts(
        (``sampling.split_by_hash``) — a conversation held out here is held
        out of every table sharing conv_id.
 
+    Stage 0 (optional, off by default): VALIDITY GATE via
+    ``conversation_validity`` — ``require_contiguous=True`` drops
+    conversations whose turn_idx values are not exactly 0..n-1 (gaps AND
+    duplicates), ``max_role_repeats``/``max_empty_turns`` bound adjacent
+    same-role pairs and blank/NULL turns. The gate runs BEFORE dedup on
+    purpose: a malformed conversation must never win the MIN-conv_id
+    canonical race against its well-formed duplicate (pinned in tests).
+
     Returns the curated TURNS (all original columns) plus a ``split``
     column ('train' | 'holdout').
 
-    Scale shape: stage 1 is one shuffle of turns by conv_id (the rollup)
-    plus a conv-granularity digest agg; stage 2 is the decontam plan
-    (prescreen before the first exchange, PLANS.md §14); stage 3 is a
-    stateless codegen filter. Nothing is driver-side; no stage is
-    quadratic.
+    Scale shape: stage 0 is one conv_id aggregation (scalars partial-agg
+    map-side) + a semi join; stage 1 is one shuffle of turns by conv_id
+    (the rollup) plus a conv-granularity digest agg; stage 2 is the
+    decontam plan (prescreen before the first exchange, PLANS.md §14);
+    stage 3 is a stateless codegen filter. Nothing is driver-side; no
+    stage is quadratic.
     """
     from sparkfuse.decontam import contamination_check
     from sparkfuse.sampling import holdout_flag
 
     if "_sf_marked_text" in transcripts.columns:
         raise ValueError("input already has a '_sf_marked_text' column (reserved)")
+    if (
+        require_contiguous
+        or max_role_repeats is not None
+        or max_empty_turns is not None
+    ):
+        val = conversation_validity(transcripts)
+        bad = F.lit(False)
+        if require_contiguous:
+            bad = bad | ~F.col("turn_idx_contiguous")
+        if max_role_repeats is not None:
+            bad = bad | (F.col("n_role_repeats") > max_role_repeats)
+        if max_empty_turns is not None:
+            bad = bad | (F.col("n_empty_turns") > max_empty_turns)
+        transcripts = transcripts.join(
+            val.where(~bad).select("conv_id"), "conv_id", "left_semi"
+        )
     marked = transcripts.withColumn(
         "_sf_marked_text",
         F.coalesce(F.concat(F.lit("\x02"), F.col("text")), F.lit("\x01")),

@@ -315,3 +315,89 @@ def test_curate_transcripts_full_duckdb_twin(spark, tr, tmp_path):
     # ...and both splits are non-empty (content-keyed fence applied)
     splits = {s for _, _, s in got}
     assert splits == {"train", "holdout"}
+
+
+def test_curate_transcripts_validity_gate(spark, tmp_path):
+    """The optional stage-0 validity gate: malformed conversations drop
+    BEFORE dedup (a malformed conversation must never win the MIN-conv_id
+    canonical race against its well-formed duplicate), and the whole gated
+    pipeline is re-derived in DuckDB via conversation_validity_oracle_sql
+    + the same dedup/split twins."""
+    import duckdb
+
+    from sparkfuse.transcripts import (
+        conversation_validity_oracle_sql,
+        curate_transcripts,
+    )
+
+    rows = [
+        # 'a-bad' duplicates 'b-good' content but has a turn_idx gap; it
+        # sorts FIRST, so without the gate it would become the canonical
+        ("a-bad", 0, "user", "hello", None, None),
+        ("a-bad", 2, "assistant", "world", None, None),
+        ("b-good", 0, "user", "hello", None, None),
+        ("b-good", 1, "assistant", "world", None, None),
+        # role-repeat offender (2 adjacent same-role pairs)
+        ("c-rep", 0, "user", "x", None, None),
+        ("c-rep", 1, "user", "y", None, None),
+        ("c-rep", 2, "user", "z", None, None),
+        # empty-turn offender (2 blank turns)
+        ("d-empty", 0, "user", " ", None, None),
+        ("d-empty", 1, "assistant", None, None, None),
+        ("d-empty", 2, "user", "ok", None, None),
+        # clean conversation
+        ("e-ok", 0, "user", "fine", None, None),
+        ("e-ok", 1, "assistant", "good", None, None),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, extra string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "turns")
+    df.write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+
+    out = curate_transcripts(
+        df,
+        holdout_fraction=0.25,
+        require_contiguous=True,
+        max_role_repeats=1,
+        max_empty_turns=1,
+    )
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["split"]) for r in out.collect()
+    )
+    kept = {c for c, _, _ in got}
+    # the well-formed duplicate is the canonical; offenders are gone
+    assert kept == {"b-good", "e-ok"}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW tr_all AS SELECT * FROM '{src}/*.parquet'")
+    val = conversation_validity_oracle_sql("tr_all")
+    threshold = int(0.25 * 16**8)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+WITH valid AS (
+  SELECT conv_id FROM ({val}) v
+  WHERE v.turn_idx_contiguous AND v.n_role_repeats <= 1
+    AND v.n_empty_turns <= 1
+), gated AS (
+  SELECT * FROM tr_all WHERE conv_id IN (SELECT conv_id FROM valid)
+), rolled AS (
+  SELECT conv_id,
+    string_agg(coalesce(chr(2) || text, chr(1)), chr(30)
+               ORDER BY turn_idx, coalesce(chr(2) || text, chr(1))) AS content
+  FROM gated GROUP BY conv_id
+), keep AS (SELECT MIN(conv_id) AS conv_id FROM rolled GROUP BY content)
+SELECT conv_id, turn_idx,
+  CASE WHEN CAST(('0x' || substr(md5(concat_ws(chr(31), '0',
+       chr(2) || conv_id)), 1, 8)) AS BIGINT) < {threshold}
+       THEN 'holdout' ELSE 'train' END AS split
+FROM gated WHERE conv_id IN (SELECT conv_id FROM keep)
+"""
+        ).fetchall()
+    )
+    assert got == want
