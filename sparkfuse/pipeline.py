@@ -36,15 +36,25 @@ def curate_documents(
     max_dup_line_frac: float | None = None,
     max_dup_gram_frac: float | None = None,
     dup_gram_n: int = 3,
+    strip_boilerplate_min_docs: int | None = None,
+    boilerplate_min_chars: int = 1,
 ) -> DataFrame:
-    """Returns the curated (kept) ids after [redact →] dedup → quality
-    [→ repetition gate] → near-dup drop.
+    """Returns the curated (kept) ids after [redact → strip-boilerplate →]
+    dedup → quality [→ repetition gate] → near-dup drop.
 
     ``redact=True`` applies PII redaction (sparkfuse.redact) FIRST, so
     every later stage fingerprints/shingles the redacted text — two
     documents differing only in the PII they carry become duplicates, the
     correct curation semantics (and the reason redaction cannot run
     after dedup). Costs one codegen projection; no extra exchange.
+
+    ``strip_boilerplate_min_docs`` enables CROSS-document boilerplate line
+    removal (sparkfuse.repetition.strip_boilerplate_lines, broadcast
+    regime) after redaction and before dedup — two documents differing
+    only in shared boilerplate (headers, navigation, license banners)
+    become exact duplicates, for the same reason redaction runs first.
+    Costs the census's one line shuffle; the strip itself is a
+    zero-exchange projection.
 
     ``max_dup_line_frac`` / ``max_dup_gram_frac`` enable the Gopher-style
     within-document repetition gates (sparkfuse.repetition): drop a
@@ -70,6 +80,16 @@ def curate_documents(
         from sparkfuse.redact import redact_pii
 
         docs = redact_pii(docs, text_col)
+    if strip_boilerplate_min_docs is not None:
+        from sparkfuse.repetition import strip_boilerplate_lines
+
+        docs = strip_boilerplate_lines(
+            docs,
+            id_col,
+            text_col,
+            min_docs=strip_boilerplate_min_docs,
+            min_chars=boilerplate_min_chars,
+        ).select(F.col(id_col), F.col("text").alias(text_col))
     # exact_dedup groups on the 128-bit fingerprint (two xxhash64 lanes), so
     # this stage shuffles 16 bytes + id per row, never document bodies.
     # 128-bit keeps fingerprint-equality ≡ text-equality even at 10^12 docs
@@ -118,12 +138,16 @@ def curate_documents_oracle_sql(
     max_dup_line_frac: float | None = None,
     max_dup_gram_frac: float | None = None,
     dup_gram_n: int = 3,
+    strip_boilerplate_min_docs: int | None = None,
+    boilerplate_min_chars: int = 1,
 ) -> str:
     """DuckDB twin of curate_documents (scale=False path). The components
     policy is expressed as a recursive CTE (min reachable id per node);
     ``redact=True`` prefixes the same RE2 redaction chain the Spark side
     applies (sparkfuse.redact's cross-engine pattern contract); the
-    repetition-gate params add the identical boolean predicate to kept2."""
+    repetition-gate params add the identical boolean predicate to kept2;
+    ``strip_boilerplate_min_docs`` prefixes the strip twin in the same
+    redact-then-strip-then-dedup order the Spark side composes."""
     from sparkfuse.dedup import ngram_jaccard_pairs_oracle_sql
     from sparkfuse.repetition import dup_fraction_gate_sql
 
@@ -132,6 +156,17 @@ def curate_documents_oracle_sql(
 
         inner = redact_oracle_sql(table, id_col, text_col)
         table = f"(SELECT {id_col}, redacted AS {text_col} FROM ({inner}))"
+    if strip_boilerplate_min_docs is not None:
+        from sparkfuse.repetition import strip_boilerplate_oracle_sql
+
+        inner = strip_boilerplate_oracle_sql(
+            table,
+            id_col,
+            text_col,
+            min_docs=strip_boilerplate_min_docs,
+            min_chars=boilerplate_min_chars,
+        )
+        table = f"(SELECT {id_col}, text AS {text_col} FROM ({inner}))"
 
     toks = f"string_split_regex(trim({text_col}), '{TOKEN_SPLIT}')"
     pairs = ngram_jaccard_pairs_oracle_sql("kept2", id_col, text_col)

@@ -369,3 +369,55 @@ def test_strip_broadcast_budget_raises(spark, bl_planted):
         strip_boilerplate_lines(
             df, "doc_id", "text", min_docs=2, min_chars=1, max_broadcast=1
         )
+
+
+def test_curate_documents_boilerplate_stage(spark, tmp_path):
+    """strip_boilerplate_min_docs composes into curate_documents BEFORE
+    dedup: two documents differing only in shared boilerplate become
+    exact duplicates and collapse to the min id — and the full gated
+    pipeline matches the composed DuckDB twin."""
+    import duckdb
+
+    from sparkfuse.pipeline import (
+        curate_documents,
+        curate_documents_oracle_sql,
+    )
+
+    rows = [
+        # same body, different boilerplate headers; each header is shared
+        # by >= 3 docs while the shared body sits in only 2, so at
+        # min_docs=3 the headers strip and the bodies survive -> docs 10
+        # and 11 become exact duplicates after the strip
+        (10, "SITE NAV ALPHA\ncommon body words here for quality gate"),
+        (11, "SITE NAV BETA\ncommon body words here for quality gate"),
+        (12, "SITE NAV ALPHA\nSITE NAV BETA\nunique body twelve with words"),
+        (13, "SITE NAV ALPHA\nanother unique body thirteen some words"),
+        (14, "SITE NAV BETA\nyet another body fourteen has words too"),
+        (15, "no boilerplate at all fifteen plenty of words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "docs.parquet")
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        path, index=False
+    )
+
+    kept = sorted(
+        r["doc_id"]
+        for r in curate_documents(
+            df, "doc_id", "text", strip_boilerplate_min_docs=3
+        ).collect()
+    )
+    # 10/11 collapse to 10 once their headers are stripped
+    assert 10 in kept and 11 not in kept
+
+    con = duckdb.connect()
+    con.sql(f"create view t as select * from '{path}'")
+    want = sorted(
+        r[0]
+        for r in con.sql(
+            curate_documents_oracle_sql(
+                "t", "doc_id", "text", strip_boilerplate_min_docs=3
+            )
+        ).fetchall()
+    )
+    assert kept == want
