@@ -158,16 +158,26 @@ def pii_stats_oracle_sql(
     )
 
 
-def redact_oracle_sql(
-    table: str, id_col: str, text_col: str, kinds=_KINDS
-) -> str:
-    """DuckDB twin of ``redact_pii`` — the same ordered regexp_replace
-    chain with RE2's 'g' flag (Spark's regexp_replace is global by
-    default; DuckDB's replaces only the first match without it)."""
-    expr = text_col
+def redact_expr_sql(text_sql: str, kinds=_KINDS) -> str:
+    """The redaction chain as one inline DuckDB expression over
+    ``text_sql`` — RE2's 'g' flag per pattern (Spark's regexp_replace is
+    global by default; DuckDB's replaces only the first match without
+    it). Lets twins compose redaction into multi-column pipelines where
+    the table has no single-row key (e.g. transcript turns)."""
+    expr = text_sql
     for kind, pat in _pattern_map(kinds):
         expr = (
             f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39) * 2)}', "
             f"'<{kind.upper()}>', 'g')"
         )
-    return f"SELECT {id_col}, {expr} AS redacted FROM {table}"
+    return expr
+
+
+def redact_oracle_sql(
+    table: str, id_col: str, text_col: str, kinds=_KINDS
+) -> str:
+    """DuckDB twin of ``redact_pii``."""
+    return (
+        f"SELECT {id_col}, {redact_expr_sql(text_col, kinds)} AS redacted "
+        f"FROM {table}"
+    )

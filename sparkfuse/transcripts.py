@@ -238,6 +238,7 @@ def curate_transcripts(
     require_contiguous: bool = False,
     max_role_repeats: int | None = None,
     max_empty_turns: int | None = None,
+    redact: bool = False,
 ) -> DataFrame:
     """Conversation-level curation over the input_hint transcript shape —
     the transcripts twin of ``pipeline.curate_documents``, composed from the
@@ -262,6 +263,13 @@ def curate_transcripts(
        (``sampling.split_by_hash``) — a conversation held out here is held
        out of every table sharing conv_id.
 
+    ``redact=True`` applies turn-level PII redaction (sparkfuse.redact)
+    before EVERYTHING — like ``curate_documents(redact=True)``, two
+    conversations differing only in the PII they carry must become
+    duplicates, so redaction precedes the content digest (and the
+    decontamination n-grams run over redacted turns, matching what the
+    curated corpus will actually train on). One codegen projection.
+
     Stage 0 (optional, off by default): VALIDITY GATE via
     ``conversation_validity`` — ``require_contiguous=True`` drops
     conversations whose turn_idx values are not exactly 0..n-1 (gaps AND
@@ -285,6 +293,10 @@ def curate_transcripts(
 
     if "_sf_marked_text" in transcripts.columns:
         raise ValueError("input already has a '_sf_marked_text' column (reserved)")
+    if redact:
+        from sparkfuse.redact import redact_pii
+
+        transcripts = redact_pii(transcripts, "text")
     if (
         require_contiguous
         or max_role_repeats is not None

@@ -401,3 +401,67 @@ FROM gated WHERE conv_id IN (SELECT conv_id FROM keep)
         ).fetchall()
     )
     assert got == want
+
+
+def test_curate_transcripts_redact_before_dedup(spark, tmp_path):
+    """redact=True: conversations differing only in the PII they carry
+    become duplicates (the min conv_id survives with redacted turns), and
+    the redacted pipeline matches the composed DuckDB twin inline-expr
+    for inline-expr."""
+    import duckdb
+
+    from sparkfuse.redact import redact_expr_sql
+    from sparkfuse.transcripts import curate_transcripts
+
+    rows = [
+        ("p-one", 0, "user", "mail me at alice@example.com please", None, None),
+        ("p-one", 1, "assistant", "done", None, None),
+        ("p-two", 0, "user", "mail me at bob@other.org please", None, None),
+        ("p-two", 1, "assistant", "done", None, None),
+        ("q-solo", 0, "user", "nothing sensitive here", None, None),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, extra string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "turns")
+    df.write.mode("overwrite").parquet(src)
+    df = spark.read.parquet(src)
+
+    out = curate_transcripts(df, holdout_fraction=0.25, redact=True)
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"], r["split"])
+        for r in out.collect()
+    )
+    kept = {c for c, _, _, _ in got}
+    assert kept == {"p-one", "q-solo"}  # p-two deduped after redaction
+    assert all(
+        "<EMAIL>" in t for c, _, t, _ in got if c == "p-one" and "mail" in t
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW tr_all AS SELECT * FROM '{src}/*.parquet'")
+    red = redact_expr_sql("text")
+    threshold = int(0.25 * 16**8)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+WITH redacted AS (
+  SELECT conv_id, turn_idx, {red} AS text FROM tr_all
+), rolled AS (
+  SELECT conv_id,
+    string_agg(coalesce(chr(2) || text, chr(1)), chr(30)
+               ORDER BY turn_idx, coalesce(chr(2) || text, chr(1))) AS content
+  FROM redacted GROUP BY conv_id
+), keep AS (SELECT MIN(conv_id) AS conv_id FROM rolled GROUP BY content)
+SELECT conv_id, turn_idx, text,
+  CASE WHEN CAST(('0x' || substr(md5(concat_ws(chr(31), '0',
+       chr(2) || conv_id)), 1, 8)) AS BIGINT) < {threshold}
+       THEN 'holdout' ELSE 'train' END AS split
+FROM redacted WHERE conv_id IN (SELECT conv_id FROM keep)
+"""
+        ).fetchall()
+    )
+    assert got == want
