@@ -178,6 +178,24 @@ def main_bench():
         ).count(),
     )
     extra["transcripts_curate_turns_per_sec"] = n_tr / t
+
+    # HIGH-cardinality grouped HLL: distinct-text estimate per conv_id
+    # (~10k skewed groups). Viable only because HLL partials serialize
+    # SPARSE (5 bytes/nonzero register): the per-(partition, group) state
+    # shuffle is proportional to turns seen, not groups x 16 KB dense
+    # blocks (~160 MB/partition it would otherwise ship at p=14).
+    from sparkfuse.sketches import grouped_hll
+
+    def run_grouped_hll():
+        return grouped_hll(
+            tr_cur.select("conv_id", F.xxhash64("text").alias("tkey")),
+            ["conv_id"],
+            "tkey",
+        ).count()
+
+    t, n_groups = bench_row("grouped_hll_per_conv_200k", run_grouped_hll)
+    extra["grouped_hll_groups"] = float(n_groups)
+    extra["grouped_hll_turns_per_sec"] = n_tr / t
     tr_cur.unpersist()
 
     # routed probe: forest deliberately sized PAST the 10 MB default

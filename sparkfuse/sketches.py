@@ -96,11 +96,49 @@ class HyperLogLog:
         return float(e)
 
     def to_bytes(self) -> bytes:
-        return self.registers.tobytes()
+        """Smaller of two LOSSLESS encodings, chosen deterministically:
+
+        - DENSE: the raw m register bytes (exactly ``params.m`` long).
+        - SPARSE: ``b'\\x01' + uint32 nnz + nnz*uint32 idx (sorted) +
+          nnz*uint8 rank`` — 5 bytes per NONZERO register.
+
+        The sparse form is what makes high-cardinality grouped HLL viable
+        at 10^12-turn scale: a per-(partition, group) partial over a few
+        dozen turns serializes to ~hundreds of bytes instead of a fixed
+        16 KB (p=14) dense block, so the partial-state shuffle stays
+        proportional to data seen, not to 2^p × groups (the HLL++ sparse
+        idea, Heule et al. 2013 — same register precision here, so the
+        estimate is bit-identical to dense). Dispatch is unambiguous for
+        every p: a sparse payload is 5 + 5·nnz bytes and 2^p ≢ 0 (mod 5),
+        so only the dense form can ever be exactly m bytes long — which
+        also keeps every pre-existing dense checkpoint readable."""
+        nnz = int(np.count_nonzero(self.registers))
+        if 5 + 5 * nnz >= self.params.m:
+            return self.registers.tobytes()
+        idx = np.flatnonzero(self.registers).astype(np.uint32)
+        return (
+            b"\x01"
+            + np.uint32(nnz).tobytes()
+            + idx.astype("<u4").tobytes()
+            + self.registers[idx].tobytes()
+        )
 
     @classmethod
     def from_bytes(cls, params: HllParams, data: bytes) -> "HyperLogLog":
-        return cls(params, np.frombuffer(data, dtype=np.uint8).copy())
+        if len(data) == params.m:  # dense raw (legacy and large-state form)
+            return cls(params, np.frombuffer(data, dtype=np.uint8).copy())
+        if not data or data[0] != 1:
+            raise ValueError(
+                f"HLL state is neither {params.m} dense bytes nor sparse-tagged"
+            )
+        nnz = int(np.frombuffer(data, dtype="<u4", count=1, offset=1)[0])
+        if len(data) != 5 + 5 * nnz:
+            raise ValueError("sparse HLL state length mismatch")
+        idx = np.frombuffer(data, dtype="<u4", count=nnz, offset=5).astype(np.int64)
+        ranks = np.frombuffer(data, dtype=np.uint8, count=nnz, offset=5 + 4 * nnz)
+        registers = np.zeros(params.m, dtype=np.uint8)
+        registers[idx] = ranks
+        return cls(params, registers)
 
     @property
     def relative_std_error(self) -> float:
@@ -270,11 +308,14 @@ def _grouped_states(
     a 10^12-row corpus needs for per-slice statistics.
 
     Cardinality regime: built for LOW-cardinality group keys (slices —
-    event types, languages, sources), where partitions × groups × KB-state
+    event types, languages, sources), where partitions × groups × state
     is tiny next to the rows it replaces. For high-cardinality grouping
-    (per-user), a fixed-KB state per (partition, group) EXCEEDS the rows it
-    summarizes — use the built-in ``approx_count_distinct`` in a plain
-    groupBy there (its HLL state starts sparse), or aggregate exactly.
+    (per-user, per-conv_id) the fixed-size kinds (t-digest/KLL/CMS) still
+    exceed the rows they summarize — aggregate exactly there — but HLL
+    partials now serialize SPARSE (5 bytes per nonzero register, see
+    ``HyperLogLog.to_bytes``), so grouped_hll's shuffle stays proportional
+    to data seen per (partition, group) and the high-cardinality case is
+    first-class rather than deferred to ``approx_count_distinct``.
     The value of these from-scratch states over the built-in is that they
     are persistable/resumable artifacts: write the partial-state table,
     merge later, ship cross-system (north_rule: mergeable UDAFs from

@@ -46,6 +46,63 @@ def test_hll_small_range_linear_counting():
     assert abs(h.estimate() - 100) <= 3
 
 
+def test_hll_sparse_serialization_bit_exact_and_small():
+    # a per-(partition, group) partial over a few dozen turns must NOT ship
+    # a dense 16 KB block — the sparse form is 5 bytes per nonzero register
+    keys = rand_keys(40, 11)
+    h = HyperLogLog()
+    h.add(keys)
+    data = h.to_bytes()
+    nnz = int(np.count_nonzero(h.registers))
+    assert data[0] == 1 and len(data) == 5 + 5 * nnz  # sparse-tagged
+    assert len(data) <= 5 + 5 * 40 < HllParams().m
+    back = HyperLogLog.from_bytes(HllParams(), data)
+    assert np.array_equal(back.registers, h.registers)  # lossless
+    assert back.estimate() == h.estimate()
+
+
+def test_hll_serialization_crossover_to_dense():
+    # past the crossover the dense raw form (exactly m bytes) wins; the
+    # m-byte length is also the legacy-checkpoint format, so old sinks load
+    p = HllParams(p=6)  # m=64: crossover at nnz >= 12 nonzero registers
+    h = HyperLogLog(p)
+    h.add(rand_keys(5_000, 12))
+    data = h.to_bytes()
+    assert len(data) == p.m and data == h.registers.tobytes()
+    back = HyperLogLog.from_bytes(p, data)
+    assert np.array_equal(back.registers, h.registers)
+
+
+def test_hll_sparse_dense_dispatch_unambiguous_for_all_p():
+    # dispatch is on len(data) == m; a sparse payload is 5·(nnz+1) bytes and
+    # 2^p is never divisible by 5, so the two forms can never collide
+    for p in range(4, 22):
+        assert (1 << p) % 5 != 0
+
+
+def test_hll_merge_across_serialized_forms():
+    sparse_side, dense_side = HyperLogLog(), HyperLogLog()
+    sparse_side.add(rand_keys(30, 13))
+    dense_side.add(rand_keys(200_000, 14))
+    a = HyperLogLog.from_bytes(HllParams(), sparse_side.to_bytes())
+    b = HyperLogLog.from_bytes(HllParams(), dense_side.to_bytes())
+    assert np.array_equal(
+        a.merge(b).registers, sparse_side.merge(dense_side).registers
+    )
+
+
+def test_hll_from_bytes_rejects_corrupt_state():
+    import pytest
+
+    h = HyperLogLog()
+    h.add(rand_keys(10, 15))
+    data = h.to_bytes()
+    with pytest.raises(ValueError):
+        HyperLogLog.from_bytes(HllParams(), data[:-1])  # truncated sparse
+    with pytest.raises(ValueError):
+        HyperLogLog.from_bytes(HllParams(), b"\x02" + data[1:])  # bad tag
+
+
 def test_cms_point_queries_within_bound():
     # zipf-ish: key i appears ~ n/(i+1) times
     reps = (200_000 / (np.arange(200) + 1)).astype(np.int64)
