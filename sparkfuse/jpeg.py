@@ -1318,11 +1318,37 @@ def _decode_progressive_scan_arith(
             m += 1
 
 
+def _first_sof_marker(buf: bytes) -> int | None:
+    """Marker byte of the first SOFn segment (0xC0..0xCF minus DHT/JPG/DAC),
+    walking the segment chain without decoding — the frame-type dispatch."""
+    i = 2
+    while i + 3 < len(buf):
+        if buf[i] != 0xFF:
+            return None
+        m = buf[i + 1]
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            return m
+        if m == 0xD9 or m == 0xDA:
+            return None
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", buf[i + 2 : i + 4])
+        i += 2 + seglen
+    return None
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """uint8 pixels from baseline JPEG bytes: (H, W) for grayscale, (H, W,
     3) RGB for 3-component streams (JFIF YCbCr convention; an Adobe APP14
     transform=0 marker means the components are already RGB and is
-    honored). See module docstring for the validated envelope."""
+    honored). SOF3 (lossless) streams dispatch to sparkfuse.jpegll and
+    return exact samples (uint16 past 8-bit precision, components
+    verbatim). See module docstring for the validated envelope."""
+    if _first_sof_marker(bytes(payload)) == 0xC3:
+        from sparkfuse.jpegll import decode_jpeg_lossless
+
+        return decode_jpeg_lossless(payload)
     comps, qtables, W, H, adobe_transform = _decode_to_coefficients(payload)
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)

@@ -246,17 +246,17 @@ def test_sixteen_bit_dqt_branch():
 # ---------------------------------------------------------------------------
 
 
-def test_lossless_raises_by_name():
-    # arithmetic coding (SOF9/SOF10) decodes for real now
-    # (tests/test_jpeg_arith.py); the named-raise boundary moved to the
-    # lossless / hierarchical / differential modes
+def test_remaining_modes_raise_by_name():
+    # arithmetic coding (SOF9/SOF10) and Huffman lossless (SOF3,
+    # tests/test_jpeg_lossless.py) decode for real now; the named-raise
+    # boundary moved to arithmetic-lossless / hierarchical / differential
     buf = bytearray(encode_jpeg(_gradient(16, 16)))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC3
-    with pytest.raises(NotImplementedError, match="lossless"):
-        decode_jpeg(bytes(buf))
     buf[i + 1] = 0xCB
-    with pytest.raises(NotImplementedError, match="arithmetic-coded lossless"):
+    with pytest.raises(NotImplementedError, match="arithmetic.*lossless"):
+        decode_jpeg(bytes(buf))
+    buf[i + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="differential"):
         decode_jpeg(bytes(buf))
 
 
