@@ -61,24 +61,7 @@ class HyperLogLog:
         )
 
     def add(self, keys: np.ndarray) -> None:
-        h = murmur64(to_u64(np.asarray(keys)))
-        p = self.params.p
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = h << np.uint64(p)  # remaining 64-p bits at the top
-        # rank = leading zeros of `rest` + 1, capped at 64-p+1 (rest==0)
-        lz = np.full(len(h), 64 - p, dtype=np.uint8)
-        nz = rest != 0
-        # count leading zeros via float64 exponent trick is lossy; use
-        # bit-length: lz = 64 - bit_length(rest)
-        bl = np.zeros(len(h), dtype=np.uint8)
-        r = rest[nz]
-        # bit_length via log2 is unsafe at 2^53; do it in halves
-        hi = (r >> np.uint64(32)).astype(np.uint32)
-        lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        bl_hi = np.where(hi != 0, 32 + _bit_length32(hi), _bit_length32(lo))
-        bl[nz] = bl_hi.astype(np.uint8)
-        lz[nz] = (64 - bl[nz]).astype(np.uint8)
-        rank = (lz + 1).astype(np.uint8)
+        idx, rank = hll_idx_rank(keys, self.params.p)
         np.maximum.at(self.registers, idx, rank)
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
@@ -143,6 +126,61 @@ class HyperLogLog:
     @property
     def relative_std_error(self) -> float:
         return 1.04 / math.sqrt(self.params.m)
+
+
+def merge_hll_states(states, params: HllParams) -> np.ndarray:
+    """Register-max merge of serialized HLL states (either wire form) into
+    one dense register array — without densifying each sparse state
+    individually: sparse payloads are scattered once, together, onto the
+    (possibly dense-merged) result. Same validation as ``from_bytes``."""
+    m = params.m
+    dense: list[np.ndarray] = []
+    sp_idx: list[np.ndarray] = []
+    sp_rank: list[np.ndarray] = []
+    for b in states:
+        b = bytes(b)
+        if len(b) == m:
+            dense.append(np.frombuffer(b, dtype=np.uint8))
+            continue
+        if not b or b[0] != 1:
+            raise ValueError(
+                f"HLL state is neither {m} dense bytes nor sparse-tagged"
+            )
+        nnz = int(np.frombuffer(b, dtype="<u4", count=1, offset=1)[0])
+        if len(b) != 5 + 5 * nnz:
+            raise ValueError("sparse HLL state length mismatch")
+        sp_idx.append(np.frombuffer(b, dtype="<u4", count=nnz, offset=5).astype(np.int64))
+        sp_rank.append(np.frombuffer(b, dtype=np.uint8, count=nnz, offset=5 + 4 * nnz))
+    reg = (
+        np.maximum.reduce(dense).copy() if dense else np.zeros(m, dtype=np.uint8)
+    )
+    if sp_idx:
+        np.maximum.at(reg, np.concatenate(sp_idx), np.concatenate(sp_rank))
+    return reg
+
+
+def hll_idx_rank(keys: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register index, rank) for each key — the HLL update decomposed so
+    grouped aggregation can compute it once, vectorized, across ALL groups
+    in a batch instead of once per group."""
+    h = murmur64(to_u64(np.asarray(keys)))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining 64-p bits at the top
+    # rank = leading zeros of `rest` + 1, capped at 64-p+1 (rest==0)
+    lz = np.full(len(h), 64 - p, dtype=np.uint8)
+    nz = rest != 0
+    # count leading zeros via float64 exponent trick is lossy; use
+    # bit-length: lz = 64 - bit_length(rest)
+    bl = np.zeros(len(h), dtype=np.uint8)
+    r = rest[nz]
+    # bit_length via log2 is unsafe at 2^53; do it in halves
+    hi = (r >> np.uint64(32)).astype(np.uint32)
+    lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    bl_hi = np.where(hi != 0, 32 + _bit_length32(hi), _bit_length32(lo))
+    bl[nz] = bl_hi.astype(np.uint8)
+    lz[nz] = (64 - bl[nz]).astype(np.uint8)
+    rank = (lz + 1).astype(np.uint8)
+    return idx, rank
 
 
 def _bit_length32(x: np.ndarray) -> np.ndarray:
@@ -382,24 +420,122 @@ def grouped_hll(
     params: HllParams | None = None,
 ) -> DataFrame:
     """Count-distinct estimate per group (HLL registers merged register-max).
-    Returns group_cols + ``n_distinct_est`` double. Error: 1.04/sqrt(m)."""
+    Returns group_cols + ``n_distinct_est`` double. Error: 1.04/sqrt(m).
+
+    High-cardinality fast path: unlike the generic ``_grouped_states``
+    (one Python ``add`` per (group, batch) sub-frame AND one
+    ``applyInPandas`` invocation per group — fine for a handful of
+    slices, ~ms-per-group overhead at 10k+ groups), both stages here are
+    vectorized ACROSS groups. Partial: one murmur/idx/rank pass over the
+    whole Arrow batch (``hll_idx_rank``), then a lexsort reduce to
+    max-rank per (group, register), states built directly in the sparse
+    wire format ``HyperLogLog.to_bytes`` defines (bit-identical: sorted
+    nonzero registers). Final: a JVM ``collect_list`` aggregation (true
+    partial+final shuffle agg of KB states — never one pandas group per
+    output row) feeding a batch pandas UDF that merges register-max and
+    estimates; max-merge is commutative/associative, so dropping the
+    per-partition ordering the order-sensitive kinds need keeps results
+    deterministic. Estimates are bit-identical to the per-group
+    ``HyperLogLog`` path (same registers, same float summation)."""
     from pyspark.sql.types import DoubleType
 
     params = params or HllParams()
+    p, m = params.p, params.m
 
     gfields = [df.schema[c] for c in group_cols]
-    out_schema = StructType(
-        list(gfields) + [StructField("n_distinct_est", DoubleType(), False)]
+    partial_schema = StructType(
+        list(gfields) + [StructField("state", BinaryType(), False)]
     )
-    return _grouped_states(
-        df, group_cols, key_col,
-        make=lambda: HyperLogLog(params),
-        add=lambda s, k: s.add(k),
-        merge=lambda a, b: a.merge(b),
-        to_bytes=lambda s: s.to_bytes(),
-        from_bytes=lambda b: HyperLogLog.from_bytes(params, b),
-        finish_schema=out_schema,
-        finish=lambda s: {"n_distinct_est": float(s.estimate())},
+
+    def _reduce_triples(g, idx, rank):
+        """max rank per (group, register): sort so the max lands last in
+        each (g, idx) run, keep run tails."""
+        order = np.lexsort((rank, idx, g))
+        g, idx, rank = g[order], idx[order], rank[order]
+        last = np.empty(len(g), dtype=bool)
+        last[-1] = True
+        last[:-1] = (g[:-1] != g[1:]) | (idx[:-1] != idx[1:])
+        return g[last], idx[last], rank[last]
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        group_code: dict = {}  # normalized group tuple -> stable code
+        group_vals: list[tuple] = []  # code -> group tuple (for output rows)
+        acc_g, acc_i, acc_r = [], [], []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # vectorized grouping: per-row group numbers in order of first
+            # appearance (C-level), no per-group sub-frames. dropna=False
+            # keeps NULL groups — dropping them would delete output rows.
+            gb = pdf.groupby(group_cols, sort=False, dropna=False)
+            local = gb.ngroup().to_numpy()
+            uniq = gb.size().reset_index()[group_cols]
+            lut = np.empty(len(uniq), dtype=np.int64)
+            for j, row in enumerate(uniq.itertuples(index=False, name=None)):
+                k = tuple(None if pd.isna(v) else v for v in row)
+                code = group_code.get(k)
+                if code is None:
+                    code = group_code[k] = len(group_vals)
+                    group_vals.append(k)
+                lut[j] = code
+            gcodes = lut[local]
+            # NULL values skipped (countDistinct semantics); their groups
+            # stay registered above so all-null groups keep their row
+            mask = pdf[key_col].notna().to_numpy()
+            if mask.any():
+                idx, rank = hll_idx_rank(pdf[key_col].to_numpy()[mask], p)
+                bg, bi, br = _reduce_triples(gcodes[mask], idx, rank)
+                acc_g.append(bg)
+                acc_i.append(bi)
+                acc_r.append(br)
+        if not group_vals:
+            return
+        if acc_g:
+            g, idx, rank = _reduce_triples(
+                np.concatenate(acc_g), np.concatenate(acc_i), np.concatenate(acc_r)
+            )
+            starts = np.flatnonzero(np.r_[True, g[:-1] != g[1:]])
+            ends = np.r_[starts[1:], len(g)]
+            bounds = {int(g[s]): (s, e) for s, e in zip(starts, ends)}
+        else:
+            bounds = {}
+        empty = b"\x01" + np.uint32(0).tobytes()
+        rows = []
+        for code, k in enumerate(group_vals):
+            se = bounds.get(code)
+            if se is None:
+                state = empty  # == HyperLogLog().to_bytes() for a fresh state
+            else:
+                s, e = se
+                nnz = e - s
+                if 5 + 5 * nnz < m:  # the sparse wire form, built in place
+                    state = (
+                        b"\x01"
+                        + np.uint32(nnz).tobytes()
+                        + idx[s:e].astype("<u4").tobytes()
+                        + rank[s:e].tobytes()
+                    )
+                else:
+                    reg = np.zeros(m, dtype=np.uint8)
+                    reg[idx[s:e]] = rank[s:e]
+                    state = reg.tobytes()
+            rows.append(dict(zip(group_cols, k)) | {"state": state})
+        yield pd.DataFrame(rows)
+
+    @F.pandas_udf(DoubleType())
+    def _estimate(state_lists: pd.Series) -> pd.Series:
+        out = np.empty(len(state_lists), dtype=np.float64)
+        for i, states in enumerate(state_lists):
+            reg = merge_hll_states(states, params)
+            out[i] = HyperLogLog(params, reg).estimate()
+        return pd.Series(out)
+
+    sel = df.select(*group_cols, key_col)
+    return (
+        sel.mapInPandas(partials, partial_schema)
+        .groupBy(*group_cols)
+        .agg(F.collect_list("state").alias("_states"))
+        .select(*group_cols, _estimate("_states").alias("n_distinct_est"))
     )
 
 

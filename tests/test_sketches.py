@@ -103,6 +103,59 @@ def test_hll_from_bytes_rejects_corrupt_state():
         HyperLogLog.from_bytes(HllParams(), b"\x02" + data[1:])  # bad tag
 
 
+def test_grouped_hll_bit_equals_local_per_group(spark):
+    # the vectorized cross-group partial must produce registers (hence
+    # estimates) BIT-identical to one HyperLogLog per group fed the same
+    # values — max-merge is order-insensitive, so any difference means the
+    # lexsort reduce or the in-place sparse serialization is wrong
+    from sparkfuse.sketches import grouped_hll
+
+    n = 60_000
+    df = spark.range(n).selectExpr(
+        "concat('grp-', pmod(xxhash64(id), 700)) AS g",
+        "pmod(xxhash64(id + 1), 5000) AS v",
+    )
+    got = {
+        r["g"]: r["n_distinct_est"]
+        for r in grouped_hll(df, ["g"], "v").collect()
+    }
+    locals_ = {}
+    for r in df.collect():
+        locals_.setdefault(r["g"], []).append(r["v"])
+    assert len(got) == len(locals_)
+    for gname, vals in locals_.items():
+        h = HyperLogLog()
+        h.add(np.asarray(vals, dtype=np.int64))
+        assert got[gname] == h.estimate(), gname
+
+
+def test_grouped_hll_final_is_jvm_agg_not_per_group_pandas(spark):
+    # the final stage must be a JVM collect_list aggregation feeding a
+    # batch pandas UDF — ONE python call per Arrow batch — never a
+    # FlatMapGroupsInPandas (one pandas invocation per group: ~ms of
+    # split/convert overhead x 10k+ groups at high cardinality)
+    from sparkfuse.sketches import grouped_hll
+
+    df = spark.range(100).selectExpr("pmod(id, 7) AS g", "id AS v")
+    plan = grouped_hll(df, ["g"], "v")._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "collect_list" in plan
+
+
+def test_merge_hll_states_mixed_forms_equals_pairwise():
+    from sparkfuse.sketches import merge_hll_states
+
+    hs = []
+    for n, seed in ((30, 1), (400_000, 2), (12, 3)):  # sparse, dense, sparse
+        h = HyperLogLog()
+        h.add(rand_keys(n, seed))
+        hs.append(h)
+    expect = hs[0].merge(hs[1]).merge(hs[2]).registers
+    got = merge_hll_states([h.to_bytes() for h in hs], HllParams())
+    assert np.array_equal(got, expect)
+    assert np.array_equal(merge_hll_states([], HllParams()), np.zeros(HllParams().m, np.uint8))
+
+
 def test_cms_point_queries_within_bound():
     # zipf-ish: key i appears ~ n/(i+1) times
     reps = (200_000 / (np.arange(200) + 1)).astype(np.int64)
