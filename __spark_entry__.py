@@ -998,12 +998,17 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ARITHMETIC entropy coding (SOF9, sparkfuse.jpegarith's QM coder —
     libjpeg-interop-certified in tests/test_jpeg_arith.py): entropy
     packaging preserves the coefficients, so the identical formula oracle
-    certifies the QM decode path as well. Inter-frame sample codecs
+    certifies the QM decode path as well; and a FIFTH (doc_id + 4e9) of
+    LOSSLESS SOF3 images (sparkfuse.jpegll) carrying the FULL codec-free
+    pixel formula — exactness needs no design trick there — with the
+    predictor selector cycling 1..7 by id, so one hash match certifies all
+    seven Annex H.1.2.1 predictors. Inter-frame sample codecs
     (H.264-class) are the only remaining declared stub."""
     from sparkfuse.multimodal import (
         media_decode_stats,
         synth_codec_media,
         synth_jpeg_media,
+        synth_lossless_jpeg_media,
     )
     from sparkfuse.video import synth_mp4_media
 
@@ -1017,6 +1022,9 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     jarith_ids = ids.select(
         (F.col("media_id") + F.lit(3_000_000_000)).alias("media_id")
     )
+    jll_ids = ids.select(
+        (F.col("media_id") + F.lit(4_000_000_000)).alias("media_id")
+    )
     return (
         media_decode_stats(synth_codec_media(ids))
         .unionByName(media_decode_stats(synth_jpeg_media(jpeg_ids)))
@@ -1024,6 +1032,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             media_decode_stats(synth_jpeg_media(jarith_ids, arithmetic=True))
         )
+        .unionByName(media_decode_stats(synth_lossless_jpeg_media(jll_ids)))
     )
 
 
@@ -1847,10 +1856,35 @@ def oracle_sql() -> dict[str, str]:
             "         CAST(MAX(2 * ((media_id + 3 * (b % nbx)"
             "                   + 7 * (b // nbx)) % 128)) AS BIGINT) AS peak"
             "  FROM jar_b GROUP BY media_id"
+            # the LOSSLESS JPEG population (ids offset by 4e9): SOF3 is
+            # exact, so the FULL per-pixel formula of the img population
+            # applies verbatim (no constant-block design needed); the
+            # Spark side cycles predictors 1..7 by id, which cannot change
+            # the decoded raster — a hash match certifies all seven
+            "), jll AS ("
+            "  SELECT doc_id + 4000000000 AS media_id,"
+            "         4 + (doc_id + 4000000000) % 9 AS w,"
+            "         3 + (doc_id + 4000000000) % 5 AS h"
+            "  FROM documents"
+            "), jll_i AS ("
+            "  SELECT media_id, w, h,"
+            "         unnest(generate_series(0, w*h*3 - 1)) AS i FROM jll"
+            "), jll_stats AS ("
+            "  SELECT media_id, 'image' AS kind,"
+            "         CAST(0 AS BIGINT) AS n_samples,"
+            "         CAST(0 AS BIGINT) AS sample_rate,"
+            "         CAST(any_value(w) AS BIGINT) AS width,"
+            "         CAST(any_value(h) AS BIGINT) AS height,"
+            "         CAST(SUM((media_id + ((i // 3) % w) + 2 * ((i // 3) // w)"
+            "                   + 3 * (i % 3)) % 256) AS BIGINT) AS checksum,"
+            "         CAST(MAX((media_id + ((i // 3) % w) + 2 * ((i // 3) // w)"
+            "                   + 3 * (i % 3)) % 256) AS BIGINT) AS peak"
+            "  FROM jll_i GROUP BY media_id"
             ") SELECT * FROM wav_stats UNION ALL SELECT * FROM img_stats"
             "  UNION ALL SELECT * FROM jpg_stats"
             "  UNION ALL SELECT * FROM mp4_stats"
             "  UNION ALL SELECT * FROM jar_stats"
+            "  UNION ALL SELECT * FROM jll_stats"
         ),
         "winnow_overlap_pairs": _winnow_pairs_oracle(),
         "bpe_tok_stats": _bpe_oracle(),

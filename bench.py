@@ -501,6 +501,26 @@ def main_bench():
     extra["jpeg_arith_decoded_mpx_per_sec"] = jarith_px / 1e6 / t
     jarith.unpersist()
 
+    # LOSSLESS JPEG (SOF3): per-sample Huffman entropy decode + predictor
+    # reconstruction (vectorized rows for selectors 1-3, scalar walk 4-7);
+    # predictors cycle by id so the row exercises all seven
+    from sparkfuse.multimodal import synth_lossless_jpeg_media
+
+    jll = synth_lossless_jpeg_media(
+        spark.range(2_000).select(F.col("id").alias("media_id")), scale=8
+    ).cache()
+    jll_px = jll.select(
+        F.sum(
+            F.col("meta.width").cast("long") * F.col("meta.height").cast("long")
+        ).alias("px")
+    ).first()["px"]
+    t, _n = bench_row(
+        "jpeg_lossless_decode_2k",
+        lambda: media_decode_stats(jll).count(),
+    )
+    extra["jpeg_lossless_decoded_mpx_per_sec"] = jll_px / 1e6 / t
+    jll.unpersist()
+
     # REAL MP4: ISO BMFF sample-table demux + per-sample MJPEG decode +
     # PNG re-encode of every 250 ms frame, one Arrow pass per task
     from sparkfuse.video import synth_mp4_media

@@ -511,6 +511,54 @@ def synth_jpeg_media(
     return ids_df.select(F.col(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def synth_lossless_jpeg_media(
+    ids_df: DataFrame, id_col: str = "media_id", scale: int = 1
+) -> DataFrame:
+    """Deterministic LOSSLESS-JPEG (T.81 SOF3, sparkfuse.jpegll) table over
+    an id column. Because the codec is exact, the images need no
+    codec-design trick (no constant-even blocks): they reuse
+    ``synth_codec_media``'s full per-pixel formula —
+
+      w = (4 + id % 9) * scale, h = (3 + id % 5) * scale,
+      pixel[y][x][c] = (id + x + 2y + 3c) % 256
+
+    — so the SAME container-independent oracle arithmetic recomputes the
+    decoded stats. The predictor selector cycles ``1 + id % 7``, which
+    drives every Annex H.1.2.1 predictor through whatever query consumes
+    this table (lossless output is predictor-independent; the BYTES
+    differ, the decoded raster cannot)."""
+    from sparkfuse.jpegll import encode_jpeg_lossless
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col].to_numpy():
+                mid = int(i)
+                w, h = (4 + mid % 9) * scale, (3 + mid % 5) * scale
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                px = ((mid + x + 2 * y + 3 * c) % 256).astype(np.uint8)
+                payload = encode_jpeg_lossless(px, predictor=1 + mid % 7)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": "image",
+                        "mime": "image/jpeg",
+                        "payload": payload,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "duration_ms": None,
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids_df.select(F.col(id_col)).mapInPandas(gen, MEDIA_SCHEMA)
+
+
 _DECODE_STATS_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),

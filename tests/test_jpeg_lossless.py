@@ -158,6 +158,29 @@ def test_restart_intervals_rejected_with_named_reason():
         decode_jpeg_lossless(with_dri)
 
 
+def test_media_decode_stats_lossless_population(spark):
+    # the driver-row shape: synth SOF3 payloads (predictors cycling 1..7
+    # by id) decoded back through media_decode_stats must reproduce the
+    # generation formula exactly — the same arithmetic the DuckDB oracle
+    # recomputes
+    from sparkfuse.multimodal import media_decode_stats, synth_lossless_jpeg_media
+
+    ids = spark.range(4_000_000_000, 4_000_000_021).withColumnRenamed("id", "media_id")
+    got = {
+        r["media_id"]: r
+        for r in media_decode_stats(synth_lossless_jpeg_media(ids)).collect()
+    }
+    assert len(got) == 21
+    for mid, r in got.items():
+        w, h = 4 + mid % 9, 3 + mid % 5
+        x = np.arange(w)[None, :, None]
+        y = np.arange(h)[:, None, None]
+        c = np.arange(3)[None, None, :]
+        px = ((mid + x + 2 * y + 3 * c) % 256).astype(np.int64)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["checksum"] == int(px.sum()) and r["peak"] == int(px.max())
+
+
 def test_prediction_residuals_compress_smooth_images():
     # a gradient is near-perfectly predicted by selector 4/7 — the stream
     # must be far smaller than raw; noise must stay near raw size + headers
