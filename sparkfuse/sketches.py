@@ -397,19 +397,36 @@ def _grouped_states(
                 ]
             )
 
-    def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = make()
-        for b in pdf.sort_values("_pid")["state"]:
-            acc = merge(acc, from_bytes(bytes(b)))
-        row = {c: pdf[c].iloc[0] for c in group_cols}
-        row.update(finish(acc))
-        return pd.DataFrame([row])
+    res_fields = [f for f in finish_schema.fields if f.name not in group_cols]
+    res_schema = StructType(res_fields)
+    res_names = [f.name for f in res_fields]
+
+    # FINAL is a JVM collect_list aggregation (true partial+final shuffle
+    # agg of KB states) feeding ONE batch pandas UDF — never a pandas
+    # invocation per group (applyInPandas prices ~ms of split/convert
+    # overhead per GROUP; the batch UDF prices it per ARROW BATCH, the
+    # 26x difference PLANS.md §30 measured on grouped_hll). sort_array
+    # over struct(_pid, state) restores the deterministic per-partition
+    # merge order the order-sensitive kinds (t-digest/KLL) require.
+    @F.pandas_udf(res_schema)
+    def _finish_states(state_lists: pd.Series) -> pd.DataFrame:
+        rows = []
+        for states in state_lists:
+            acc = make()
+            for st in states:
+                acc = merge(acc, from_bytes(bytes(st["state"])))
+            rows.append(finish(acc))
+        return pd.DataFrame(rows, columns=res_names)
 
     sel = df.select(*group_cols, value_col)
     return (
         sel.mapInPandas(partials, partial_schema)
         .groupBy(*group_cols)
-        .applyInPandas(final, finish_schema)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("_pid", "state"))).alias("_states")
+        )
+        .select(*group_cols, _finish_states("_states").alias("_r"))
+        .select(*group_cols, "_r.*")
     )
 
 

@@ -140,6 +140,16 @@ def test_grouped_hll_final_is_jvm_agg_not_per_group_pandas(spark):
     plan = grouped_hll(df, ["g"], "v")._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" not in plan
     assert "collect_list" in plan
+    # the generic path (order-sensitive kinds) shares the shape, with
+    # sort_array(struct(_pid, state)) restoring the deterministic merge order
+    from sparkfuse.sketches import grouped_kll_quantiles
+
+    kplan = (
+        grouped_kll_quantiles(df, ["g"], "v", [0.5])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FlatMapGroupsInPandas" not in kplan
+    assert "collect_list" in kplan and "sort_array" in kplan
 
 
 def test_merge_hll_states_mixed_forms_equals_pairwise():
