@@ -21,6 +21,7 @@ from sparkfuse.kernels import (
 )
 from sparkfuse.params import fuse_parameters, xor_parameters
 from sparkfuse.jpeg import decode_jpeg, encode_jpeg
+from sparkfuse.jpegll import decode_jpeg_lossless, encode_jpeg_lossless
 from sparkfuse.mp4 import (
     decode_mp4_frames,
     encode_mp4_mjpeg,
@@ -52,6 +53,8 @@ __all__ = [
     "encode_png",
     "decode_jpeg",
     "encode_jpeg",
+    "decode_jpeg_lossless",
+    "encode_jpeg_lossless",
     "encode_mp4_mjpeg",
     "decode_mp4_frames",
     "parse_mp4_sample_tables",
