@@ -152,6 +152,34 @@ def test_grouped_hll_final_is_jvm_agg_not_per_group_pandas(spark):
     assert "collect_list" in kplan and "sort_array" in kplan
 
 
+def test_grouped_hll_multi_batch_partials_bit_equal(spark):
+    # force many small Arrow batches per partition so the partial's
+    # cross-batch paths (stable group-code dict, triple re-reduce over
+    # accumulated batches) are actually exercised
+    from sparkfuse.sketches import grouped_hll
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "400")
+    try:
+        df = spark.range(20_000).selectExpr(
+            "pmod(xxhash64(id), 50) AS g", "pmod(xxhash64(id + 9), 3000) AS v"
+        ).coalesce(2)
+        got = {r["g"]: r["n_distinct_est"] for r in grouped_hll(df, ["g"], "v").collect()}
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    locals_ = {}
+    for r in df.collect():
+        locals_.setdefault(r["g"], []).append(r["v"])
+    for gname, vals in locals_.items():
+        h = HyperLogLog()
+        h.add(np.asarray(vals, dtype=np.int64))
+        assert got[gname] == h.estimate(), gname
+
+
 def test_merge_hll_states_mixed_forms_equals_pairwise():
     from sparkfuse.sketches import merge_hll_states
 
