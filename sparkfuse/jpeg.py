@@ -19,8 +19,11 @@ Scope (validated; everything else fails loudly rather than mis-decoding):
     3-component YCbCr with any integer subsampling ratio (4:4:4, 4:2:2,
     4:2:0 — box/replication upsampling), interleaved or single-component
     scans, restart intervals, arbitrary DQT/DHT tables (16-bit quantizers
-    included). Lossless, hierarchical and differential modes raise
-    NotImplementedError by name. Foreign progressive goldens: the Spark
+    included). Huffman LOSSLESS (SOF3) streams dispatch to the
+    sparkfuse.jpegll decoder (T.81 process 14 — exact samples, see that
+    module); only arithmetic-lossless (SOF11), hierarchical and
+    differential modes raise NotImplementedError by name. Foreign
+    progressive goldens: the Spark
     distribution's mllib grayscale.jpg and the nodejs doc white-stripe
     images (tests/test_jpeg.py — content-predictable + CRC-pinned).
   * encode: baseline sequential, grayscale or RGB (always 4:4:4 — chroma
@@ -861,6 +864,9 @@ def _decode_to_coefficients(payload: bytes):
         if buf[i] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {i}")
         m = buf[i + 1]
+        if m == 0xFF:  # fill byte (B.1.1.2): any marker may be 0xFF-padded
+            i += 1
+            continue
         if m == 0xD9:  # EOI
             break
         if m == 0x01 or 0xD0 <= m <= 0xD7:
@@ -1326,6 +1332,9 @@ def _first_sof_marker(buf: bytes) -> int | None:
         if buf[i] != 0xFF:
             return None
         m = buf[i + 1]
+        if m == 0xFF:  # fill byte (B.1.1.2): any marker may be 0xFF-padded
+            i += 1
+            continue
         if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
             return m
         if m == 0xD9 or m == 0xDA:

@@ -245,11 +245,16 @@ def decode_jpeg_lossless(payload: bytes) -> np.ndarray:
         if buf[i] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {i}")
         m = buf[i + 1]
+        if m == 0xFF:  # fill byte (B.1.1.2): any marker may be 0xFF-padded
+            i += 1
+            continue
         if m == 0xD9:
             break
         if m == 0x01 or 0xD0 <= m <= 0xD7:
             i += 2
             continue
+        if i + 4 > len(buf):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", buf[i + 2 : i + 4])
         body = buf[i + 4 : i + 2 + seglen]
         if m == 0xC3:

@@ -18,6 +18,7 @@ Both are from scratch on numpy over Arrow batches; published error bounds:
 from __future__ import annotations
 
 import math
+import struct
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -98,27 +99,15 @@ class HyperLogLog:
         nnz = int(np.count_nonzero(self.registers))
         if 5 + 5 * nnz >= self.params.m:
             return self.registers.tobytes()
-        idx = np.flatnonzero(self.registers).astype(np.uint32)
-        return (
-            b"\x01"
-            + np.uint32(nnz).tobytes()
-            + idx.astype("<u4").tobytes()
-            + self.registers[idx].tobytes()
-        )
+        idx = np.flatnonzero(self.registers)
+        return _hll_sparse_bytes(idx, self.registers[idx])
 
     @classmethod
     def from_bytes(cls, params: HllParams, data: bytes) -> "HyperLogLog":
-        if len(data) == params.m:  # dense raw (legacy and large-state form)
-            return cls(params, np.frombuffer(data, dtype=np.uint8).copy())
-        if not data or data[0] != 1:
-            raise ValueError(
-                f"HLL state is neither {params.m} dense bytes nor sparse-tagged"
-            )
-        nnz = int(np.frombuffer(data, dtype="<u4", count=1, offset=1)[0])
-        if len(data) != 5 + 5 * nnz:
-            raise ValueError("sparse HLL state length mismatch")
-        idx = np.frombuffer(data, dtype="<u4", count=nnz, offset=5).astype(np.int64)
-        ranks = np.frombuffer(data, dtype=np.uint8, count=nnz, offset=5 + 4 * nnz)
+        parsed = _hll_state_parts(data, params.m)
+        if isinstance(parsed, np.ndarray):
+            return cls(params, parsed.copy())
+        idx, ranks = parsed
         registers = np.zeros(params.m, dtype=np.uint8)
         registers[idx] = ranks
         return cls(params, registers)
@@ -128,29 +117,52 @@ class HyperLogLog:
         return 1.04 / math.sqrt(self.params.m)
 
 
+def _hll_sparse_bytes(idx: np.ndarray, ranks: np.ndarray) -> bytes:
+    """The sparse wire form: explicit little-endian everywhere so state
+    tables written on any host load on any other (these are shippable
+    artifacts, not process-local scratch)."""
+    return (
+        b"\x01"
+        + struct.pack("<I", len(idx))
+        + np.ascontiguousarray(idx, dtype="<u4").tobytes()
+        + np.ascontiguousarray(ranks, dtype=np.uint8).tobytes()
+    )
+
+
+def _hll_state_parts(data: bytes, m: int):
+    """Parse either HLL wire form — the ONE place the format is read.
+    Returns a dense uint8 view (len == m) or an (idx int64, ranks uint8)
+    pair for sparse payloads; raises ValueError on anything else."""
+    data = bytes(data)
+    if len(data) == m:  # dense raw (legacy and large-state form)
+        return np.frombuffer(data, dtype=np.uint8)
+    if not data or data[0] != 1:
+        raise ValueError(f"HLL state is neither {m} dense bytes nor sparse-tagged")
+    nnz = int(np.frombuffer(data, dtype="<u4", count=1, offset=1)[0])
+    if len(data) != 5 + 5 * nnz:
+        raise ValueError("sparse HLL state length mismatch")
+    idx = np.frombuffer(data, dtype="<u4", count=nnz, offset=5).astype(np.int64)
+    ranks = np.frombuffer(data, dtype=np.uint8, count=nnz, offset=5 + 4 * nnz)
+    return idx, ranks
+
+
 def merge_hll_states(states, params: HllParams) -> np.ndarray:
     """Register-max merge of serialized HLL states (either wire form) into
     one dense register array — without densifying each sparse state
     individually: sparse payloads are scattered once, together, onto the
-    (possibly dense-merged) result. Same validation as ``from_bytes``."""
+    (possibly dense-merged) result. Same parse/validation as
+    ``from_bytes`` (shared ``_hll_state_parts``)."""
     m = params.m
     dense: list[np.ndarray] = []
     sp_idx: list[np.ndarray] = []
     sp_rank: list[np.ndarray] = []
     for b in states:
-        b = bytes(b)
-        if len(b) == m:
-            dense.append(np.frombuffer(b, dtype=np.uint8))
-            continue
-        if not b or b[0] != 1:
-            raise ValueError(
-                f"HLL state is neither {m} dense bytes nor sparse-tagged"
-            )
-        nnz = int(np.frombuffer(b, dtype="<u4", count=1, offset=1)[0])
-        if len(b) != 5 + 5 * nnz:
-            raise ValueError("sparse HLL state length mismatch")
-        sp_idx.append(np.frombuffer(b, dtype="<u4", count=nnz, offset=5).astype(np.int64))
-        sp_rank.append(np.frombuffer(b, dtype=np.uint8, count=nnz, offset=5 + 4 * nnz))
+        parsed = _hll_state_parts(b, m)
+        if isinstance(parsed, np.ndarray):
+            dense.append(parsed)
+        else:
+            sp_idx.append(parsed[0])
+            sp_rank.append(parsed[1])
     reg = (
         np.maximum.reduce(dense).copy() if dense else np.zeros(m, dtype=np.uint8)
     )
@@ -453,11 +465,46 @@ def grouped_hll(
     estimates; max-merge is commutative/associative, so dropping the
     per-partition ordering the order-sensitive kinds need keeps results
     deterministic. Estimates are bit-identical to the per-group
-    ``HyperLogLog`` path (same registers, same float summation)."""
-    from pyspark.sql.types import DoubleType
+    ``HyperLogLog`` path (same registers, same float summation).
+
+    Null-safe integer handling: Arrow→pandas coerces a nullable integral
+    column to float64 whenever a batch contains a NULL, silently rounding
+    values past 2^53 — which would both hash wrong keys AND emit rounded
+    group values back to the JVM groupBy. Integral key/group columns are
+    therefore shipped as (coalesce(col, 0), isnull(col)) pairs — a
+    null-free int64 column stays int64 through Arrow — and reconstructed
+    exactly on the Python side."""
+    from pyspark.sql.types import ByteType, DoubleType, LongType, ShortType
 
     params = params or HllParams()
     p, m = params.p, params.m
+    integral = (ByteType, ShortType, IntegerType, LongType)
+
+    proj = []
+    pand_keys: list[str] = []  # pandas-side grouping columns
+    recon: list[tuple] = []  # (orig name, value col, null-flag col | None)
+    for c in group_cols:
+        if isinstance(df.schema[c].dataType, integral):
+            proj += [
+                F.coalesce(F.col(c), F.lit(0)).alias(f"_g_{c}"),
+                F.col(c).isNull().alias(f"_n_{c}"),
+            ]
+            pand_keys += [f"_g_{c}", f"_n_{c}"]
+            recon.append((c, f"_g_{c}", f"_n_{c}"))
+        else:
+            proj.append(F.col(c))
+            pand_keys.append(c)
+            recon.append((c, c, None))
+    if isinstance(df.schema[key_col].dataType, integral):
+        proj += [
+            F.coalesce(F.col(key_col), F.lit(0)).alias("_v"),
+            F.col(key_col).isNotNull().alias("_vok"),
+        ]
+        val_col, val_ok = "_v", "_vok"
+    else:
+        proj.append(F.col(key_col))
+        val_col, val_ok = key_col, None
+    kpos = {name: i for i, name in enumerate(pand_keys)}
 
     gfields = [df.schema[c] for c in group_cols]
     partial_schema = StructType(
@@ -484,12 +531,18 @@ def grouped_hll(
             # vectorized grouping: per-row group numbers in order of first
             # appearance (C-level), no per-group sub-frames. dropna=False
             # keeps NULL groups — dropping them would delete output rows.
-            gb = pdf.groupby(group_cols, sort=False, dropna=False)
+            gb = pdf.groupby(pand_keys, sort=False, dropna=False)
             local = gb.ngroup().to_numpy()
-            uniq = gb.size().reset_index()[group_cols]
+            uniq = gb.size().reset_index()[pand_keys]
             lut = np.empty(len(uniq), dtype=np.int64)
             for j, row in enumerate(uniq.itertuples(index=False, name=None)):
-                k = tuple(None if pd.isna(v) else v for v in row)
+                k = tuple(
+                    None
+                    if (nc is not None and row[kpos[nc]])
+                    or (nc is None and pd.isna(row[kpos[vc]]))
+                    else (int(row[kpos[vc]]) if nc is not None else row[kpos[vc]])
+                    for _, vc, nc in recon
+                )
                 code = group_code.get(k)
                 if code is None:
                     code = group_code[k] = len(group_vals)
@@ -498,9 +551,13 @@ def grouped_hll(
             gcodes = lut[local]
             # NULL values skipped (countDistinct semantics); their groups
             # stay registered above so all-null groups keep their row
-            mask = pdf[key_col].notna().to_numpy()
+            mask = (
+                pdf[val_ok].to_numpy()
+                if val_ok is not None
+                else pdf[val_col].notna().to_numpy()
+            )
             if mask.any():
-                idx, rank = hll_idx_rank(pdf[key_col].to_numpy()[mask], p)
+                idx, rank = hll_idx_rank(pdf[val_col].to_numpy()[mask], p)
                 bg, bi, br = _reduce_triples(gcodes[mask], idx, rank)
                 acc_g.append(bg)
                 acc_i.append(bi)
@@ -516,28 +573,30 @@ def grouped_hll(
             bounds = {int(g[s]): (s, e) for s, e in zip(starts, ends)}
         else:
             bounds = {}
-        empty = b"\x01" + np.uint32(0).tobytes()
-        rows = []
-        for code, k in enumerate(group_vals):
+        empty = _hll_sparse_bytes(np.empty(0, np.int64), np.empty(0, np.uint8))
+        states = []
+        for code in range(len(group_vals)):
             se = bounds.get(code)
             if se is None:
-                state = empty  # == HyperLogLog().to_bytes() for a fresh state
+                states.append(empty)  # == HyperLogLog().to_bytes(), fresh
             else:
                 s, e = se
                 nnz = e - s
                 if 5 + 5 * nnz < m:  # the sparse wire form, built in place
-                    state = (
-                        b"\x01"
-                        + np.uint32(nnz).tobytes()
-                        + idx[s:e].astype("<u4").tobytes()
-                        + rank[s:e].tobytes()
-                    )
+                    states.append(_hll_sparse_bytes(idx[s:e], rank[s:e]))
                 else:
                     reg = np.zeros(m, dtype=np.uint8)
                     reg[idx[s:e]] = rank[s:e]
-                    state = reg.tobytes()
-            rows.append(dict(zip(group_cols, k)) | {"state": state})
-        yield pd.DataFrame(rows)
+                    states.append(reg.tobytes())
+        # build group columns as OBJECT series: pd.DataFrame would coerce an
+        # int+None column to float64, rounding values past 2^53 — the same
+        # trap the input side dodges with the coalesce/flag projection
+        out = {
+            c: pd.Series([k[i] for k in group_vals], dtype=object)
+            for i, c in enumerate(group_cols)
+        }
+        out["state"] = pd.Series(states, dtype=object)
+        yield pd.DataFrame(out)
 
     @F.pandas_udf(DoubleType())
     def _estimate(state_lists: pd.Series) -> pd.Series:
@@ -547,7 +606,7 @@ def grouped_hll(
             out[i] = HyperLogLog(params, reg).estimate()
         return pd.Series(out)
 
-    sel = df.select(*group_cols, key_col)
+    sel = df.select(*proj)
     return (
         sel.mapInPandas(partials, partial_schema)
         .groupBy(*group_cols)

@@ -124,6 +124,29 @@ def test_single_row_and_single_column():
             )
 
 
+def test_fill_bytes_before_markers_are_skipped():
+    # T.81 B.1.1.2: any marker may be preceded by any number of 0xFF fill
+    # bytes — real DNG/DICOM writers emit them; the frame dispatch and the
+    # lossless header walk must both skip them
+    img, payload = _golden_2x2()
+    filled = payload[:2]
+    i = 2
+    while i < len(payload):
+        if payload[i] == 0xFF and payload[i + 1] in (0xC4, 0xC3, 0xDA):
+            filled += b"\xff\xff"  # two fill bytes before each segment
+        nxt = payload.find(b"\xff", i + 2)
+        nxt = len(payload) if nxt < 0 else nxt
+        filled += payload[i:nxt]
+        i = nxt
+    assert np.array_equal(decode_jpeg_lossless(filled), img)
+    assert np.array_equal(decode_jpeg(filled), img)  # dispatch skips fills
+
+
+def test_truncated_header_raises_value_error():
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_lossless(b"\xff\xd8\xff\xc4")
+
+
 def test_named_raises():
     img = np.zeros((4, 4), dtype=np.uint8)
     with pytest.raises(ValueError, match="predictor"):

@@ -180,6 +180,34 @@ def test_grouped_hll_multi_batch_partials_bit_equal(spark):
         assert got[gname] == h.estimate(), gname
 
 
+def test_grouped_hll_nullable_bigint_keys_keep_precision(spark):
+    # Arrow->pandas turns a nullable int64 column into float64, rounding
+    # values past 2^53 — grouped_hll must ship integral key AND group
+    # columns null-safely (coalesce + flag) so huge keys hash exactly and
+    # huge group values come back unrounded. 2^60+1 vs 2^60+2 collapse to
+    # the same float64; the null rows force the coercion path.
+    from pyspark.sql import Row
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    base = 1 << 60
+    rows = [Row(g=base + 1, v=base + 1), Row(g=base + 1, v=base + 2),
+            Row(g=base + 2, v=base + 1), Row(g=None, v=base + 5),
+            Row(g=base + 1, v=None)]
+    schema = StructType([StructField("g", LongType(), True),
+                         StructField("v", LongType(), True)])
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    from sparkfuse.sketches import grouped_hll
+
+    got = {r["g"]: r["n_distinct_est"] for r in grouped_hll(df, ["g"], "v").collect()}
+    assert set(got) == {base + 1, base + 2, None}  # group values exact
+    h12 = HyperLogLog(); h12.add(np.array([base + 1, base + 2], dtype=np.int64))
+    h1 = HyperLogLog(); h1.add(np.array([base + 1], dtype=np.int64))
+    h5 = HyperLogLog(); h5.add(np.array([base + 5], dtype=np.int64))
+    assert got[base + 1] == h12.estimate()  # two DISTINCT keys, not one
+    assert got[base + 2] == h1.estimate()
+    assert got[None] == h5.estimate()
+
+
 def test_merge_hll_states_mixed_forms_equals_pairwise():
     from sparkfuse.sketches import merge_hll_states
 
