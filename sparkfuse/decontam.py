@@ -17,9 +17,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkfuse.dedup import shingles_col
+from sparkfuse.dedup import shingles_of_tokens
 from sparkfuse.forest import Forest, build_forest
+from sparkfuse.keys import fan_out_small
 from sparkfuse.probe import approx_contains_udf
+from sparkfuse.textops import tokens_col
+
+
+def _gram_rows(df: DataFrame, text_col: str, n: int, *keep_cols: str) -> DataFrame:
+    """Exploded (keep_cols..., gram) rows via a STAGED token projection:
+    the 13-gram chain references the token array ``n`` times, and HOFs
+    force interpreted eval where repeated non-cheap expressions re-run
+    per use (PLANS.md §28) — staging makes the tokenization run once per
+    row. ``fan_out_small`` unserializes the one-row-group scan this
+    expansion-heavy projection would otherwise pipeline on."""
+    staged = fan_out_small(df.select(*keep_cols, text_col)).select(
+        *[F.col(c) for c in keep_cols], tokens_col(text_col).alias("_toks")
+    )
+    return staged.select(
+        *[F.col(c) for c in keep_cols],
+        F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("gram"),
+    )
 
 
 def contamination_check(
@@ -53,16 +71,11 @@ def contamination_check(
     explode+dedup once more at confirm time is the cheap, fault-tolerant,
     contract-free choice.
     """
-    bench_grams = (
-        bench_df.select(F.explode(shingles_col(bench_text, n)).alias("gram"))
-        .dropDuplicates()
-    )
+    bench_grams = _gram_rows(bench_df, bench_text, n).dropDuplicates()
     forest = Forest.from_df(
         build_forest(bench_grams.select(F.xxhash64("gram").alias("key")))
     )
-    corpus_grams = corpus.select(
-        F.col(corpus_id), F.explode(shingles_col(corpus_text, n)).alias("gram")
-    )
+    corpus_grams = _gram_rows(corpus, corpus_text, n, corpus_id)
     pre = corpus_grams.filter(
         approx_contains_udf(forest, spark)(F.xxhash64("gram"))
     )

@@ -25,7 +25,7 @@ from fractions import Fraction
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sparkfuse.textops import TOKEN_SPLIT, tokens_col
+from sparkfuse.textops import TOKEN_SPLIT, grams_chain_col, tokens_col
 
 
 def fingerprint_cols(text_col: str, bits: int = 128) -> list:
@@ -69,20 +69,29 @@ def exact_dedup(
     )
 
 
-def shingles_col(text_col: str, k: int = 3):
-    """Distinct word k-gram shingles, built JVM-side: slide a window over the
-    token array with transform + slice + concat_ws.
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles over a token-array column (pass a
+    STAGED token column when k is large — see ``textops.grams_chain_col``
+    for why). Documents with fewer than k tokens have NO k-shingles
+    (empty array); NULL text also yields [] (the chain propagates NULL,
+    coalesced here to keep the historical shingles_col contract)."""
+    return F.coalesce(
+        F.array_distinct(grams_chain_col(toks, k)),
+        F.array().cast("array<string>"),
+    )
 
-    Documents with fewer than k tokens have NO k-shingles (empty array) —
-    guarded explicitly because ``sequence(1, 0)`` in Spark steps DOWNWARD
-    (yielding [1, 0]) and ``slice(toks, 0, k)`` throws.
+
+def shingles_col(text_col: str, k: int = 3):
+    """Distinct word k-gram shingles, built JVM-side via the chained
+    zip_with gram builder (``textops.grams_chain_col``).
+
+    An earlier form used ``transform(sequence(1, m), i -> concat_ws(' ',
+    slice(toks, i, k)))`` — the index-lambda CAPTURES the tokenization,
+    which interpreted HOF eval re-runs per gram: O(tokens²) regex splits
+    per document (PLANS.md §28; this was 20 of contamination_13gram's
+    21 s at sf1.0).
     """
-    toks = tokens_col(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-    empty = F.array().cast("array<string>")
-    return F.when(n >= k, F.array_distinct(gram)).otherwise(empty)
+    return shingles_of_tokens(tokens_col(text_col), k)
 
 
 # Stop-shingle document-frequency cap for the scale preset. A shingle seen
@@ -125,10 +134,15 @@ def ngram_jaccard_pairs(
         df_cutoff = DEFAULT_STOP_SHINGLE_DF
     # no .cache(): the shingle projection is pure codegen over the scan, and
     # pinning shingle arrays (larger than the text) in executor storage for
-    # the app lifetime is worse than recomputing them in each join branch
-    sh = df.select(
-        F.col(id_col).alias("_id"), shingles_col(text_col, k).alias("_sh")
+    # the app lifetime is worse than recomputing them in each join branch.
+    # Tokens staged (the chain references them k times under interpreted
+    # HOF eval — PLANS.md §28) + small-scan fan-out for one-file corpora.
+    from sparkfuse.keys import fan_out_small
+
+    sh = fan_out_small(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("_id"), tokens_col(text_col).alias("_tk")
     )
+    sh = sh.select("_id", shingles_of_tokens(F.col("_tk"), k).alias("_sh"))
     inv = sh.select("_id", F.explode("_sh").alias("_g"))
     if df_cutoff is not None:
         freq = inv.groupBy("_g").agg(F.count("*").alias("_df"))
@@ -194,8 +208,12 @@ def minhash_signatures(
     each with ``xxhash64(shingle, i)`` per permutation i, take min per doc.
     One explode + one grouped aggregation (partial+final) — no Python.
     """
-    inv = df.select(
-        F.col(id_col), F.explode(shingles_col(text_col, k)).alias("_g")
+    from sparkfuse.keys import fan_out_small
+
+    inv = (
+        fan_out_small(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), tokens_col(text_col).alias("_tk"))
+        .select(F.col(id_col), F.explode(shingles_of_tokens(F.col("_tk"), k)).alias("_g"))
     )
     aggs = [
         F.min(F.xxhash64(F.col("_g"), F.lit(i))).alias(f"mh{i}")

@@ -84,6 +84,36 @@ def shard_column(key: str | Column, shard_bits: int, route: str = "xxh64") -> Co
     return F.shiftrightunsigned(col, 64 - shard_bits)
 
 
+def fan_out_small(df: DataFrame, per_core_bytes: int = 8 << 20) -> DataFrame:
+    """Round-robin repartition a SMALL input to the session's default
+    parallelism, so expansion-heavy operators (13-gram explode, per-doc
+    fingerprints, codec decode) are not serialized on a one-file scan —
+    parquet splits at row-group granularity, so a single-row-group file
+    can never occupy more than one task no matter how split configs are
+    tuned, and everything pipelined above that scan (explode, hash,
+    probe UDFs) inherits its 1-2-way parallelism.
+
+    Scale-adaptive by construction: the decision reads the optimizer's
+    plan-size estimate (no job runs). Inputs estimated past
+    ``per_core_bytes`` per core are returned untouched — at corpus scale
+    the scan already has >= cores splits and an extra exchange would
+    shuffle the whole table for nothing; when statistics are missing or
+    unparseable the input is likewise returned untouched (erring toward
+    no added shuffle).
+    """
+    try:
+        spark = df.sparkSession
+        cores = spark.sparkContext.defaultParallelism
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return df
+    if est >= per_core_bytes * cores:
+        return df
+    return df.repartition(cores)
+
+
 def cap_group_size(df: DataFrame, cols: list[str], max_size: int) -> DataFrame:
     """Drop every row belonging to a group (over ``cols``) larger than
     ``max_size`` — the hot-bucket guard shared by the LSH candidate

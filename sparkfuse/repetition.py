@@ -42,16 +42,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sparkfuse.textops import TOKEN_SPLIT, tokens_col
+from sparkfuse.textops import TOKEN_SPLIT, grams_chain_col, tokens_col
 
 DEFAULT_NGRAM_NS = (2, 3)
 
 
 def _chars(arr: Column) -> Column:
-    """Total character count of an array<string> (0 for empty)."""
-    return F.aggregate(
-        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
+    """Total character count of an array<string> (0 for empty).
+
+    ``length(array_join(arr, ''))`` rather than an ``aggregate`` fold:
+    the fold is a lambda HOF, evaluated INTERPRETED once per element
+    (allocating and walking an Add expression tree each time — six such
+    folds made repetition_stats' projection ~40% interpreted-eval), while
+    ArrayJoin is one non-lambda expression per row whose concat loop runs
+    in the JVM. Equivalent for the NULL-free arrays produced here
+    (split/filter/array_distinct output): array_join skips NULL elements,
+    matching a fold over the non-null ones.
+    """
+    return F.length(F.array_join(arr, "")).cast("long")
 
 
 def _lines_col(text: str | Column) -> Column:
@@ -60,25 +68,11 @@ def _lines_col(text: str | Column) -> Column:
 
 
 def _grams_col(toks: Column, n: int) -> Column:
-    """Array of space-joined n-grams; empty when size(toks) < n.
-
-    Built by CHAINED zip_with, never by indexing ``toks`` inside a
-    lambda: higher-order functions evaluate interpreted, re-running any
-    expression the lambda body CAPTURES once per element — a first
-    formulation (``transform(sequence(...), i -> concat_ws(slice(toks,
-    i, n)))``) re-ran the full regex tokenization per gram, O(tokens²)
-    splits per document (jstack-confirmed: StringSplit under
-    ArrayTransform.eval). Here every occurrence of ``toks`` is a HOF
-    CHILD, evaluated once per row; lambda bodies touch only lambda
-    variables and literals. zip_with pads the shorter side with NULL and
-    ``concat`` propagates it, so positions with fewer than ``n`` tokens
-    remaining become NULL grams — dropped by the final filter, which
-    also makes short documents yield [] with no size guard."""
-    grams = toks
-    for k in range(1, n):
-        nxt = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
-        grams = F.zip_with(grams, nxt, lambda g, t: F.concat(g, F.lit(" "), t))
-    return F.filter(grams, lambda g: g.isNotNull())
+    """Array of space-joined n-grams; empty when size(toks) < n — the
+    chained-zip_with builder (shared with the shingle/decontam paths;
+    rationale and the O(tokens²) index-lambda trap it avoids:
+    ``textops.grams_chain_col``)."""
+    return grams_chain_col(toks, n)
 
 
 def _dup_cols(arr: Column, suffix: str) -> list[Column]:
@@ -119,7 +113,93 @@ def repetition_stats(
     referenced. ``repetition_cols`` remains the single-expression form
     for fusing into an existing projection — correct but with a
     constant-factor re-evaluation cost; this staged form is the one to
-    benchmark and the one the entry row uses."""
+    benchmark and the one the entry row uses.
+
+    Two further interpreted-HOF savings over the naive staging (the gram
+    build was ~65% of the projection at sf1.0):
+
+    * incremental chains — the (n+1)-gram chain extends the staged
+      n-gram chain with ONE zip_with instead of rebuilding from the
+      tokens (2-and-3-gram: 2 zip passes instead of 3);
+    * no null-filter passes — the RAW chain (tail positions NULL) goes
+      straight to counting: gram count is size arithmetic, the distinct
+      count subtracts the single NULL ``array_distinct`` keeps, and
+      ``array_join`` skips NULLs so the char sums never see them. All
+      three agree exactly with the filtered-array formulation (pinned by
+      the cross-engine oracle, which computes the filtered form).
+    """
+    ns = sorted(set(ngram_ns))
+    if ns != list(ngram_ns):
+        # preserve caller column order for duplicates/descending input
+        return _repetition_stats_filtered(df, id_col, text_col, ngram_ns)
+    toks = df.select(
+        F.col(id_col),
+        _lines_col(text_col).alias("_lines"),
+        tokens_col(text_col).alias("_toks"),
+    )
+    # raw (null-padded) chains, each built from the previous staged one
+    staged = toks
+    prev_n, prev_col = 1, "_toks"
+    for n in ns:
+        chain = F.col(prev_col)
+        for k in range(prev_n, n):
+            nxt = F.slice(
+                F.col("_toks"), k + 1, F.greatest(F.size("_toks") - k, F.lit(0))
+            )
+            chain = F.zip_with(chain, nxt, lambda g, t: F.concat(g, F.lit(" "), t))
+        staged = staged.select("*", chain.alias(f"_c{n}"))
+        prev_n, prev_col = n, f"_c{n}"
+    arrays = staged.select(
+        F.col(id_col),
+        F.size("_toks").alias("_nt"),
+        "_lines",
+        F.array_distinct("_lines").alias("_lines_d"),
+        *[
+            c
+            for n in ns
+            for c in (
+                F.col(f"_c{n}"),
+                F.array_distinct(f"_c{n}").alias(f"_c{n}_d"),
+            )
+        ],
+    )
+
+    def line_counts() -> list[Column]:
+        a, d = F.col("_lines"), F.col("_lines_d")
+        return [
+            F.size(a).cast("long").alias("n_lines"),
+            (F.size(a) - F.size(d)).cast("long").alias("n_dup_lines"),
+            (_chars(a) - _chars(d)).cast("long").alias("chars_dup_lines"),
+        ]
+
+    def gram_counts(n: int) -> list[Column]:
+        a, d, nt = F.col(f"_c{n}"), F.col(f"_c{n}_d"), F.col("_nt")
+        if n == 1:
+            n_grams, n_distinct = F.size(a), F.size(d)
+        else:
+            # gram count is pure arithmetic on the token count (NULL
+            # text propagates through the when); the raw chain always
+            # holds exactly one distinct NULL tail marker (split output
+            # is never empty), which array_distinct keeps — subtract it
+            n_grams = F.when(nt >= n, nt - (n - 1)).when(nt.isNotNull(), F.lit(0))
+            n_distinct = F.size(d) - 1
+        return [
+            n_grams.cast("long").alias(f"n_grams_{n}"),
+            (n_grams - n_distinct).cast("long").alias(f"n_dup_grams_{n}"),
+            (_chars(a) - _chars(d)).cast("long").alias(f"chars_dup_grams_{n}"),
+        ]
+
+    out = [F.col(id_col)] + line_counts()
+    for n in ns:
+        out += gram_counts(n)
+    return arrays.select(*out)
+
+
+def _repetition_stats_filtered(
+    df: DataFrame, id_col: str, text_col: str, ngram_ns
+) -> DataFrame:
+    """The original filtered-array staging (kept for non-ascending
+    ``ngram_ns`` so output column order always matches the input)."""
     toks = df.select(
         F.col(id_col),
         _lines_col(text_col).alias("_lines"),
@@ -129,13 +209,7 @@ def repetition_stats(
         F.col(id_col),
         F.col("_lines"),
         F.array_distinct("_lines").alias("_lines_d"),
-        *[
-            c
-            for n in ngram_ns
-            for c in (
-                _grams_col(F.col("_toks"), n).alias(f"_g{n}"),
-            )
-        ],
+        *[_grams_col(F.col("_toks"), n).alias(f"_g{n}") for n in ngram_ns],
     )
     arrays = arrays.select(
         F.col(id_col),

@@ -49,6 +49,33 @@ def tokens_col(text: str | Column) -> Column:
     return F.split(F.trim(col), TOKEN_SPLIT)
 
 
+def grams_chain_col(toks: Column, n: int) -> Column:
+    """Array of space-joined n-grams over a token-array column; empty when
+    fewer than ``n`` tokens.
+
+    Built by CHAINED zip_with, never by indexing ``toks`` inside a
+    lambda: higher-order functions evaluate interpreted and re-run any
+    expression a lambda body CAPTURES once per element, so the obvious
+    ``transform(sequence(1, m), i -> concat_ws(' ', slice(toks, i, n)))``
+    re-evaluates ``toks`` (the full regex tokenization) per gram —
+    O(tokens²) splits per document (PLANS.md §28; jstack-confirmed
+    StringSplit under ArrayTransform.eval). Here every occurrence of
+    ``toks`` is a HOF CHILD, evaluated once per row; lambda bodies touch
+    only lambda variables and literals. zip_with pads the shorter side
+    with NULL and ``concat`` propagates it, so tail positions with fewer
+    than ``n`` tokens remaining become NULL grams — dropped by the final
+    filter, which also makes short documents yield [] with no size
+    guard. ``toks`` still appears ``n`` times as a child; callers with
+    large ``n`` (13-gram decontamination) should stage the token array
+    as a projected column first so the tokenization runs once per row.
+    """
+    grams = toks
+    for k in range(1, n):
+        nxt = F.slice(toks, k + 1, F.greatest(F.size(toks) - k, F.lit(0)))
+        grams = F.zip_with(grams, nxt, lambda g, t: F.concat(g, F.lit(" "), t))
+    return F.filter(grams, lambda g: g.isNotNull())
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = tokens_col(text_col)
     # cast to long: cross-engine oracles (DuckDB len/length return BIGINT)
@@ -147,9 +174,11 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from functools import reduce
 
-    tok = df.select(id_col, F.explode(tokens_col(text_col)).alias("_tok")).filter(
-        F.col("_tok") != ""
-    )
+    from sparkfuse.keys import fan_out_small
+
+    tok = fan_out_small(df.select(id_col, text_col)).select(
+        id_col, F.explode(tokens_col(text_col)).alias("_tok")
+    ).filter(F.col("_tok") != "")
     th = tok.select(id_col, F.xxhash64("_tok").alias("_th"))
     one = F.lit(1).cast("long")
     votes = [
@@ -196,28 +225,61 @@ def simhash_near_dups(
     SimHash rung of the dedup ladder, entirely JVM-side.
 
     Candidate generation is the pigeonhole multi-index (Manku et al., WWW
-    2007): split the 64 bits into ``max_hamming + 1`` bands; two
-    fingerprints within hamming k differ in ≤ k bands, so they MATCH
-    EXACTLY in at least one band. Banding is therefore lossless — unlike
-    minhash/sign-LSH there is no recall knob; the band self-join finds
-    every qualifying pair and the exact ``bit_count(xor)`` filter keeps
-    only true ones. Candidates per band bucket grow with corpus-wide
-    fingerprint collisions on ~16-bit slices; ``max_bucket_size`` (same
-    guard as the LSH generators — then NOT lossless) bounds boilerplate
+    2007): split the 64 bits into bands; two fingerprints within hamming
+    k differ in ≤ k bands, so with ``k + 1`` bands they MATCH EXACTLY in
+    at least one. Banding is therefore lossless — unlike minhash/sign-LSH
+    there is no recall knob; the band join finds every qualifying pair
+    and the exact ``bit_count(xor)`` filter keeps only true ones. Past
+    max_hamming 3 the exact-match bands would narrow below 16 bits and
+    corpus-wide collisions on the short slices explode the candidate
+    join, so the generator switches to WIDE bands + single-bit query
+    expansion (``floor(k/2)+1`` bands: ≤ k errors leave some band with
+    ≤ 1, so the probe side emits each band value plus its single-bit
+    flips and the build side stays exact — still lossless, and the small
+    exact side lets AQE turn the candidate join into one codegen
+    broadcast-hash pass). ``max_bucket_size`` (same guard as the LSH
+    generators — then NOT lossless; in the expansion regime it caps each
+    side's (band, value) buckets independently) bounds boilerplate
     blowup, and exact-dedup first removes the identical-text mass.
 
     Plan: simhash64 (explode + 64 partial-agg bit votes) → band slices
-    (shift/mask codegen) → explode bands → self-join on (band, slice) →
-    exact hamming verify. No Python anywhere. Pass a precomputed (ideally
-    cached) ``sims_df`` — (id_col, simhash) — to share the fingerprint
-    subtree with other consumers instead of recomputing it.
+    (shift/mask codegen) → explode bands (probe side with its expansion
+    variants) → join on (band, slice) → exact hamming verify. No Python
+    anywhere. Pass a precomputed (ideally cached) ``sims_df`` —
+    (id_col, simhash) — to share the fingerprint subtree with other
+    consumers instead of recomputing it.
     """
-    n_bands = max_hamming + 1
-    if not 1 <= n_bands <= 64:
+    if not 0 <= max_hamming <= 63:
         raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    # Band plan. Exact-match pigeonhole needs max_hamming+1 bands; past
+    # max_hamming 3 those bands narrow below 16 bits and corpus-wide
+    # collisions on the short slices explode the candidate join (measured
+    # at sf1.0, max_hamming=6: 7x9-bit bands produced 1.3e9 candidate
+    # pairs for 1.55e6 true pairs — the row was 140 s). The fix keeps the
+    # scheme LOSSLESS but widens the bands and absorbs the lost bands
+    # with single-bit QUERY EXPANSION: with nb = floor(k/2)+1 bands,
+    # <= k errors leave some band with <= floor(k/nb) <= 1 errors, so a
+    # qualifying pair matches EXACTLY when one side's band value is
+    # XORed with 0 or one of the band's w single-bit masks. The probe
+    # side therefore emits (w+1) variants per band; the build side stays
+    # exact, small enough for AQE to broadcast — the candidate join runs
+    # as one codegen broadcast-hash pass, no shuffle of candidates.
+    n_bands = max_hamming + 1
+    expand = 64 // n_bands < 16 and n_bands > 1
+    if expand:
+        n_bands = max_hamming // 2 + 1
     width = 64 // n_bands
     sims = sims_df if sims_df is not None else simhash64(df, id_col, text_col)
-    band_structs = []
+    # The fingerprint aggregate's output is tiny (16 bytes/doc), so AQE
+    # coalesces the post-agg exchange to ~1 partition — and the band
+    # explode + candidate join ABOVE it multiply the work ~100x, leaving
+    # the heavy stage single-threaded (measured: 47 s single-task vs
+    # ~6 s fanned out at sf1.0). Fan the small frame back out before the
+    # expansion; no-op at corpus scale (plan-size estimate guard).
+    from sparkfuse.keys import fan_out_small
+
+    sims = fan_out_small(sims)
+    exact_structs, probe_structs = [], []
     for b in range(n_bands):
         lo = b * width
         # last band absorbs the remainder bits
@@ -225,23 +287,32 @@ def simhash_near_dups(
         # w == 64 (single band): the mask is all ones = -1 in two's
         # complement ((1<<64)-1 does not fit a long literal)
         mask = F.lit(-1 if w >= 64 else (1 << w) - 1).cast("long")
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("b"),
-                F.shiftrightunsigned("simhash", lo).bitwiseAND(mask).alias("v"),
-            )
-        )
-    bands = sims.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, "simhash", "bk.b", "bk.v")
-    if max_bucket_size is not None:
-        from sparkfuse.keys import cap_group_size
+        v = F.shiftrightunsigned("simhash", lo).bitwiseAND(mask)
+        exact_structs.append(F.struct(F.lit(b).alias("b"), v.alias("v")))
+        probe_structs.append(F.struct(F.lit(b).alias("b"), v.alias("v")))
+        if expand:
+            for j in range(w):
+                probe_structs.append(
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        v.bitwiseXOR(F.lit(1 << j).cast("long")).alias("v"),
+                    )
+                )
 
-        bands = cap_group_size(bands, ["b", "v"], max_bucket_size)
-    a = bands.select(
+    def _bands(structs):
+        out = sims.select(
+            F.col(id_col), F.col("simhash"), F.explode(F.array(*structs)).alias("bk")
+        ).select(id_col, "simhash", "bk.b", "bk.v")
+        if max_bucket_size is not None:
+            from sparkfuse.keys import cap_group_size
+
+            out = cap_group_size(out, ["b", "v"], max_bucket_size)
+        return out
+
+    a = _bands(probe_structs).select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "b", "v"
     )
-    bb = bands.select(
+    bb = _bands(exact_structs).select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "b", "v"
     )
     return (
