@@ -70,15 +70,33 @@ def exact_dedup(
 
 
 def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles over a token-array column (pass a
-    STAGED token column when k is large — see ``textops.grams_chain_col``
-    for why). Documents with fewer than k tokens have NO k-shingles
-    (empty array); NULL text also yields [] (the chain propagates NULL,
-    coalesced here to keep the historical shingles_col contract)."""
-    return F.coalesce(
-        F.array_distinct(grams_chain_col(toks, k)),
-        F.array().cast("array<string>"),
-    )
+    """Distinct word k-gram shingles over a token-array column. PASS A
+    STAGED TOKEN COLUMN: any non-cheap expression repeated under a HOF
+    lambda or across the k references re-runs per use on the interpreted
+    path (PLANS.md §28) — ``tokens_col(text)`` inlined here at k=13 was
+    O(tokens²) regex splits per document. Documents with fewer than k
+    tokens have NO k-shingles (empty array, also for NULL text — the
+    historical shingles_col contract).
+
+    Two builders by regime (both interpreted HOFs; costs per row):
+
+    * k < 8 — chained zip_with, O((k-1)·tokens) concat element-ops.
+    * k >= 8 — index transform over a staged ref, O(grams·k): the chain
+      pays its k-1 full-array passes even when a row yields few or zero
+      grams, which regressed short-turn corpora (transcript turns at
+      k=13) ~1.5x; the transform's work is proportional to the grams
+      actually produced, and the ``when`` guard short-circuits rows with
+      fewer than k tokens entirely (CaseWhen evaluates only the taken
+      branch).
+    """
+    empty = F.array().cast("array<string>")
+    n = F.size(toks)
+    if k >= 8:
+        idx = F.sequence(F.lit(1), n - (k - 1))
+        gram = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    else:
+        gram = grams_chain_col(toks, k)
+    return F.when(n >= k, F.array_distinct(gram)).otherwise(empty)
 
 
 def shingles_col(text_col: str, k: int = 3):
