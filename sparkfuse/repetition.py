@@ -98,7 +98,174 @@ def repetition_cols(
     return cols
 
 
+def _dup_by_doc(doc_of, codes, lens, n_docs: int):
+    """(n_dup, chars_dup) per doc for positions labeled (doc, code):
+    sort by (doc, code), mark repeats-beyond-first, bincount per doc.
+    ``lens`` are the per-position character lengths. All int64-exact
+    (float64 weights are exact below 2^53)."""
+    import numpy as np
+
+    if len(codes) == 0:
+        z = np.zeros(n_docs, dtype=np.int64)
+        return z, z.copy()
+    key = doc_of.astype(np.int64) * (np.int64(codes.max()) + 1) + codes
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    dup = np.empty(len(sk), dtype=bool)
+    dup[0] = False
+    np.not_equal(sk[1:], sk[:-1], out=dup[1:])
+    np.logical_not(dup[1:], out=dup[1:])
+    dup_docs = doc_of[order][dup]
+    n_dup = np.bincount(dup_docs, minlength=n_docs).astype(np.int64)
+    chars_dup = np.bincount(
+        dup_docs, weights=lens[order][dup].astype(np.float64), minlength=n_docs
+    ).astype(np.int64)
+    return n_dup, chars_dup
+
+
+def _repetition_batch(batch, ngram_ns, out_schema):
+    """One Arrow RecordBatch (id, text) → RecordBatch of exact repetition
+    counts. All string work is pyarrow.compute C++ kernels (RE2 split,
+    dictionary encode, utf8_length — verified element-for-element
+    equivalent to the Java-regex SQL form on the edge corpus); duplicate
+    counting is numpy sort + bincount over the dictionary codes. No
+    per-token/per-gram Python objects anywhere — which, beyond raw
+    speed, sidesteps both the interpreted-HOF JIT-pollution sensitivity
+    of the SQL form and the 3.5M-strings/batch allocation churn a
+    re.split formulation measured (PLANS.md §31)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = batch.column(1)
+    n_docs = len(text)
+    nullmask = pc.is_null(text).to_numpy(zero_copy_only=False)
+    cols = []
+
+    def emit(arr):
+        cols.append(pa.array(arr, type=pa.int64(), mask=nullmask))
+
+    # ---- lines: literal \n split, empties dropped ------------------------
+    ls = pc.split_pattern(text, pattern="\n")
+    raw_counts = pc.list_value_length(ls).to_numpy(zero_copy_only=False)
+    raw_counts = np.nan_to_num(raw_counts).astype(np.int64)
+    flat_lines = ls.flatten()
+    doc_of_line = np.repeat(np.arange(n_docs), raw_counts)
+    ne = pc.not_equal(flat_lines, "").to_numpy(zero_copy_only=False)
+    line_counts = np.bincount(doc_of_line[ne], minlength=n_docs).astype(np.int64)
+    if len(flat_lines):
+        de = pc.dictionary_encode(flat_lines)
+        lcodes = de.indices.to_numpy().astype(np.int64)[ne]
+        llens = pc.utf8_length(de.dictionary).to_numpy().astype(np.int64)
+        n_dup, chars_dup = _dup_by_doc(
+            doc_of_line[ne], lcodes, llens[lcodes], n_docs
+        )
+    else:
+        n_dup = chars_dup = np.zeros(n_docs, dtype=np.int64)
+    emit(line_counts)
+    emit(n_dup)
+    emit(chars_dup)
+
+    # ---- n-grams over tokens_col tokens ----------------------------------
+    # tokens_col contract: split(trim(text)) — SQL trim strips 0x20
+    # spaces only, hence characters=" ", never full whitespace trim
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim(text, characters=" "), pattern="[ \t\n\r\f]+"
+    )
+    tok_counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    tok_counts = np.nan_to_num(tok_counts).astype(np.int64)
+    total = int(tok_counts.sum())
+    if total:
+        det = pc.dictionary_encode(toks.flatten())
+        tcodes = det.indices.to_numpy().astype(np.int64)
+        K = np.int64(len(det.dictionary))
+        tlens = pc.utf8_length(det.dictionary).to_numpy().astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(tlens[tcodes])))
+        doc_of_tok = np.repeat(np.arange(n_docs), tok_counts)
+        starts = np.concatenate(([0], np.cumsum(tok_counts)[:-1]))
+        pos_in_doc = np.arange(total) - starts[doc_of_tok]
+    for n in ngram_ns:
+        n_grams = np.maximum(tok_counts - (n - 1), 0)
+        if total == 0 or n_grams.sum() == 0:
+            emit(n_grams)
+            emit(np.zeros(n_docs, dtype=np.int64))
+            emit(np.zeros(n_docs, dtype=np.int64))
+            continue
+        pos = np.nonzero(pos_in_doc <= tok_counts[doc_of_tok] - n)[0]
+        # exact gram identity: chained combine-and-recompact of token
+        # codes (no hashing anywhere — np.unique recompaction keeps every
+        # intermediate below 2^63: prefix codes < positions, * K < 2^63)
+        c = tcodes[pos]
+        for j in range(1, n):
+            c = c * K + tcodes[pos + j]
+            if j < n - 1:
+                c = np.unique(c, return_inverse=True)[1].astype(np.int64)
+        gram_lens = cum[pos + n] - cum[pos] + (n - 1)
+        n_dup, chars_dup = _dup_by_doc(doc_of_tok[pos], c, gram_lens, n_docs)
+        emit(n_grams)
+        emit(n_dup)
+        emit(chars_dup)
+    return pa.RecordBatch.from_arrays([batch.column(0), *cols], schema=out_schema)
+
+
 def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_ns=DEFAULT_NGRAM_NS,
+    engine: str = "arrow",
+) -> DataFrame:
+    """Per-document repetition measurements (module docstring for the
+    exact definitions). Two engines, bit-identical outputs (differential-
+    and oracle-pinned):
+
+    * ``engine="arrow"`` (default): one ``mapInPandas`` pass — tokens and
+      lines factorized per Arrow batch, duplicate counting by sort +
+      bincount in numpy. Besides being ~3x faster clean, this path is
+      IMMUNE to interpreted-eval JIT pollution: the SQL form's chained
+      HOFs run interpreted, and after a session has executed many diverse
+      plans their shared eval call sites go megamorphic — the same
+      repetition query measured 12.6 s early in a session and 30.9 s
+      right after a mixed workload (PLANS.md §28/§17 family). The numpy
+      kernel never touches those call sites. Still zero exchanges: scan →
+      MapInPandas, column-pruned to (id, text).
+    * ``engine="sql"``: the pure-JVM staged projection (kept for
+      fuse-into-projection composition and as the cross-engine twin).
+    """
+    if engine == "arrow":
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        ns = tuple(ngram_ns)
+        id_field = df.schema[id_col]
+        fields = [StructField(id_col, id_field.dataType, id_field.nullable)]
+        names = ["n_lines", "n_dup_lines", "chars_dup_lines"]
+        for n in ns:
+            names += [f"n_grams_{n}", f"n_dup_grams_{n}", f"chars_dup_grams_{n}"]
+        fields += [StructField(nm, LongType(), True) for nm in names]
+
+        def run(batches):
+            import pyarrow as pa
+
+            out_schema = None
+            for batch in batches:
+                if not batch.num_rows:
+                    continue
+                if out_schema is None:
+                    out_schema = pa.schema(
+                        [batch.schema.field(0)]
+                        + [pa.field(nm, pa.int64()) for nm in names]
+                    )
+                yield _repetition_batch(batch, ns, out_schema)
+
+        return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+            run, StructType(fields)
+        )
+    if engine != "sql":
+        raise ValueError(f"unknown engine {engine!r}")
+    return _repetition_stats_sql(df, id_col, text_col, ngram_ns)
+
+
+def _repetition_stats_sql(
     df: DataFrame, id_col: str, text_col: str, ngram_ns=DEFAULT_NGRAM_NS
 ) -> DataFrame:
     """Per-document repetition measurements (see module docstring for the

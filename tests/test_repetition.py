@@ -127,6 +127,36 @@ def test_top_gram_counts_hand_and_twin(spark, planted):
 def test_repetition_stats_plan_has_no_exchange(spark, planted):
     df, _ = planted
     assert exchange_count(repetition_stats(df, "doc_id", "text")) == 0
+    assert exchange_count(
+        repetition_stats(df, "doc_id", "text", engine="sql")
+    ) == 0
+
+
+def test_repetition_engines_bit_equal(spark, planted):
+    """The arrow kernel (r6: pyarrow RE2 split + dictionary codes + numpy
+    dup counting) must agree row-for-row with the pure-JVM SQL staging on
+    the planted corpus PLUS the null/whitespace/tab-tail edge rows the
+    DuckDB twins never see (NULL text must yield NULL counts; Java split
+    keeps leading/trailing empty fields with limit -1)."""
+    df, _ = planted
+    edge = spark.createDataFrame(
+        [
+            (100, None),
+            (101, "a\tb\t"),       # trailing separator: trailing "" token
+            (102, "\ta b"),        # leading separator: leading "" token
+            (103, "trail space "),
+            (104, "a\x0bb c a\x0bb c"),  # \x0b is NOT a separator
+            (105, "line\r\nwith cr\r\nline\r\nwith cr"),
+        ],
+        "doc_id long, text string",
+    )
+    both = df.unionByName(edge)
+    for ns in [(2, 3), (1,), (3, 5)]:
+        a = repetition_stats(both, "doc_id", "text", ns, engine="arrow")
+        s = repetition_stats(both, "doc_id", "text", ns, engine="sql")
+        assert a.columns == s.columns
+        assert [f.dataType for f in a.schema] == [f.dataType for f in s.schema]
+        assert a.exceptAll(s).count() == 0 and s.exceptAll(a).count() == 0
 
 
 def test_dup_fraction_gate_matches_duckdb_twin(spark, planted):
