@@ -172,8 +172,6 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     shuffled by doc id; only (id, 64×8-byte partial sums) cross the wire per
     map-side group. Docs with no tokens fingerprint to 0.
     """
-    from functools import reduce
-
     from sparkfuse.keys import fan_out_small
 
     tok = fan_out_small(df.select(id_col, text_col)).select(
@@ -188,13 +186,18 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for b in range(64)
     ]
     agg = th.groupBy(id_col).agg(*votes)
-    fp = reduce(
-        lambda a, b: a.bitwiseOR(b),
-        [
-            F.when(F.col(f"_v{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
-            for b in range(64)
-        ],
-    )
+    # balanced pairwise OR fold (depth 6) — a left-deep reduce builds a
+    # 64-level expression tree that Catalyst rules walk superlinearly
+    terms = [
+        F.when(F.col(f"_v{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    while len(terms) > 1:
+        terms = [
+            terms[i] if i + 1 >= len(terms) else terms[i].bitwiseOR(terms[i + 1])
+            for i in range(0, len(terms), 2)
+        ]
+    fp = terms[0]
     sims = agg.select(F.col(id_col), fp.alias("simhash"))
     # left join restores empty-token docs (simhash 0), preserving df's rows
     return (
@@ -315,13 +318,38 @@ def simhash_near_dups(
     bb = _bands(exact_structs).select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "b", "v"
     )
-    return (
+    out = (
         a.join(bb, ["b", "v"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(hamming64(F.col("_sa"), F.col("_sb")) <= max_hamming)
-        .select("id_a", "id_b")
-        .dropDuplicates()
     )
+    if max_bucket_size is not None:
+        # capped buckets can drop a pair's earliest qualifying band, so
+        # only the generic dedup is safe here
+        return out.select("id_a", "id_b").dropDuplicates()
+    # FIRST-QUALIFYING-BAND filter: a pair matches once per band whose
+    # slice distance is within the match tolerance (0 exact / 1 expanded);
+    # keeping only the row whose band is the pair's first such band makes
+    # every pair unique BY CONSTRUCTION — the final distinct shuffle of
+    # the (multi-band-duplicated) survivor set disappears outright, for
+    # nb-1 extra bit_count evaluations per candidate inside the same
+    # codegen stage.
+    xor = F.col("_sa").bitwiseXOR(F.col("_sb"))
+    tol = 1 if expand else 0
+    band_d = []
+    for b in range(n_bands):
+        lo = b * width
+        w = 64 - lo if b == n_bands - 1 else width
+        mask = F.lit(-1 if w >= 64 else (1 << w) - 1).cast("long")
+        band_d.append(
+            F.bit_count(F.shiftrightunsigned(xor, lo).bitwiseAND(mask)) <= tol
+        )
+    first_ok = F.when(F.col("b") == 0, F.lit(True))
+    any_before = band_d[0]
+    for b in range(1, n_bands):
+        first_ok = first_ok.when(F.col("b") == b, ~any_before)
+        any_before = any_before | band_d[b]
+    return out.filter(first_ok.otherwise(F.lit(False))).select("id_a", "id_b")
 
 
 # BPE-ish pretokenizer regex (GPT-2-style segment classes: optional leading
