@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkfuse.dedup import shingles_of_tokens
-from sparkfuse.forest import Forest, build_forest
+from sparkfuse.forest import build_forest_driver
 from sparkfuse.keys import fan_out_small
 from sparkfuse.probe import approx_contains_udf
 from sparkfuse.textops import tokens_col
@@ -72,8 +72,18 @@ def contamination_check(
     contract-free choice.
     """
     bench_grams = _gram_rows(bench_df, bench_text, n).dropDuplicates()
-    forest = Forest.from_df(
-        build_forest(bench_grams.select(F.xxhash64("gram").alias("key")))
+    # driver-side single-shard build: the benchmark side is SMALL by the
+    # operator's premise (its gram strings broadcast whole for the exact
+    # confirm below, so collecting the smaller 8-byte hashes here adds no
+    # new scale constraint) — and it replaces 3 Spark job rounds per call
+    # (count-distinct planning, shuffle+kernel build, state collect) with
+    # one collect + an in-process kernel build of the identical filter.
+    import numpy as np
+
+    key_rows = bench_grams.select(F.xxhash64("gram").alias("key")).collect()
+    forest = build_forest_driver(
+        np.fromiter((r["key"] for r in key_rows), dtype=np.int64,
+                    count=len(key_rows))
     )
     corpus_grams = _gram_rows(corpus, corpus_text, n, corpus_id)
     pre = corpus_grams.filter(

@@ -200,6 +200,48 @@ def build_forest(
     return sharded.groupBy("shard").applyInPandas(_kernel_factory(spec), FOREST_SCHEMA)
 
 
+def build_forest_driver(
+    keys_i64: np.ndarray,
+    kind: str = "fuse",
+    width: int = 8,
+    arity: int = 3,
+) -> "Forest":
+    """Single-shard Forest built DRIVER-SIDE from an in-memory key array.
+
+    For key sets that end up collected to the driver anyway (a
+    contamination benchmark's gram hashes: the prescreen filter is
+    broadcast and the confirm join broadcasts the gram strings
+    themselves), the distributed ``build_forest`` → ``Forest.from_df``
+    chain is 3 Spark job rounds on tiny data (an approx_count_distinct
+    planning pass, the shuffle+kernel build, the state collect) — ~1.5 s
+    of pure scheduling per call. This builds the identical single-shard
+    filter (same deterministic kernel and seed schedule) in-process.
+    """
+    spec = ForestSpec(kind=kind, width=width, arity=arity, shard_bits=0)
+    keys_u64 = to_u64(np.asarray(keys_i64, dtype=np.int64))
+    nkeys = len(np.unique(keys_u64))
+    filt, payload, iterations, dt = _build_one(keys_u64, spec)
+    return Forest(
+        [
+            {
+                "shard": 0,
+                "kind": kind,
+                "width": width,
+                "arity": arity,
+                "shard_bits": 0,
+                "route": spec.route,
+                "seed": int(np.uint64(filt.seed).astype(np.int64)),
+                "nkeys": nkeys,
+                "iterations": iterations,
+                "build_seconds": dt,
+                "bits_per_entry": filt.fingerprints.nbytes * 8 / max(nkeys, 1),
+                "payload": payload,
+                "content_sha256": hashlib.sha256(payload).hexdigest(),
+            }
+        ]
+    )
+
+
 def plan_budgeted_widths(
     shard_counts: dict[int, int], budget_bytes: int, arity: int = 3
 ) -> dict[int, int]:
