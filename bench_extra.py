@@ -89,21 +89,18 @@ def main():
     )
 
     # ---- contamination decomposition -------------------------------------
-    from sparkfuse.decontam import contamination_check
-    from sparkfuse.dedup import shingles_col
+    from sparkfuse.decontam import _gram_rows, contamination_check
 
     bench_docs = docs_df.filter(F.col("doc_id") < 100).select("text")
     row(
         "contam_grams_explode",
-        lambda: docs_df.select(
-            F.col("doc_id"), F.explode(shingles_col("text", 13)).alias("gram")
-        ),
+        lambda: _gram_rows(docs_df, "text", 13, "doc_id"),
     )
     row(
         "contam_grams_hashed",
-        lambda: docs_df.select(
-            F.col("doc_id"), F.explode(shingles_col("text", 13)).alias("gram")
-        ).select("doc_id", F.xxhash64("gram").alias("k")),
+        lambda: _gram_rows(docs_df, "text", 13, "doc_id").select(
+            "doc_id", F.xxhash64("gram").alias("k")
+        ),
     )
     row(
         "contamination_13gram",

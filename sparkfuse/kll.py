@@ -40,7 +40,9 @@ class KllParams:
 
 
 class KLL:
-    def __init__(self, params: KllParams = KllParams()):
+    def __init__(self, params: KllParams | None = None):
+        # no shared mutable default instance (round-5 ADVICE)
+        params = params or KllParams()
         self.params = params
         self.levels: list[np.ndarray] = [np.empty(0)]
         self._rng_state = params.seed
@@ -171,10 +173,11 @@ class KLL:
 
 def build_kll(
     values_df: DataFrame, value_col: str = "value",
-    params: KllParams = KllParams(), fanout: int = 16,
+    params: KllParams | None = None, fanout: int = 16,
 ) -> KLL:
     """Distributed mergeable KLL (partial per partition → tree merge);
     shares the sketch tree-merge plan in sketches._tree_build."""
+    params = params or KllParams()
     values_df = values_df.select(F.col(value_col).cast("double").alias("value"))
     return _tree_build(
         values_df,

@@ -34,11 +34,12 @@ class TDigestParams:
 
 
 class TDigest:
-    def __init__(self, params: TDigestParams = TDigestParams(),
+    def __init__(self, params: TDigestParams | None = None,
                  means: np.ndarray | None = None,
                  weights: np.ndarray | None = None,
                  vmin: float = math.inf, vmax: float = -math.inf):
-        self.params = params
+        # no shared mutable default instance (round-5 ADVICE)
+        self.params = params or TDigestParams()
         self.means = means if means is not None else np.empty(0)
         self.weights = weights if weights is not None else np.empty(0)
         self.min = vmin
@@ -148,10 +149,11 @@ class TDigest:
 
 def build_tdigest(
     values_df: DataFrame, value_col: str = "value",
-    params: TDigestParams = TDigestParams(), fanout: int = 16,
+    params: TDigestParams | None = None, fanout: int = 16,
 ) -> TDigest:
     """Distributed mergeable t-digest (partial per partition → tree merge);
     shares the sketch tree-merge plan in sketches._tree_build."""
+    params = params or TDigestParams()
     values_df = values_df.select(F.col(value_col).cast("double").alias("value"))
     return _tree_build(
         values_df,
