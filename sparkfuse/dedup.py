@@ -154,10 +154,10 @@ def ngram_jaccard_pairs(
     # pinning shingle arrays (larger than the text) in executor storage for
     # the app lifetime is worse than recomputing them in each join branch.
     # Tokens staged (the chain references them k times under interpreted
-    # HOF eval — PLANS.md §28) + small-scan fan-out for one-file corpora.
-    from sparkfuse.keys import fan_out_small
-
-    sh = fan_out_small(df.select(F.col(id_col), F.col(text_col))).select(
+    # HOF eval — PLANS.md §28). No fan_out_small here: the shingle join
+    # dominates this operator and the extra exchange measured as a pure
+    # ~2x loss on already-parallel inputs (PLANS.md §31).
+    sh = df.select(
         F.col(id_col).alias("_id"), tokens_col(text_col).alias("_tk")
     )
     sh = sh.select("_id", shingles_of_tokens(F.col("_tk"), k).alias("_sh"))
@@ -226,11 +226,8 @@ def minhash_signatures(
     each with ``xxhash64(shingle, i)`` per permutation i, take min per doc.
     One explode + one grouped aggregation (partial+final) — no Python.
     """
-    from sparkfuse.keys import fan_out_small
-
     inv = (
-        fan_out_small(df.select(F.col(id_col), F.col(text_col)))
-        .select(F.col(id_col), tokens_col(text_col).alias("_tk"))
+        df.select(F.col(id_col), tokens_col(text_col).alias("_tk"))
         .select(F.col(id_col), F.explode(shingles_of_tokens(F.col("_tk"), k)).alias("_g"))
     )
     aggs = [
