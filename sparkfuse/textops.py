@@ -171,6 +171,13 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     At 100 TB the plan is scan → explode → xxhash64 → one partial+final agg
     shuffled by doc id; only (id, 64×8-byte partial sums) cross the wire per
     map-side group. Docs with no tokens fingerprint to 0.
+
+    The 64 votes and the fingerprint fold are built as SQL STRINGS parsed
+    JVM-side (one ``F.expr`` per column), not as Column-method chains:
+    each Column operator is a py4j round-trip, and the ~1,500 round-trips
+    of the chained form cost ~0.9 s of pure driver-side constant per
+    query instance (measured round 6; JVM parse of the same strings is
+    ~0.15 s). Values are pinned bit-identical against the Column form.
     """
     from sparkfuse.keys import fan_out_small
 
@@ -178,27 +185,27 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         id_col, F.explode(tokens_col(text_col)).alias("_tok")
     ).filter(F.col("_tok") != "")
     th = tok.select(id_col, F.xxhash64("_tok").alias("_th"))
-    one = F.lit(1).cast("long")
     votes = [
-        F.sum(
-            F.shiftrightunsigned("_th", b).bitwiseAND(one) * F.lit(2) - F.lit(1)
-        ).alias(f"_v{b}")
+        F.expr(
+            f"sum((shiftrightunsigned(_th, {b}) & CAST(1 AS BIGINT)) * 2 - 1) AS _v{b}"
+        )
         for b in range(64)
     ]
     agg = th.groupBy(id_col).agg(*votes)
     # balanced pairwise OR fold (depth 6) — a left-deep reduce builds a
-    # 64-level expression tree that Catalyst rules walk superlinearly
+    # 64-level expression tree that Catalyst rules walk superlinearly.
+    # shiftleft(1L, b) rather than a decimal literal: 1<<63 has no legal
+    # positive long literal, and Catalyst constant-folds the shift anyway.
     terms = [
-        F.when(F.col(f"_v{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+        f"(CASE WHEN _v{b} > 0 THEN shiftleft(1L, {b}) ELSE 0L END)"
         for b in range(64)
     ]
     while len(terms) > 1:
         terms = [
-            terms[i] if i + 1 >= len(terms) else terms[i].bitwiseOR(terms[i + 1])
+            terms[i] if i + 1 >= len(terms) else f"({terms[i]} | {terms[i + 1]})"
             for i in range(0, len(terms), 2)
         ]
-    fp = terms[0]
-    sims = agg.select(F.col(id_col), fp.alias("simhash"))
+    sims = agg.select(F.col(id_col), F.expr(terms[0]).alias("simhash"))
     # left join restores empty-token docs (simhash 0), preserving df's rows
     return (
         df.select(id_col)
@@ -282,29 +289,36 @@ def simhash_near_dups(
     from sparkfuse.keys import fan_out_small
 
     sims = fan_out_small(sims)
+    # Band slices, probe expansion and the first-band filter are SQL
+    # STRINGS (one F.expr per frame) for the same reason as simhash64's
+    # votes: the Column-method form was ~700 py4j round-trips ≈ 0.6 s of
+    # driver constant per instance; one JVM parse is ~0.1 s. Pinned
+    # identical to the Column form at max_hamming 0/1/3/6/9 and capped.
+
+    def _mask_sql(w: int) -> str:
+        # w == 64 (single band): the mask is all ones = -1 in two's
+        # complement ((1<<64)-1 does not fit a long literal)
+        return "-1L" if w >= 64 else f"{(1 << w) - 1}L"
+
     exact_structs, probe_structs = [], []
     for b in range(n_bands):
         lo = b * width
         # last band absorbs the remainder bits
         w = 64 - lo if b == n_bands - 1 else width
-        # w == 64 (single band): the mask is all ones = -1 in two's
-        # complement ((1<<64)-1 does not fit a long literal)
-        mask = F.lit(-1 if w >= 64 else (1 << w) - 1).cast("long")
-        v = F.shiftrightunsigned("simhash", lo).bitwiseAND(mask)
-        exact_structs.append(F.struct(F.lit(b).alias("b"), v.alias("v")))
-        probe_structs.append(F.struct(F.lit(b).alias("b"), v.alias("v")))
+        v = f"(shiftrightunsigned(simhash, {lo}) & {_mask_sql(w)})"
+        exact_structs.append(f"named_struct('b', {b}, 'v', {v})")
+        probe_structs.append(f"named_struct('b', {b}, 'v', {v})")
         if expand:
             for j in range(w):
+                # shiftleft(1L, j): no legal positive literal at j=63
                 probe_structs.append(
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        v.bitwiseXOR(F.lit(1 << j).cast("long")).alias("v"),
-                    )
+                    f"named_struct('b', {b}, 'v', ({v} ^ shiftleft(1L, {j})))"
                 )
 
     def _bands(structs):
         out = sims.select(
-            F.col(id_col), F.col("simhash"), F.explode(F.array(*structs)).alias("bk")
+            F.col(id_col), F.col("simhash"),
+            F.expr("explode(array(" + ", ".join(structs) + ")) AS bk"),
         ).select(id_col, "simhash", "bk.b", "bk.v")
         if max_bucket_size is not None:
             from sparkfuse.keys import cap_group_size
@@ -334,22 +348,21 @@ def simhash_near_dups(
     # the (multi-band-duplicated) survivor set disappears outright, for
     # nb-1 extra bit_count evaluations per candidate inside the same
     # codegen stage.
-    xor = F.col("_sa").bitwiseXOR(F.col("_sb"))
     tol = 1 if expand else 0
     band_d = []
     for b in range(n_bands):
         lo = b * width
         w = 64 - lo if b == n_bands - 1 else width
-        mask = F.lit(-1 if w >= 64 else (1 << w) - 1).cast("long")
         band_d.append(
-            F.bit_count(F.shiftrightunsigned(xor, lo).bitwiseAND(mask)) <= tol
+            f"(bit_count(shiftrightunsigned(_sa ^ _sb, {lo}) & {_mask_sql(w)}) <= {tol})"
         )
-    first_ok = F.when(F.col("b") == 0, F.lit(True))
+    whens = ["WHEN b = 0 THEN true"]
     any_before = band_d[0]
     for b in range(1, n_bands):
-        first_ok = first_ok.when(F.col("b") == b, ~any_before)
-        any_before = any_before | band_d[b]
-    return out.filter(first_ok.otherwise(F.lit(False))).select("id_a", "id_b")
+        whens.append(f"WHEN b = {b} THEN NOT {any_before}")
+        any_before = f"({any_before} OR {band_d[b]})"
+    first_ok = "CASE " + " ".join(whens) + " ELSE false END"
+    return out.filter(F.expr(first_ok)).select("id_a", "id_b")
 
 
 # BPE-ish pretokenizer regex (GPT-2-style segment classes: optional leading
